@@ -1,0 +1,334 @@
+"""Crawl round loop: claim -> fetch -> parse -> dedup -> merge -> commit.
+
+One round is the Spark expression of the reference's full message cycle
+(SURVEY.md §3.4): producer claims a chunk (producer.py:196-211), spiders
+fetch/parse, result consumers upsert discoveries
+(category_result_consumer.py:38-52), reply consumers write statuses
+(category_reply_consumer.py:27-47), all made durable by queue acks —
+here by one atomic snapshot commit per round. Crash recovery is the
+reference's nack-redelivery semantic for free: a round that never
+committed leaves the frontier unchanged, so its rows are re-claimed
+identically on resume (X4/X5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..dedup.bloom import BloomShards, build_bloom, bloom_filter_candidates
+from ..fetchers.synthetic import FAIL_HW, FAIL_LOGIC, OK, RETRY, classify_fetch, fetch_payloads, resolve_pages
+from ..functions.hashing import url_hash_col
+from ..functions.urls import canonicalize_udf, domain_of
+from ..politeness.scheduler import CLAIM_ORDER, apply_robots, schedule_round
+from ..schemas import ERROR, HARDWARE_ERROR, PENDING, SKIPPED_ROBOTS, SUCCESS
+from ..synth.world import PAGINATION_SIZE
+from .parse import discover_children, encode_seq, position_of
+
+COUNTER_KEYS = [
+    "urls_seen",
+    "urls_fetched",
+    "urls_deduped",
+    "urls_skipped_robots",
+    "urls_failed_hw",
+    "urls_failed_logic",
+    "items_emitted",
+]
+
+
+@dataclass
+class CrawlConfig:
+    chunk_size: int = 500  # reference pm2 production chunk (pm2.config.js)
+    n_salts: int = 8
+    round_ms: int = 1000
+    session: int = 1
+    pagination_size: int = PAGINATION_SIZE
+    bloom_buckets: int = 32  # power of two
+    bloom_bits_per_bucket: int = 1 << 20
+    bloom_k: int = 5
+    max_rounds: int = 10_000
+    reencode_payload: bool = True
+    extra_meta: dict = field(default_factory=dict)
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store,
+        pages: DataFrame,
+        image_caption: DataFrame,
+        robots: DataFrame,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.pages = pages
+        self.image_caption = image_caption
+        self.robots = robots
+        self.cfg = config or CrawlConfig()
+
+    # ------------------------------------------------------------------
+    def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
+        return df.select(
+            "url",
+            url_hash_col(F.col("url")).alias("url_hash"),
+            domain_of(F.col("url")).alias("domain"),
+            F.col("tier").cast("int"),
+            F.col("priority").cast("int"),
+            F.col("depth").cast("int"),
+            F.col("discovered_seq").cast("long"),
+            F.lit(round_no).cast("int").alias("discovered_round"),
+            status_col.cast("int").alias("status"),
+            F.lit(0).alias("attempt"),
+            F.lit(self.cfg.session).alias("session"),
+            F.lit(source).alias("source"),
+        )
+
+    def _robots_status(self, df: DataFrame) -> DataFrame:
+        """Tag rows PENDING or SKIPPED_ROBOTS at insert time (P5): the
+        reference would enqueue and crawl them; the north rule counts
+        and never fetches them."""
+        allowed, skipped = apply_robots(df.withColumn("domain", domain_of(F.col("url"))), self.robots)
+        return allowed.withColumn("_st", F.lit(PENDING)).unionByName(
+            skipped.withColumn("_st", F.lit(SKIPPED_ROBOTS))
+        )
+
+    def seed(self, seeds: DataFrame) -> int:
+        """Ingest the seed list (S1-S4): canonicalize, dedup, robots-tag,
+        commit frontier v1. Idempotent re-seeding = re-running produces
+        the same v1 (reference: upsert with status reset, read_csv.py)."""
+        canon = (
+            seeds.withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("priority", F.lit(0))
+            .withColumn("depth", F.lit(0))
+            .withColumn(
+                "discovered_seq", encode_seq(F.lit(0), F.lit(0), F.col("seed_rank"))
+            )
+        )
+        w = Window.partitionBy("url").orderBy("discovered_seq")
+        canon = canon.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        tagged = self._robots_status(canon)
+        frontier = self._frontier_row_select(
+            tagged, status_col=F.col("_st"), source="seed", round_no=0
+        )
+        bloom = build_bloom(
+            frontier,
+            "url",
+            self.cfg.bloom_buckets,
+            self.cfg.bloom_bits_per_bucket,
+            self.cfg.bloom_k,
+        )
+        n_skipped = frontier.filter(F.col("status") == SKIPPED_ROBOTS).count()
+        counters = dict.fromkeys(COUNTER_KEYS, 0)
+        counters["urls_skipped_robots"] = n_skipped
+        counters["urls_seen"] = frontier.count()
+        return self.store.commit(
+            frontier,
+            bloom=bloom,
+            meta={
+                "round": 0,
+                "session": self.cfg.session,
+                "counters": counters,
+                "lineage": {},
+                **self.cfg.extra_meta,
+            },
+        )
+
+    # ------------------------------------------------------------------
+    def run_round(self) -> dict | None:
+        """Execute one scheduling round; returns round meta, or None when
+        no claimable work remains (frontier drained)."""
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            raise RuntimeError("seed() first")
+        round_no = manifest["meta"]["round"] + 1
+        counters = dict(manifest["meta"]["counters"])
+        bloom = self.store.read_bloom()
+
+        frontier = self.store.read_frontier(self.spark)
+        pending = frontier.filter(F.col("status") == PENDING)
+        narrow = pending.select(
+            "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
+        )
+        claimed = schedule_round(
+            narrow, self.robots, self.cfg.chunk_size, self.cfg.n_salts, self.cfg.round_ms
+        ).persist()
+        if claimed.limit(1).count() == 0:
+            claimed.unpersist()
+            return None
+
+        # fetch + classify (S6/S7, X1-X3)
+        fx = classify_fetch(resolve_pages(claimed, self.pages)).persist()
+
+        # --- frontier expansion (F1-F5) --------------------------------
+        ok_t0 = fx.filter((F.col("outcome") == OK) & (F.col("tier") == 0))
+        children = discover_children(ok_t0, round_no, self.cfg.pagination_size)
+        children = (
+            children.withColumn("url", canonicalize_udf(F.col("url")))
+            .filter(F.col("url").isNotNull())
+            .persist()
+        )
+        n_children_raw = children.count()  # every discovery occurrence (dedup accounting)
+        # within-batch first-discovery-wins (D2)
+        w = Window.partitionBy("url").orderBy("discovered_seq")
+        children = (
+            children.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        # against-frontier dedup: Bloom pre-filter + exact anti-join (D1)
+        if bloom is not None:
+            unseen = bloom_filter_candidates(children, bloom, "url", keep="unseen")
+            maybe = bloom_filter_candidates(children, bloom, "url", keep="maybe")
+            rescued = maybe.join(
+                frontier.select(F.col("url").alias("_seen")),
+                maybe["url"] == F.col("_seen"),
+                "left_anti",
+            )
+            new_urls = unseen.unionByName(rescued)
+        else:
+            new_urls = children.join(
+                frontier.select(F.col("url").alias("_seen")),
+                children["url"] == F.col("_seen"),
+                "left_anti",
+            )
+        tagged = self._robots_status(new_urls)
+        inserts = self._frontier_row_select(
+            tagged, status_col=F.col("_st"), source="outlink", round_no=round_no
+        ).persist()
+        n_inserted = inserts.count()
+        n_skipped = inserts.filter(F.col("status") == SKIPPED_ROBOTS).count()
+
+        # --- items (K1/K3/K6): payload join + decode, late and narrow ---
+        ok_t1 = fx.filter((F.col("outcome") == OK) & (F.col("tier") == 1)).withColumn(
+            "position", position_of(F.col("discovered_seq"))
+        )
+        items = fetch_payloads(
+            ok_t1, self.image_caption, round_no, self.cfg.reencode_payload
+        ).persist()
+        n_items = items.count()
+
+        # --- status state machine (A3/K2/K7) ----------------------------
+        new_status = (
+            F.when(F.col("outcome") == OK, F.lit(SUCCESS))
+            .when(F.col("outcome") == RETRY, F.lit(PENDING))
+            .when(F.col("outcome") == FAIL_HW, F.lit(HARDWARE_ERROR))
+            .otherwise(F.lit(ERROR))
+        )
+        updates = fx.select(
+            "url_hash",
+            "url",
+            new_status.alias("new_status"),
+            F.when(F.col("outcome") == OK, F.col("attempt"))
+            .otherwise(F.col("attempt") + 1)
+            .alias("new_attempt"),
+        )
+        merged = self.store.read_frontier(self.spark)  # re-read: keep plan shallow
+        from ..frontier.merge import merge_inserts, merge_status_updates
+
+        new_frontier = merge_inserts(merge_status_updates(merged, updates), inserts)
+
+        # --- counters (A1-A4) + per-domain lineage ----------------------
+        by_outcome = {r["outcome"]: r["count"] for r in fx.groupBy("outcome").count().collect()}
+        lineage = {
+            r["domain"]: r["count"] for r in claimed.groupBy("domain").count().collect()
+        }
+        counters["urls_fetched"] += by_outcome.get(OK, 0)
+        counters["urls_failed_hw"] += by_outcome.get(FAIL_HW, 0)
+        counters["urls_failed_logic"] += by_outcome.get(FAIL_LOGIC, 0)
+        counters["urls_deduped"] += n_children_raw - n_inserted
+        counters["urls_skipped_robots"] += n_skipped
+        counters["items_emitted"] += n_items
+        counters["urls_seen"] += n_inserted
+
+        crawl_order = claimed.select(
+            F.lit(round_no).cast("int").alias("round"),
+            "url",
+            "domain",
+            F.col("within_round_rank").cast("int").alias("within_round_rank"),
+        )
+
+        # --- seen-set maintenance: add this round's inserts -------------
+        if bloom is not None and n_inserted:
+            delta = build_bloom(
+                inserts, "url", bloom.n_buckets, bloom.bits, bloom.k
+            )
+            for b, arr in delta.arrays.items():
+                if b in bloom.arrays:
+                    bloom.arrays[b] = bloom.arrays[b] | arr
+                else:
+                    bloom.arrays[b] = arr
+
+        meta = {
+            "round": round_no,
+            "session": self.cfg.session,
+            "counters": counters,
+            "lineage": lineage,
+            "claimed": by_outcome,
+            **self.cfg.extra_meta,
+        }
+        self.store.commit(
+            new_frontier,
+            new_results=items if n_items else None,
+            new_crawl_order=crawl_order,
+            bloom=bloom,
+            meta=meta,
+        )
+        claimed.unpersist()
+        fx.unpersist()
+        inserts.unpersist()
+        items.unpersist()
+        return meta
+
+    def run(self, max_rounds: int | None = None) -> dict:
+        """Loop rounds until the frontier drains (reference: producer
+        polls until no status=0 rows). Returns the final meta."""
+        last = self.store.read_manifest()["meta"]
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        for _ in range(limit):
+            meta = self.run_round()
+            if meta is None:
+                break
+            last = meta
+        return last
+
+    def rearm_session(self, new_session: int) -> int:
+        """Session rotation (O5): re-arm every finally-resolved row for a
+        fresh crawl epoch (reference start_tracking.py:176-193 flips
+        status=0, session=cur for tracked rows)."""
+        frontier = self.store.read_frontier(self.spark)
+        rearmed = (
+            frontier.withColumn(
+                "attempt",
+                F.when(F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(0)).otherwise(
+                    F.col("attempt")
+                ),
+            )
+            .withColumn(
+                "session",
+                F.when(
+                    F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(new_session)
+                ).otherwise(F.col("session")),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(PENDING)).otherwise(
+                    F.col("status")
+                ),
+            )
+        )
+        self.cfg.session = new_session
+        manifest = self.store.read_manifest()
+        counters = dict(manifest["meta"]["counters"])
+        return self.store.commit(
+            rearmed,
+            bloom=self.store.read_bloom(),
+            meta={
+                "round": manifest["meta"]["round"],
+                "session": new_session,
+                "counters": counters,
+                "lineage": {},
+            },
+        )

@@ -1,0 +1,144 @@
+"""Fetch stage: claimed batch -> page responses + decoded image payloads.
+
+The reference's fetch layer is Scrapy's downloader (proxies:
+middlewares/http_proxy_middleware.py; retry: retry_middleware.py:29-38;
+images: pipelines/save_images_pipeline.py:13-25). This sandbox has no
+network, so — exactly like the reference's own tests, which fake the
+network at the downloader boundary with a canned-200 middleware
+(tests/rmq_new_tests/conftest.py:15-17) — the fetcher resolves URLs
+against the synthetic ``pages`` table. The interface is pluggable: a
+production fetcher is the same ``mapInPandas`` shape doing real HTTP
+inside the Arrow batch.
+
+Scale notes:
+- the claimed batch is tiny relative to the page corpus, so the lookup
+  is a broadcast **semi-join pushdown**: pages ⋉ broadcast(claimed)
+  first (prunes the big scan), then broadcast the survivors back onto
+  the claimed rows. No large shuffle, no full-corpus pass after AQE
+  prunes; claimed rows missing from the corpus behave like DNS
+  failures (hardware-error class X3).
+- image payload bytes are joined **late** (only for tier-1 rows that
+  fetched OK) and never shuffled with the frontier (SURVEY.md §4).
+- decode -> invariant-check -> re-encode runs in ``mapInPandas`` over
+  Arrow batches (codec work per image inside the batch; no
+  row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..imaging import decode_image, encode_image, phash64
+from ..schemas import MAX_ATTEMPTS
+
+# outcome classes for a claimed URL after one fetch attempt
+OK = "ok"
+RETRY = "retry"  # retryable failure, attempts remain (403 / timeout)
+FAIL_HW = "fail_hw"  # timeout/tunnel class exhausted (X3 -> 41)
+FAIL_LOGIC = "fail_logic"  # 4xx/5xx non-retryable or 403 exhausted (-> 4)
+
+
+def resolve_pages(claimed: DataFrame, pages: DataFrame) -> DataFrame:
+    """Left-join page metadata onto the claimed batch without shuffling
+    the page corpus: semi-join pushdown then broadcast-back."""
+    keys = claimed.select("url")
+    hit = pages.join(F.broadcast(keys), "url", "leftsemi")
+    return claimed.join(F.broadcast(hit.drop("domain", "tier")), "url", "left")
+
+
+def classify_fetch(resolved: DataFrame) -> DataFrame:
+    """Add ``eff_status`` (flaky 403s clear after ``flaky_until``
+    attempts — the retry-then-success path, X1) and ``outcome``."""
+    eff = (
+        F.when(F.col("status_code").isNull(), F.lit(-1))  # unresolvable = hardware class
+        .when(
+            (F.col("status_code") == 403)
+            & (F.col("flaky_until") > 0)
+            & (F.col("attempt") >= F.col("flaky_until")),
+            F.lit(200),
+        )
+        .otherwise(F.col("status_code"))
+    )
+    retryable = eff.isin(403, -1)
+    exhausted = F.col("attempt") + 1 >= F.lit(MAX_ATTEMPTS)
+    outcome = (
+        F.when(eff == 200, F.lit(OK))
+        .when(retryable & ~exhausted, F.lit(RETRY))
+        .when(eff == -1, F.lit(FAIL_HW))
+        .otherwise(F.lit(FAIL_LOGIC))
+    )
+    return resolved.withColumn("eff_status", eff).withColumn("outcome", outcome)
+
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("position", T.IntegerType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def fetch_payloads(
+    ok_tier1: DataFrame, image_caption: DataFrame, round_no: int, reencode: bool = True
+) -> DataFrame:
+    """Emit item rows for successfully fetched detail pages (K1/K3).
+
+    Joins the payload table late (semi-join pushdown, broadcast-back),
+    then decodes each image inside Arrow batches, recomputes the
+    perceptual hash from decoded pixels, and (optionally) re-encodes —
+    simulating the download+store transcode the reference's image
+    pipeline performs. The emitted bytes must still satisfy the
+    PSNR>=40dB invariant vs the source pixels (lossless for PNG).
+    """
+    keys = ok_tier1.select(F.col("image_id").alias("_iid")).where(F.col("_iid").isNotNull())
+    payload = image_caption.join(
+        F.broadcast(keys), image_caption["image_id"] == F.col("_iid"), "leftsemi"
+    )
+    joined = ok_tier1.select("url", "image_id", "position").join(
+        F.broadcast(payload), "image_id", "inner"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes, out_phash, ok_flags = [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(data))
+                    out_phash.append(phash64(px))
+                    out_bytes.append(encode_image(px, fmt) if reencode else bytes(data))
+                    ok_flags.append(True)
+                except Exception:
+                    out_phash.append(0)
+                    out_bytes.append(b"")
+                    ok_flags.append(False)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "round": round_no,
+                    "image_id": pdf["image_id"],
+                    "bytes": out_bytes,
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "fmt": pdf["fmt"],
+                    "caption": pdf["caption"],
+                    "phash": out_phash,
+                    "position": pdf["position"],
+                    "decode_ok": ok_flags,
+                }
+            )
+
+    return joined.mapInPandas(_decode, _PAYLOAD_SCHEMA)

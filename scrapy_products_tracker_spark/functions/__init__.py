@@ -1,0 +1,23 @@
+from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
+from .urls import (
+    canonicalize_series,
+    canonicalize_udf,
+    canonicalize_url,
+    domain_of,
+    domain_of_str,
+    path_of_str,
+)
+
+__all__ = [
+    "bloom_hash_cols",
+    "murmur3_32",
+    "murmur3_col",
+    "murmur3_str",
+    "url_hash_col",
+    "canonicalize_series",
+    "canonicalize_udf",
+    "canonicalize_url",
+    "domain_of",
+    "domain_of_str",
+    "path_of_str",
+]

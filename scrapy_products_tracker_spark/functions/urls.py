@@ -1,0 +1,111 @@
+"""URL canonicalization + domain extraction (vectorized).
+
+The reference's canonicalization is minimal: domain via ``furl``
+(utils/read_csv.py:102-108), image-URL cleanup ``split('?')[0]``
+(viking_detail_page_spider.py:96-100), ``response.urljoin``
+(quill_category_spider.py:87). At 10^10-URL scale the seen-set is only
+as good as its canonical form, so this module defines one explicit
+canonicalization used everywhere (engine, oracle, tests):
+
+1. strip surrounding whitespace and the fragment,
+2. lowercase scheme and host,
+3. drop default ports (:80 http, :443 https),
+4. drop tracking query params (utm_*, fbclid, gclid, ref, mc_cid,
+   mc_eid) and sort the remaining params byte-wise,
+5. empty path -> '/',
+6. drop a trailing '?' left by an emptied query.
+
+``canonicalize_series`` is the Arrow-batched kernel used from Spark
+(pandas string vector ops; the query-param sort touches only rows that
+actually contain '?'). ``canonicalize_url`` is the scalar twin for the
+pure-Python oracle; both are property-tested for agreement.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TRACKING = re.compile(r"^(utm_[a-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)=", re.IGNORECASE)
+_SPLIT = re.compile(r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<rest>[^#]*)")
+
+
+def _canon_query(query: str) -> str:
+    parts = [p for p in query.split("&") if p and not _TRACKING.match(p)]
+    parts.sort()
+    return "&".join(parts)
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Scalar canonicalizer (oracle/tests). Returns None for junk."""
+    m = _SPLIT.match(url.strip())
+    if not m:
+        return None
+    scheme = m.group("scheme").lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = m.group("host").lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    rest = m.group("rest")
+    if "?" in rest:
+        path, _, query = rest.partition("?")
+        query = _canon_query(query)
+        rest = f"{path or '/'}?{query}" if query else (path or "/")
+    else:
+        rest = rest or "/"
+    return f"{scheme}://{host}{rest}"
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer over a pandas Series of URL strings."""
+    s = urls.astype("string").str.strip()
+    s = s.str.partition("#")[0]  # strip fragment
+    ext = s.str.extract(_SPLIT)
+    scheme = ext["scheme"].str.lower()
+    scheme = scheme.where(scheme.isin(["http", "https"]))  # crawl http(s) only
+    host = ext["host"].str.lower()
+    host = host.mask((scheme == "http") & host.str.endswith(":80"), host.str.slice(0, -3))
+    host = host.mask((scheme == "https") & host.str.endswith(":443"), host.str.slice(0, -4))
+    rest = ext["rest"].fillna("")
+    has_q = rest.str.contains(r"\?", regex=True, na=False)
+    if has_q.any():
+        # param-sort only the slice that has a query string
+        qrows = rest[has_q]
+        path = qrows.str.partition("?")[0].replace("", "/")
+        query = qrows.str.partition("?")[2].map(_canon_query)
+        fixed = path.where(query == "", path + "?" + query)
+        rest = rest.copy()
+        rest[has_q] = fixed
+    rest = rest.replace("", "/")
+    out = (scheme + "://" + host + rest).astype(object)
+    return out.where(out.notna(), None)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+def domain_of(url: Column) -> Column:
+    """Host extraction, JVM-side (reference: furl(url).netloc on ingest,
+    utils/read_csv.py:102-108). Assumes canonical input (lowercased)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def domain_of_str(url: str) -> str:
+    m = _SPLIT.match(url)
+    host = m.group("host") if m else ""
+    return host.rsplit(":", 1)[0] if ":" in host else host
+
+
+def path_of_str(url: str) -> str:
+    m = _SPLIT.match(url)
+    rest = (m.group("rest") or "/") if m else "/"
+    return rest.partition("?")[0] or "/"

@@ -1,0 +1,112 @@
+"""Per-domain politeness scheduler: robots + budgets + salted top-k.
+
+Reference semantics being replaced (SURVEY.md §2.4-2.5):
+- per-domain task queues (settings.py:79-81) with
+  ``CONCURRENT_REQUESTS_PER_DOMAIN=8`` (settings.py:40-41) -> a
+  per-domain *budget per scheduling round* (``robots.max_per_round``),
+- ``DOWNLOAD_DELAY`` (settings.py:42, delayed_requests_middleware.py)
+  -> a per-domain crawl delay folded into the effective budget
+  (``round_ms // crawl_delay_ms`` fetches fit in one round),
+- chunked task release ``ORDER BY id ASC LIMIT chunk``
+  (rmq/commands/producer.py:196-211) -> a global top-``chunk`` claim by
+  (priority, depth, discovered_seq),
+- robots.txt handling (absent in the reference, required by the north
+  rule) -> broadcast-joined robots cache with disallow-prefix check.
+
+Skew: one hot domain can hold most of the frontier, so a plain
+``Window.partitionBy(domain)`` rank would put the whole domain in one
+task. Selection is therefore two-phase:
+
+  phase 1 (salted, heavy): group by (domain, salt) where salt =
+    pmod(url_hash, n_salts); each salt group emits only its *local*
+    top-B rows via a vectorized pandas kernel. The expensive scan of a
+    hot domain is spread over ``n_salts`` tasks.
+  phase 2 (exact, tiny): survivors are at most n_salts*B per domain;
+    a window rank takes the true global per-domain top-B, then a
+    TakeOrderedAndProject claims the global top-``chunk``.
+
+Phase 1 never changes the result — every true winner is its salt
+group's local winner too — so the salted plan is exactly equivalent to
+the unsalted window (property-tested in tests/test_politeness.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CLAIM_ORDER = ["priority", "depth", "discovered_seq"]  # O1 key (unique via seq)
+DEFAULT_ROUND_MS = 1000
+
+
+def effective_budget_col(round_ms: int = DEFAULT_ROUND_MS):
+    """min(max_per_round, floor(round_ms / crawl_delay_ms)), >= 1 delay cap."""
+    by_delay = F.when(
+        F.col("crawl_delay_ms") > 0,
+        F.greatest(F.lit(1), (F.lit(round_ms) / F.col("crawl_delay_ms")).cast("int")),
+    ).otherwise(F.lit(2**31 - 1))
+    return F.least(F.col("max_per_round"), by_delay)
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (allowed, skipped) by robots disallow
+    prefixes. Robots is tiny (one row per domain) -> broadcast join;
+    the prefix test is a JVM-side higher-order function (no UDF)."""
+    joined = candidates.join(
+        F.broadcast(robots.select("domain", "disallow_prefixes")), "domain", "left"
+    )
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.startswith(path, p),
+    )
+    allowed = joined.filter(~blocked).drop("disallow_prefixes")
+    skipped = joined.filter(blocked).drop("disallow_prefixes")
+    return allowed, skipped
+
+
+def schedule_round(
+    candidates: DataFrame,
+    robots: DataFrame,
+    chunk_size: int,
+    n_salts: int = 8,
+    round_ms: int = DEFAULT_ROUND_MS,
+) -> DataFrame:
+    """Claim this round's batch. Input: PENDING, robots-allowed rows of
+    the frontier (narrow columns only — never the image payload; see
+    SURVEY.md §4 'binary-heavy shuffles'). Output: claimed rows with
+    ``within_round_rank``."""
+    budgets = {
+        r["domain"]: int(r["budget"])
+        for r in robots.select("domain", effective_budget_col(round_ms).alias("budget")).collect()
+    }
+    default_budget = 8  # unmapped-domain bucket (reference unmapped queue, settings.py:81)
+
+    out_schema = candidates.schema
+
+    def kernel(key, pdf):
+        b = budgets.get(key[0], default_budget)
+        if b <= 0:
+            return pdf.iloc[0:0]
+        return pdf.nsmallest(min(b, len(pdf)), CLAIM_ORDER, keep="first").drop(columns=["_salt"])
+
+    salted = candidates.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
+    )
+    survivors = salted.groupBy("domain", "_salt").applyInPandas(
+        kernel, T.StructType([f for f in out_schema.fields])
+    )
+
+    w = Window.partitionBy("domain").orderBy(*[F.col(c) for c in CLAIM_ORDER])
+    budget_df = robots.select("domain", effective_budget_col(round_ms).alias("_budget"))
+    per_domain = (
+        survivors.join(F.broadcast(budget_df), "domain", "left")
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.coalesce(F.col("_budget"), F.lit(default_budget)))
+        .drop("_budget", "_rank")
+    )
+    claimed = per_domain.orderBy(*[F.col(c) for c in CLAIM_ORDER]).limit(chunk_size)
+    wr = Window.orderBy(*[F.col(c) for c in CLAIM_ORDER])
+    return claimed.withColumn("within_round_rank", F.row_number().over(wr).cast("int"))

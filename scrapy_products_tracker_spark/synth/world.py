@@ -1,0 +1,293 @@
+"""Deterministic synthetic crawl world (seeds, pages, payload, robots).
+
+Replaces the network for tests and benchmarks (the reference's tests do
+the same thing at the downloader boundary with a canned-200 middleware,
+tests/rmq_new_tests/conftest.py:15-17). Everything is a pure function
+of the integer seed; schemas match FIXTURES.md and schemas.py.
+
+The graph models the reference's two-tier crawl (category/listing ->
+product/detail, SURVEY.md §2.6):
+
+- some domains paginate via a *sequential* next_url chain (costco /
+  viking / quill / customink style, F2),
+- others expose ``total_items`` on page 1 for *computed* fan-out
+  (zoro ``pages_needed = ceil(total/36)``, F1),
+- ~``dup_frac`` of detail URLs appear in two categories (exercises the
+  seen-set), a slice of outlinks lands under robots-disallowed
+  prefixes, some detail pages 403/timeout (retry path), and one "hot"
+  domain holds most URLs (skew knob for the salted scheduler).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..imaging import encode_image, phash64
+
+PAGINATION_SIZE = 12  # detail links per listing page (reference zoro: 36)
+
+
+@dataclass(frozen=True)
+class WorldSpec:
+    seed: int = 42
+    n_domains: int = 8
+    cats_per_domain: int = 2
+    hot_domain_cats: int = 8  # extra categories on the hot domain (skew)
+    chain_len_max: int = 5  # listing pages per category
+    items_per_page: int = PAGINATION_SIZE
+    dup_frac: float = 0.10
+    err_403_frac: float = 0.03  # permanently forbidden details
+    err_timeout_frac: float = 0.02  # hardware-error details
+    err_404_frac: float = 0.02
+    flaky_frac: float = 0.03  # 403 that clears after 2 attempts
+    robots_block_frac: float = 0.05
+    img_px_min: int = 8
+    img_px_max: int = 48
+    jpeg_frac: float = 0.5
+    crawl_delays_ms: tuple = (0, 0, 100, 250)
+    budgets: tuple = (4, 8, 16)
+    compress_level: int = 1
+
+
+def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
+    h = hashlib.sha256(("|".join(map(str, parts)) + f"|{spec_seed}").encode()).digest()
+    return np.random.default_rng(int.from_bytes(h[:8], "big"))
+
+
+def _image_row(spec: WorldSpec, image_id: str) -> dict:
+    rng = _rng_for(spec.seed, "img", image_id)
+    w = int(rng.integers(spec.img_px_min, spec.img_px_max + 1))
+    h = int(rng.integers(spec.img_px_min, spec.img_px_max + 1))
+    # low-frequency content so PNG compresses and phash is non-degenerate
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        128
+        + 96 * np.sin(xx / max(2, w / 4) + rng.uniform(0, 6.28))
+        + 64 * np.cos(yy / max(2, h / 4) + rng.uniform(0, 6.28))
+    )
+    noise = rng.integers(-24, 25, size=(h, w, 3))
+    pixels = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+    fmt = "jpeg" if rng.random() < spec.jpeg_frac else "png"
+    data = encode_image(pixels, fmt)
+    words = rng.choice(
+        ["ridge", "lamp", "copper", "harbor", "granite", "fern", "signal", "meadow", "prism", "atlas"],
+        size=4,
+        replace=True,
+    )
+    caption = f"{image_id}: " + " ".join(words)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash64(pixels),
+    }
+
+
+@dataclass
+class World:
+    seeds: pd.DataFrame
+    pages: pd.DataFrame
+    image_caption: pd.DataFrame
+    robots: pd.DataFrame
+    spec: WorldSpec = field(default=None)
+
+
+def generate_world(spec: WorldSpec) -> World:
+    rng = _rng_for(spec.seed, "world")
+    domains = [f"d{i}.example.com" for i in range(spec.n_domains - 1)] + ["hot.example.com"]
+
+    robots_rows = []
+    for d in domains:
+        r = _rng_for(spec.seed, "robots", d)
+        robots_rows.append(
+            {
+                "domain": d,
+                "disallow_prefixes": ["/private"],
+                "crawl_delay_ms": int(r.choice(spec.crawl_delays_ms)),
+                "max_per_round": int(r.choice(spec.budgets)),
+            }
+        )
+
+    seeds, pages, detail_urls_by_domain = [], [], {}
+    pid_counter = 0
+    for d in domains:
+        n_cats = spec.cats_per_domain + (spec.hot_domain_cats if d.startswith("hot.") else 0)
+        detail_urls_by_domain[d] = []
+        for c in range(n_cats):
+            r = _rng_for(spec.seed, "cat", d, c)
+            cat_base = f"https://{d}/cat/{c}"
+            chain_len = int(r.integers(1, spec.chain_len_max + 1))
+            computed = bool(r.random() < 0.5)  # F1 vs F2 pagination style
+            seeds.append({"url": cat_base, "tier": 0, "seed_rank": len(seeds)})
+            page_urls = [cat_base] + [f"{cat_base}?page={p}" for p in range(2, chain_len + 1)]
+            for pi, purl in enumerate(page_urls):
+                outlinks = []
+                for s in range(spec.items_per_page):
+                    rr = r.random()
+                    if rr < spec.robots_block_frac:
+                        outlinks.append(f"https://{d}/private/p/{pid_counter}")
+                        pid_counter += 1
+                    elif rr < spec.robots_block_frac + spec.dup_frac and detail_urls_by_domain[d]:
+                        # re-discovery of an existing detail URL (dedup path)
+                        outlinks.append(str(r.choice(detail_urls_by_domain[d])))
+                    else:
+                        u = f"https://{d}/p/{pid_counter}"
+                        pid_counter += 1
+                        outlinks.append(u)
+                        detail_urls_by_domain[d].append(u)
+                pages.append(
+                    {
+                        "url": purl,
+                        "domain": d,
+                        "tier": 0,
+                        "status_code": 200,
+                        "flaky_until": 0,
+                        "next_url": (
+                            None
+                            if computed or pi == len(page_urls) - 1
+                            else page_urls[pi + 1]
+                        ),
+                        "total_items": (
+                            chain_len * spec.items_per_page if computed and pi == 0 else None
+                        ),
+                        "outlinks": outlinks,
+                        "image_id": None,
+                        "latency_ms": int(r.integers(10, 200)),
+                    }
+                )
+
+    # detail pages + payload
+    image_rows, seen_imgs = [], set()
+    for d in domains:
+        for u in detail_urls_by_domain[d]:
+            r = _rng_for(spec.seed, "detail", u)
+            x = r.random()
+            status, flaky = 200, 0
+            if x < spec.err_403_frac:
+                status = 403
+            elif x < spec.err_403_frac + spec.err_timeout_frac:
+                status = -1
+            elif x < spec.err_403_frac + spec.err_timeout_frac + spec.err_404_frac:
+                status = 404
+            elif x < spec.err_403_frac + spec.err_timeout_frac + spec.err_404_frac + spec.flaky_frac:
+                status, flaky = 403, 2  # clears after 2 attempts (X1 retry-success)
+            image_id = "img_" + u.rsplit("/", 1)[1]
+            pages.append(
+                {
+                    "url": u,
+                    "domain": d,
+                    "tier": 1,
+                    "status_code": status,
+                    "flaky_until": flaky,
+                    "next_url": None,
+                    "total_items": None,
+                    "outlinks": [],
+                    "image_id": image_id,
+                    "latency_ms": int(r.integers(10, 200)),
+                }
+            )
+            if image_id not in seen_imgs:
+                seen_imgs.add(image_id)
+                image_rows.append(_image_row(spec, image_id))
+
+    # a couple of detail seeds too (reference has separate product CSVs)
+    for d in domains[:2]:
+        if detail_urls_by_domain[d]:
+            seeds.append({"url": detail_urls_by_domain[d][0], "tier": 1, "seed_rank": len(seeds)})
+
+    return World(
+        seeds=pd.DataFrame(seeds),
+        pages=pd.DataFrame(pages),
+        image_caption=pd.DataFrame(image_rows),
+        robots=pd.DataFrame(robots_rows),
+        spec=spec,
+    )
+
+
+def _arrow_schemas():
+    """Explicit arrow schemas — pyarrow must not type-infer (an all-None
+    next_url column would otherwise land as int and poison unions)."""
+    import pyarrow as pa
+
+    return {
+        "seeds": pa.schema(
+            [("url", pa.string()), ("tier", pa.int32()), ("seed_rank", pa.int64())]
+        ),
+        "pages": pa.schema(
+            [
+                ("url", pa.string()),
+                ("domain", pa.string()),
+                ("tier", pa.int32()),
+                ("status_code", pa.int32()),
+                ("flaky_until", pa.int32()),
+                ("next_url", pa.string()),
+                ("total_items", pa.int32()),
+                ("outlinks", pa.list_(pa.string())),
+                ("image_id", pa.string()),
+                ("latency_ms", pa.int32()),
+            ]
+        ),
+        "image_caption": pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("bytes", pa.binary()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("caption", pa.string()),
+                ("phash", pa.int64()),
+            ]
+        ),
+        "robots": pa.schema(
+            [
+                ("domain", pa.string()),
+                ("disallow_prefixes", pa.list_(pa.string())),
+                ("crawl_delay_ms", pa.int64()),
+                ("max_per_round", pa.int32()),
+            ]
+        ),
+    }
+
+
+def write_world(world: World, out_dir: str) -> dict[str, str]:
+    """Write the four world tables as parquet; returns name->path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    schemas = _arrow_schemas()
+    out = {}
+    p = Path(out_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    for name, df in [
+        ("seeds", world.seeds),
+        ("pages", world.pages),
+        ("image_caption", world.image_caption),
+        ("robots", world.robots),
+    ]:
+        path = str(p / f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, schema=schemas[name], preserve_index=False), path)
+        out[name] = path
+    return out
+
+
+# FIXTURES.md §7 scale presets
+T1_SMOKE = WorldSpec(seed=42, n_domains=4, cats_per_domain=1, hot_domain_cats=2, chain_len_max=3)
+T2_CORRECTNESS = WorldSpec(seed=42, n_domains=8, cats_per_domain=4, hot_domain_cats=24, chain_len_max=6)
+BENCH = WorldSpec(
+    seed=42,
+    n_domains=24,
+    cats_per_domain=24,
+    hot_domain_cats=600,
+    chain_len_max=12,
+    img_px_max=32,
+    budgets=(64, 128, 256),
+    crawl_delays_ms=(0, 0, 0, 0),
+)

@@ -1,0 +1,53 @@
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrapy_products_tracker_spark.functions import (
+    canonicalize_series,
+    canonicalize_url,
+    domain_of_str,
+    path_of_str,
+)
+
+CASES = {
+    "HTTP://Example.COM:80/a/b?utm_source=x&z=1&a=2#frag": "http://example.com/a/b?a=2&z=1",
+    "https://site.com:443": "https://site.com/",
+    "https://site.com/path/?b=2&a=1": "https://site.com/path/?a=1&b=2",
+    " https://h.com/x?utm_campaign=1 ": "https://h.com/x",
+    "https://h.com/x?": "https://h.com/x",
+    "https://h.com/x?fbclid=abc&q=1": "https://h.com/x?q=1",
+    "notaurl": None,
+    "": None,
+}
+
+
+def test_scalar_cases():
+    for raw, want in CASES.items():
+        assert canonicalize_url(raw) == want, raw
+
+
+def test_idempotent():
+    for raw, want in CASES.items():
+        if want is not None:
+            assert canonicalize_url(want) == want
+
+
+_url_alphabet = st.text(
+    alphabet="abcXYZ019-._~/?&=#:%", min_size=0, max_size=30
+)
+
+
+@given(st.lists(_url_alphabet, min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_vector_matches_scalar(suffixes):
+    urls = [f"https://Ex.com{('/' + s) if not s.startswith('/') else s}" for s in suffixes]
+    urls += ["junk", "HTTP://A.B:80/?z=1&a=2"]
+    got = list(canonicalize_series(pd.Series(urls, dtype=object)))
+    want = [canonicalize_url(u) for u in urls]
+    assert got == want
+
+
+def test_domain_and_path_helpers():
+    assert domain_of_str("https://a.b.c:8080/x/y?q=1") == "a.b.c"
+    assert path_of_str("https://a.b.c/x/y?q=1") == "/x/y"
+    assert path_of_str("https://a.b.c") == "/"
