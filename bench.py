@@ -1,0 +1,157 @@
+"""Benchmark harness: headline queries + crawl throughput, one JSON line.
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1). The headline metric is the north rule's
+"frontier URLs scheduled+fetched per second", measured by running the
+full crawl loop (claim -> politeness schedule -> fetch -> parse ->
+dedup -> snapshot commit) on the deterministic synthetic world; each
+``queries()`` entry below is also timed individually (forced with a
+noop-format write so nothing funnels through the driver).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` and recorded in BASELINE.md §3 — this file
+stays single-JVM so the driver's per-round run is cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+
+HEADLINE = [
+    "frontier_claim_topk",
+    "politeness_budget_rank",
+    "seed_ingest_dedup",
+    "pagination_fanout",
+    "position_ranking",
+    "status_derivation",
+    "history_export_join",
+    "session_export_join",
+    "dedup_exact_text",
+    "token_count_stats",
+    "quality_scores",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _force(df: DataFrame) -> None:
+    """Materialize every row executor-side (no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _cached_world(spec) -> dict[str, str]:
+    """Generate-once world cache: the BENCH world is a pure function of
+    its spec, and generating ~40k images driver-side costs ~90 s, so it
+    is cached under /tmp keyed by the spec dataclass repr."""
+    import hashlib
+
+    key = hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"spark_graft_world_{key}")
+    done = os.path.join(cache, "_DONE")
+    names = ["seeds", "pages", "image_caption", "robots"]
+    if os.path.exists(done):
+        return {n: os.path.join(cache, f"{n}.parquet") for n in names}
+    from scrapy_products_tracker_spark.synth import generate_world, write_world
+
+    tmp = cache + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_world(generate_world(spec), tmp)
+    shutil.rmtree(cache, ignore_errors=True)
+    os.replace(tmp, cache)
+    open(done, "w").close()
+    return {n: os.path.join(cache, f"{n}.parquet") for n in names}
+
+
+def bench_crawl(spark, world_spec=None) -> dict:
+    """Full crawl loop on the BENCH world; returns URLs/s and counters."""
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots
+    from scrapy_products_tracker_spark.synth import BENCH
+
+    spec = world_spec or BENCH
+    paths = _cached_world(spec)
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        store = SnapshotParquetStore(tmp + "/store")
+        drv = CrawlDriver(
+            spark,
+            store,
+            spark.read.parquet(paths["pages"]),
+            spark.read.parquet(paths["image_caption"]),
+            load_robots(spark, paths["robots"]),
+            CrawlConfig(
+                chunk_size=25_000, n_salts=8, reencode_payload=False, inline_retries=True
+            ),
+        )
+        drv.seed(spark.read.parquet(paths["seeds"]))
+        t0 = time.monotonic()
+        meta = drv.run()
+        wall = time.monotonic() - t0
+        c = meta["counters"]
+        scheduled_fetched = c["urls_fetched"] + c["urls_failed_hw"] + c["urls_failed_logic"]
+        return {
+            "crawl_wall_s": round(wall, 3),
+            "urls_per_s": round(scheduled_fetched / wall, 2),
+            "rounds": meta["round"],
+            "counters": c,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    from scrapy_products_tracker_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/readers so per-query timings measure the queries
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    queries = bench_queries(spark, sf_dir)
+    crawl = bench_crawl(spark)
+
+    total = round(sum(queries.values()) + crawl["crawl_wall_s"], 3)
+    result = {
+        "metric": "total headline-query + crawl-loop wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "crawl": crawl,
+        "north_metric": "frontier URLs scheduled+fetched per second (full crawl loop, synthetic BENCH world)",
+        "north_value": crawl["urls_per_s"],
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,11 +18,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..dedup.bloom import BloomShards, build_bloom, bloom_filter_candidates
+from ..dedup.bloom import BloomShards, build_bloom, bloom_mark_candidates
 from ..fetchers.synthetic import FAIL_HW, FAIL_LOGIC, OK, RETRY, classify_fetch, fetch_payloads, resolve_pages
 from ..functions.hashing import url_hash_col
 from ..functions.urls import canonicalize_udf, domain_of
-from ..politeness.scheduler import CLAIM_ORDER, apply_robots, schedule_round
+from ..politeness.scheduler import CLAIM_ORDER, collect_budgets, mark_robots, schedule_round
 from ..schemas import ERROR, HARDWARE_ERROR, PENDING, SKIPPED_ROBOTS, SUCCESS
 from ..synth.world import PAGINATION_SIZE
 from .parse import discover_children, encode_seq, position_of
@@ -42,6 +42,12 @@ COUNTER_KEYS = [
 class CrawlConfig:
     chunk_size: int = 500  # reference pm2 production chunk (pm2.config.js)
     n_salts: int = 8
+    # partitions for the post-claim fetch/parse/decode stages. The claim
+    # itself ends in a single-partition top-k (TakeOrderedAndProject +
+    # rank window over <= chunk_size rows); without an explicit
+    # repartition every downstream stage would inherit that single
+    # partition and run serially. 0 = spark.sparkContext.defaultParallelism.
+    fetch_partitions: int = 0
     round_ms: int = 1000
     session: int = 1
     pagination_size: int = PAGINATION_SIZE
@@ -50,6 +56,21 @@ class CrawlConfig:
     bloom_k: int = 5
     max_rounds: int = 10_000
     reencode_payload: bool = True
+    # below this many inserts the round's Bloom delta is applied driver-
+    # side from collected (h1,h2) pairs — one tiny job instead of a
+    # distributed build; above it the distributed applyInPandas build
+    # runs (the 10^10-scale path, same bit layout either way)
+    bloom_driver_update_max: int = 200_000
+    # resolve transient failures (403/timeout) by re-fetching INSIDE the
+    # round's plan (unrolled to MAX_ATTEMPTS) instead of re-claiming in
+    # later rounds. This is the reference's retry-middleware semantic
+    # (middlewares/retry_middleware.py:29-38 re-schedules the copied
+    # request in the SAME crawl immediately); the re-claim-next-round
+    # model matches its reply-consumer path (status reset -> later
+    # producer cycle). Parity fixtures use the re-claim model (off);
+    # the throughput bench turns it on to avoid near-empty retry-tail
+    # rounds that cost a full round's fixed overhead for a few URLs.
+    inline_retries: bool = False
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -69,6 +90,9 @@ class CrawlDriver:
         self.image_caption = image_caption
         self.robots = robots
         self.cfg = config or CrawlConfig()
+        # robots is static for a session: materialize budgets once, not
+        # once per round (was a collect() job every round)
+        self._budgets = collect_budgets(robots, self.cfg.round_ms)
 
     # ------------------------------------------------------------------
     def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
@@ -90,11 +114,13 @@ class CrawlDriver:
     def _robots_status(self, df: DataFrame) -> DataFrame:
         """Tag rows PENDING or SKIPPED_ROBOTS at insert time (P5): the
         reference would enqueue and crawl them; the north rule counts
-        and never fetches them."""
-        allowed, skipped = apply_robots(df.withColumn("domain", domain_of(F.col("url"))), self.robots)
-        return allowed.withColumn("_st", F.lit(PENDING)).unionByName(
-            skipped.withColumn("_st", F.lit(SKIPPED_ROBOTS))
-        )
+        and never fetches them. Single-pass mark (no branch-and-union:
+        that would execute the upstream dedup subtree twice per job)."""
+        marked = mark_robots(df.withColumn("domain", domain_of(F.col("url"))), self.robots)
+        return marked.withColumn(
+            "_st",
+            F.when(F.col("_robots_blocked"), F.lit(SKIPPED_ROBOTS)).otherwise(F.lit(PENDING)),
+        ).drop("_robots_blocked")
 
     def seed(self, seeds: DataFrame) -> int:
         """Ingest the seed list (S1-S4): canonicalize, dedup, robots-tag,
@@ -141,7 +167,16 @@ class CrawlDriver:
     # ------------------------------------------------------------------
     def run_round(self) -> dict | None:
         """Execute one scheduling round; returns round meta, or None when
-        no claimable work remains (frontier drained)."""
+        no claimable work remains (frontier drained).
+
+        Job economy: one round costs exactly one *stats* job (a union of
+        tagged 1-column projections over the persisted claim/fetch/
+        expand/item frames, aggregated in a single pass — replaces six
+        separate count()/collect() actions), plus the snapshot writes
+        and a tiny Bloom-delta collect. At 10^10-URL scale the per-round
+        fixed cost is what bounds scheduler throughput, so the loop is
+        designed around action count, not row count.
+        """
         manifest = self.store.read_manifest()
         if manifest is None:
             raise RuntimeError("seed() first")
@@ -154,34 +189,67 @@ class CrawlDriver:
         narrow = pending.select(
             "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
         )
+        # upper bound on PENDING rows from the previous snapshot's
+        # counters (retry rows stay pending and are never terminal-
+        # counted, so they remain inside this bound)
+        pending_hint = max(
+            0,
+            counters["urls_seen"]
+            - counters["urls_fetched"]
+            - counters["urls_failed_hw"]
+            - counters["urls_failed_logic"]
+            - counters["urls_skipped_robots"],
+        )
         claimed = schedule_round(
-            narrow, self.robots, self.cfg.chunk_size, self.cfg.n_salts, self.cfg.round_ms
-        ).persist()
-        if claimed.limit(1).count() == 0:
-            claimed.unpersist()
-            return None
+            narrow,
+            self.robots,
+            self.cfg.chunk_size,
+            self.cfg.n_salts,
+            self.cfg.round_ms,
+            budgets=self._budgets,
+            pending_hint=pending_hint,
+        )
+        # spread the claimed batch back across the cluster: the claim's
+        # final top-k is single-partition, and fetch/parse/decode must
+        # not inherit that (hash on url_hash keeps domains mixed, which
+        # is what we want for fetch parallelism — politeness was already
+        # enforced at claim time)
+        n_fetch_parts = self.cfg.fetch_partitions or self.spark.sparkContext.defaultParallelism
+        claimed = claimed.repartition(n_fetch_parts, F.col("url_hash"))
 
-        # fetch + classify (S6/S7, X1-X3)
-        fx = classify_fetch(resolve_pages(claimed, self.pages)).persist()
+        # fetch + classify (S6/S7, X1-X3); fx carries every claimed row.
+        # inline_retries resolves transient failures inside the fetch
+        # call (fetch-layer retry, see classify_fetch) — no RETRY rows,
+        # no near-empty retry-tail rounds.
+        fx = classify_fetch(
+            resolve_pages(claimed, self.pages), inline_retries=self.cfg.inline_retries
+        ).persist()
+        cached: list[DataFrame] = [fx]
 
         # --- frontier expansion (F1-F5) --------------------------------
         ok_t0 = fx.filter((F.col("outcome") == OK) & (F.col("tier") == 0))
-        children = discover_children(ok_t0, round_no, self.cfg.pagination_size)
-        children = (
-            children.withColumn("url", canonicalize_udf(F.col("url")))
+        children_raw = (
+            discover_children(ok_t0, round_no, self.cfg.pagination_size)
+            .withColumn("url", canonicalize_udf(F.col("url")))
             .filter(F.col("url").isNotNull())
             .persist()
         )
-        n_children_raw = children.count()  # every discovery occurrence (dedup accounting)
         # within-batch first-discovery-wins (D2)
         w = Window.partitionBy("url").orderBy("discovered_seq")
         children = (
-            children.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+            children_raw.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
         # against-frontier dedup: Bloom pre-filter + exact anti-join (D1)
+        cached.append(children_raw)
         if bloom is not None:
-            unseen = bloom_filter_candidates(children, bloom, "url", keep="unseen")
-            maybe = bloom_filter_candidates(children, bloom, "url", keep="maybe")
+            # probe once, filter twice (a probe per branch would run the
+            # canonicalize+window subtree and the probe kernel 2x)
+            probed = bloom_mark_candidates(children, bloom, "url").persist()
+            cached.append(probed)
+            unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             rescued = maybe.join(
                 frontier.select(F.col("url").alias("_seen")),
                 maybe["url"] == F.col("_seen"),
@@ -198,8 +266,7 @@ class CrawlDriver:
         inserts = self._frontier_row_select(
             tagged, status_col=F.col("_st"), source="outlink", round_no=round_no
         ).persist()
-        n_inserted = inserts.count()
-        n_skipped = inserts.filter(F.col("status") == SKIPPED_ROBOTS).count()
+        cached.append(inserts)
 
         # --- items (K1/K3/K6): payload join + decode, late and narrow ---
         ok_t1 = fx.filter((F.col("outcome") == OK) & (F.col("tier") == 1)).withColumn(
@@ -208,7 +275,47 @@ class CrawlDriver:
         items = fetch_payloads(
             ok_t1, self.image_caption, round_no, self.cfg.reencode_payload
         ).persist()
-        n_items = items.count()
+        cached.append(items)
+
+        # --- ONE stats job: counters (A1-A4) + per-domain lineage -------
+        def _tag(df, key_col):
+            return df.select(key_col.alias("k"))
+
+        stats_df = (
+            _tag(fx, F.concat_ws("|", F.lit("fx"), F.col("outcome"), F.col("domain")))
+            .unionAll(_tag(children_raw, F.lit("raw")))
+            .unionAll(
+                _tag(
+                    inserts,
+                    F.when(F.col("status") == SKIPPED_ROBOTS, F.lit("ins_skip")).otherwise(
+                        F.lit("ins")
+                    ),
+                )
+            )
+            .unionAll(_tag(items, F.lit("item")))
+        )
+        import time as _time
+
+        _t0 = _time.monotonic()
+        tallies = {r["k"]: r["count"] for r in stats_df.groupBy("k").count().collect()}
+        t_stats = _time.monotonic() - _t0
+
+        by_outcome: dict[str, int] = {}
+        lineage: dict[str, int] = {}
+        for k, n in tallies.items():
+            if k.startswith("fx|"):
+                _, outcome, domain = k.split("|", 2)
+                by_outcome[outcome] = by_outcome.get(outcome, 0) + n
+                lineage[domain] = lineage.get(domain, 0) + n
+        n_claimed = sum(by_outcome.values())
+        if n_claimed == 0:
+            for df in cached:
+                df.unpersist()
+            return None
+        n_children_raw = tallies.get("raw", 0)
+        n_inserted = tallies.get("ins", 0) + tallies.get("ins_skip", 0)
+        n_skipped = tallies.get("ins_skip", 0)
+        n_items = tallies.get("item", 0)
 
         # --- status state machine (A3/K2/K7) ----------------------------
         new_status = (
@@ -230,11 +337,6 @@ class CrawlDriver:
 
         new_frontier = merge_inserts(merge_status_updates(merged, updates), inserts)
 
-        # --- counters (A1-A4) + per-domain lineage ----------------------
-        by_outcome = {r["outcome"]: r["count"] for r in fx.groupBy("outcome").count().collect()}
-        lineage = {
-            r["domain"]: r["count"] for r in claimed.groupBy("domain").count().collect()
-        }
         counters["urls_fetched"] += by_outcome.get(OK, 0)
         counters["urls_failed_hw"] += by_outcome.get(FAIL_HW, 0)
         counters["urls_failed_logic"] += by_outcome.get(FAIL_LOGIC, 0)
@@ -243,7 +345,7 @@ class CrawlDriver:
         counters["items_emitted"] += n_items
         counters["urls_seen"] += n_inserted
 
-        crawl_order = claimed.select(
+        crawl_order = fx.select(
             F.lit(round_no).cast("int").alias("round"),
             "url",
             "domain",
@@ -251,16 +353,30 @@ class CrawlDriver:
         )
 
         # --- seen-set maintenance: add this round's inserts -------------
+        _t0 = _time.monotonic()
         if bloom is not None and n_inserted:
-            delta = build_bloom(
-                inserts, "url", bloom.n_buckets, bloom.bits, bloom.k
-            )
-            for b, arr in delta.arrays.items():
-                if b in bloom.arrays:
-                    bloom.arrays[b] = bloom.arrays[b] | arr
-                else:
-                    bloom.arrays[b] = arr
+            if n_inserted <= self.cfg.bloom_driver_update_max:
+                # small delta: collect JVM-computed (h1,h2) pairs and set
+                # bits driver-side (numpy) — avoids a shuffle job
+                from ..dedup.bloom import with_bloom_hashes
 
+                hpdf = with_bloom_hashes(inserts, "url").select("_h1", "_h2").toPandas()
+                h1 = hpdf["_h1"].to_numpy()
+                buckets = (h1.view("uint64") % bloom.n_buckets).astype("int64")
+                import numpy as np
+
+                for b in np.unique(buckets):
+                    m = buckets == b
+                    bloom.add_pdf(int(b), h1[m], hpdf["_h2"].to_numpy()[m])
+            else:
+                delta = build_bloom(inserts, "url", bloom.n_buckets, bloom.bits, bloom.k)
+                for b, arr in delta.arrays.items():
+                    if b in bloom.arrays:
+                        bloom.arrays[b] = bloom.arrays[b] | arr
+                    else:
+                        bloom.arrays[b] = arr
+
+        t_bloom = _time.monotonic() - _t0
         meta = {
             "round": round_no,
             "session": self.cfg.session,
@@ -269,6 +385,7 @@ class CrawlDriver:
             "claimed": by_outcome,
             **self.cfg.extra_meta,
         }
+        _t0 = _time.monotonic()
         self.store.commit(
             new_frontier,
             new_results=items if n_items else None,
@@ -276,10 +393,13 @@ class CrawlDriver:
             bloom=bloom,
             meta=meta,
         )
-        claimed.unpersist()
-        fx.unpersist()
-        inserts.unpersist()
-        items.unpersist()
+        meta["timings"] = {
+            "stats_s": round(t_stats, 2),
+            "bloom_s": round(t_bloom, 2),
+            "commit_s": round(_time.monotonic() - _t0, 2),
+        }
+        for df in cached:
+            df.unpersist()
         return meta
 
     def run(self, max_rounds: int | None = None) -> dict:

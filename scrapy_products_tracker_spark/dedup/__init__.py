@@ -1,10 +1,18 @@
-from .bloom import BloomShards, bloom_filter_candidates, build_bloom, optimal_params, with_bloom_hashes
+from .bloom import (
+    BloomShards,
+    bloom_filter_candidates,
+    bloom_mark_candidates,
+    build_bloom,
+    optimal_params,
+    with_bloom_hashes,
+)
 from .cuckoo import CuckooFilter
 from .exact import dedup_against_frontier, dedup_within_batch
 
 __all__ = [
     "BloomShards",
     "bloom_filter_candidates",
+    "bloom_mark_candidates",
     "build_bloom",
     "optimal_params",
     "with_bloom_hashes",

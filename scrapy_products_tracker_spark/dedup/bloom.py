@@ -153,16 +153,17 @@ def build_bloom(df: DataFrame, url_col: str, n_buckets: int, bits: int, k: int) 
     return bs
 
 
-def bloom_filter_candidates(
-    df: DataFrame, bloom: BloomShards, url_col: str = "url", keep: str = "unseen"
-) -> DataFrame:
-    """Mark candidate rows against the seen-set shards.
+def bloom_mark_candidates(df: DataFrame, bloom: BloomShards, url_col: str = "url") -> DataFrame:
+    """Single-pass probe: returns df + ``_maybe_seen`` boolean column.
+
+    Callers that need both the unseen and the maybe-seen branch should
+    probe ONCE with this and filter the result twice — two
+    ``bloom_filter_candidates`` calls would execute the whole upstream
+    subtree (and the probe) twice inside one job.
 
     Shards travel to executors via closure broadcast (at real scale:
     ``spark.sparkContext.broadcast`` of the shard dict, or a shard-
-    co-partitioned join). Returns df minus hash scratch columns, with
-    Bloom-negative rows (definitely unseen) when keep='unseen', or the
-    'maybe seen' rows for exact confirmation when keep='maybe'.
+    co-partitioned join).
     """
     arrays = bloom.arrays
     bits, k, nb = bloom.bits, bloom.k, bloom.n_buckets
@@ -188,6 +189,15 @@ def bloom_filter_candidates(
     schema = T.StructType(
         hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())]
     )
-    probed = hashed.mapInPandas(_probe, schema)
+    return hashed.mapInPandas(_probe, schema).drop("_h1", "_h2")
+
+
+def bloom_filter_candidates(
+    df: DataFrame, bloom: BloomShards, url_col: str = "url", keep: str = "unseen"
+) -> DataFrame:
+    """Filter form of the probe: Bloom-negative rows (definitely unseen)
+    when keep='unseen', or the 'maybe seen' rows for exact confirmation
+    when keep='maybe'."""
+    probed = bloom_mark_candidates(df, bloom, url_col)
     cond = F.col("_maybe_seen") if keep == "maybe" else ~F.col("_maybe_seen")
-    return probed.filter(cond).drop("_h1", "_h2", "_maybe_seen")
+    return probed.filter(cond).drop("_maybe_seen")

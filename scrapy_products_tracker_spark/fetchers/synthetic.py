@@ -51,9 +51,45 @@ def resolve_pages(claimed: DataFrame, pages: DataFrame) -> DataFrame:
     return claimed.join(F.broadcast(hit.drop("domain", "tier")), "url", "left")
 
 
-def classify_fetch(resolved: DataFrame) -> DataFrame:
+def classify_fetch(resolved: DataFrame, inline_retries: bool = False) -> DataFrame:
     """Add ``eff_status`` (flaky 403s clear after ``flaky_until``
-    attempts — the retry-then-success path, X1) and ``outcome``."""
+    attempts — the retry-then-success path, X1) and ``outcome``.
+
+    ``inline_retries=False`` (parity model): one attempt per claim;
+    transient failures come back ``RETRY`` and re-enter the frontier for
+    a later round (the reference's reply-consumer path).
+
+    ``inline_retries=True`` (fetch-layer model): retries happen INSIDE
+    the fetch call, the way the reference's retry middleware immediately
+    re-schedules a copied request in the same crawl
+    (middlewares/retry_middleware.py:29-38, budget RETRY_TIMES=5). A
+    real HTTP fetcher loops in the UDF; the synthetic fetcher resolves
+    the loop in closed form (a flaky 403 clears at attempt
+    ``flaky_until``; everything else exhausts the budget), so each URL
+    reaches its final outcome in one pass, with ``attempt`` recording
+    the attempts actually consumed. No ``RETRY`` rows are emitted.
+    """
+    if inline_retries:
+        raw = F.coalesce(F.col("status_code"), F.lit(-1))
+        clears = (
+            (raw == 403) & (F.col("flaky_until") > 0) & (F.col("flaky_until") <= MAX_ATTEMPTS - 1)
+        )
+        eff = F.when(clears, F.lit(200)).otherwise(raw)
+        outcome = (
+            F.when(eff == 200, F.lit(OK))
+            .when(eff == -1, F.lit(FAIL_HW))
+            .otherwise(F.lit(FAIL_LOGIC))
+        )
+        attempt = (
+            F.when(clears, F.greatest(F.col("attempt"), F.col("flaky_until")))
+            .when(eff.isin(403, -1), F.lit(MAX_ATTEMPTS - 1))  # exhausted the budget
+            .otherwise(F.col("attempt"))
+        )
+        return (
+            resolved.withColumn("eff_status", eff)
+            .withColumn("outcome", outcome)
+            .withColumn("attempt", attempt)
+        )
     eff = (
         F.when(F.col("status_code").isNull(), F.lit(-1))  # unresolvable = hardware class
         .when(

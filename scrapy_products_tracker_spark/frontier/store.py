@@ -104,18 +104,39 @@ class SnapshotParquetStore:
         prev = self.read_manifest()
         version = (prev["version"] + 1) if prev else 1
         fdir = f"data/frontier/v{version}"
-        frontier.write.mode("overwrite").parquet(str(self.root / fdir))
 
+        # the three table writes are independent Spark jobs — submit them
+        # concurrently from driver threads (Spark's scheduler interleaves
+        # them across executors). The commit point is still the single
+        # pointer flip below, after ALL writes land, so atomicity is
+        # unchanged; this just removes two serial job latencies per round.
+        jobs = [(frontier, fdir)]
         results = list(prev.get("results", [])) if prev else []
         if new_results is not None:
             rdir = f"data/results/v{version}"
-            new_results.write.mode("overwrite").parquet(str(self.root / rdir))
             results.append(rdir)
+            jobs.append((new_results, rdir))
         order = list(prev.get("crawl_order", [])) if prev else []
         if new_crawl_order is not None:
             odir = f"data/crawl_order/v{version}"
-            new_crawl_order.write.mode("overwrite").parquet(str(self.root / odir))
             order.append(odir)
+            jobs.append((new_crawl_order, odir))
+        if len(jobs) == 1:
+            frontier.write.mode("overwrite").parquet(str(self.root / fdir))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                futs = [
+                    pool.submit(
+                        lambda df, d: df.write.mode("overwrite").parquet(str(self.root / d)),
+                        df,
+                        d,
+                    )
+                    for df, d in jobs
+                ]
+                for f in futs:
+                    f.result()
         bloom_path = prev.get("bloom") if prev else None
         if bloom is not None:
             bloom_path = f"data/bloom/v{version}.parquet"

@@ -1,4 +1,19 @@
 from .robots import load_robots
-from .scheduler import CLAIM_ORDER, apply_robots, effective_budget_col, schedule_round
+from .scheduler import (
+    CLAIM_ORDER,
+    apply_robots,
+    collect_budgets,
+    effective_budget_col,
+    mark_robots,
+    schedule_round,
+)
 
-__all__ = ["load_robots", "CLAIM_ORDER", "apply_robots", "effective_budget_col", "schedule_round"]
+__all__ = [
+    "load_robots",
+    "CLAIM_ORDER",
+    "apply_robots",
+    "mark_robots",
+    "collect_budgets",
+    "effective_budget_col",
+    "schedule_round",
+]

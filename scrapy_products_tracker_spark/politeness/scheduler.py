@@ -50,10 +50,12 @@ def effective_budget_col(round_ms: int = DEFAULT_ROUND_MS):
     return F.least(F.col("max_per_round"), by_delay)
 
 
-def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split candidates into (allowed, skipped) by robots disallow
-    prefixes. Robots is tiny (one row per domain) -> broadcast join;
-    the prefix test is a JVM-side higher-order function (no UDF)."""
+def mark_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Single-pass robots check: candidates + ``_robots_blocked`` bool.
+    Robots is tiny (one row per domain) -> broadcast join; the prefix
+    test is a JVM-side higher-order function (no UDF). Callers needing
+    both branches should mark once and filter twice — the two-filter
+    split form re-executes the upstream subtree per branch."""
     joined = candidates.join(
         F.broadcast(robots.select("domain", "disallow_prefixes")), "domain", "left"
     )
@@ -62,9 +64,25 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: F.startswith(path, p),
     )
-    allowed = joined.filter(~blocked).drop("disallow_prefixes")
-    skipped = joined.filter(blocked).drop("disallow_prefixes")
+    return joined.withColumn("_robots_blocked", blocked).drop("disallow_prefixes")
+
+
+def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split candidates into (allowed, skipped) by robots disallow
+    prefixes."""
+    marked = mark_robots(candidates, robots)
+    allowed = marked.filter(~F.col("_robots_blocked")).drop("_robots_blocked")
+    skipped = marked.filter(F.col("_robots_blocked")).drop("_robots_blocked")
     return allowed, skipped
+
+
+def collect_budgets(robots: DataFrame, round_ms: int = DEFAULT_ROUND_MS) -> dict[str, int]:
+    """Materialize the per-domain effective budgets once (robots is
+    static within a session; callers cache this across rounds)."""
+    return {
+        r["domain"]: int(r["budget"])
+        for r in robots.select("domain", effective_budget_col(round_ms).alias("budget")).collect()
+    }
 
 
 def schedule_round(
@@ -73,15 +91,24 @@ def schedule_round(
     chunk_size: int,
     n_salts: int = 8,
     round_ms: int = DEFAULT_ROUND_MS,
+    budgets: dict[str, int] | None = None,
+    pending_hint: int | None = None,
 ) -> DataFrame:
     """Claim this round's batch. Input: PENDING, robots-allowed rows of
     the frontier (narrow columns only — never the image payload; see
     SURVEY.md §4 'binary-heavy shuffles'). Output: claimed rows with
-    ``within_round_rank``."""
-    budgets = {
-        r["domain"]: int(r["budget"])
-        for r in robots.select("domain", effective_budget_col(round_ms).alias("budget")).collect()
-    }
+    ``within_round_rank``.
+
+    ``pending_hint``: caller's (upper-bound) estimate of the candidate
+    count, e.g. derived from the previous snapshot's counters. Phase 1
+    (salted local top-B) exists to spread the scan of a HOT domain over
+    ``n_salts`` tasks; when the whole pending set is small it is pure
+    overhead (an extra shuffle + a Python stage), and since phase 1
+    provably never changes the result, it is skipped below a size
+    threshold. Same claim either way — property-tested.
+    """
+    if budgets is None:
+        budgets = collect_budgets(robots, round_ms)
     default_budget = 8  # unmapped-domain bucket (reference unmapped queue, settings.py:81)
 
     out_schema = candidates.schema
@@ -92,12 +119,15 @@ def schedule_round(
             return pdf.iloc[0:0]
         return pdf.nsmallest(min(b, len(pdf)), CLAIM_ORDER, keep="first").drop(columns=["_salt"])
 
-    salted = candidates.withColumn(
-        "_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
-    )
-    survivors = salted.groupBy("domain", "_salt").applyInPandas(
-        kernel, T.StructType([f for f in out_schema.fields])
-    )
+    if pending_hint is not None and pending_hint <= 8 * chunk_size:
+        survivors = candidates  # phase 2 alone is exact; skip the salt shuffle
+    else:
+        salted = candidates.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
+        )
+        survivors = salted.groupBy("domain", "_salt").applyInPandas(
+            kernel, T.StructType([f for f in out_schema.fields])
+        )
 
     w = Window.partitionBy("domain").orderBy(*[F.col(c) for c in CLAIM_ORDER])
     budget_df = robots.select("domain", effective_budget_col(round_ms).alias("_budget"))

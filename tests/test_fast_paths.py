@@ -1,0 +1,102 @@
+"""Equivalence tests for the performance fast paths.
+
+Each fast path must be *semantically invisible*:
+- ``schedule_round(pending_hint=small)`` skips the salted phase-1 scan
+  but must claim exactly the same rows in the same order,
+- ``inline_retries=True`` resolves transient failures inside the fetch
+  call instead of re-claiming across rounds; the terminal frontier
+  state (seen set, per-URL status, fetch/failure counters) must match
+  the re-claim model — only the round structure may differ,
+- the parallel snapshot commit must produce the same manifest contents
+  as the serial one (exercised implicitly by both crawls committing).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+from scrapy_products_tracker_spark.politeness import load_robots, schedule_round
+
+
+def _crawl(spark, t1_paths, **cfg_kw):
+    tmp = tempfile.mkdtemp(prefix="fastpath_")
+    store = SnapshotParquetStore(tmp + "/store")
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        CrawlConfig(chunk_size=50, **cfg_kw),
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    meta = drv.run()
+    return store, meta
+
+
+def test_inline_retries_terminal_state_matches(spark, t1_paths):
+    s_reclaim, m_reclaim = _crawl(spark, t1_paths, inline_retries=False)
+    s_inline, m_inline = _crawl(spark, t1_paths, inline_retries=True)
+
+    # identical seen set
+    a = {r["url"] for r in s_reclaim.read_frontier(spark).select("url").collect()}
+    b = {r["url"] for r in s_inline.read_frontier(spark).select("url").collect()}
+    assert a == b
+
+    # identical terminal per-URL status
+    fa = {(r["url"], r["status"]) for r in s_reclaim.read_frontier(spark).select("url", "status").collect()}
+    fb = {(r["url"], r["status"]) for r in s_inline.read_frontier(spark).select("url", "status").collect()}
+    assert fa == fb
+
+    # identical terminal counters (retry accounting differs only in
+    # round structure, not in outcomes)
+    ca, cb = m_reclaim["counters"], m_inline["counters"]
+    for k in ("urls_seen", "urls_fetched", "urls_failed_hw", "urls_failed_logic",
+              "urls_skipped_robots", "items_emitted"):
+        assert ca[k] == cb[k], k
+
+    # the whole point: inline mode needs fewer rounds (no retry tail)
+    assert m_inline["round"] <= m_reclaim["round"]
+
+
+def test_schedule_round_pending_hint_equivalence(spark):
+    import pandas as pd
+
+    rows = []
+    for d in range(6):
+        for i in range(200 if d == 0 else 30):  # domain 0 is hot
+            rows.append(
+                {
+                    "url": f"https://d{d}.example.com/p/{i}",
+                    "url_hash": (d * 1_000_003 + i * 7919) - 500_000,
+                    "domain": f"d{d}.example.com",
+                    "tier": 1,
+                    "priority": 0,
+                    "depth": i % 4,
+                    "discovered_seq": d * 10_000 + i,
+                    "attempt": 0,
+                }
+            )
+        # ensure deterministic input
+    cands = spark.createDataFrame(pd.DataFrame(rows))
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "domain": [f"d{d}.example.com" for d in range(6)],
+                "disallow_prefixes": [["/private"]] * 6,
+                "crawl_delay_ms": [0] * 6,
+                "max_per_round": [7] * 6,
+            }
+        )
+    )
+    salted = schedule_round(cands, robots, chunk_size=25, n_salts=4, pending_hint=None)
+    fast = schedule_round(cands, robots, chunk_size=25, n_salts=4, pending_hint=len(rows))
+    ka = [tuple(r) for r in salted.orderBy("within_round_rank").collect()]
+    kb = [tuple(r) for r in fast.orderBy("within_round_rank").collect()]
+    assert ka == kb
+    assert len(ka) == 25
