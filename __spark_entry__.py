@@ -267,6 +267,70 @@ def q_binary_payload_stats(spark, sf):  # opaque-binary column plumbing
     )
 
 
+def q_currency_inference(spark, sf):  # E6/E9: currency map + stock normalization
+    o = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    sym = F.when(F.col("o_orderkey") % 2 == 0, F.lit("$")).otherwise(F.lit("£"))
+    price_str = F.concat(sym, cents.cast("string"))
+    currency = F.element_at(
+        F.create_map(F.lit("$"), F.lit("USD"), F.lit("£"), F.lit("GBP")),
+        F.substring(price_str, 1, 1),
+    )
+    in_stock = F.when(F.col("o_orderstatus") == "F", F.lit(0)).otherwise(F.lit(1))
+    return o.groupBy(currency.alias("currency"), in_stock.alias("in_stock")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("total_cents")
+    )
+
+
+def q_embedding_neardup_pairs(spark, sf):  # embedding-cosine near-dup (banded)
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % 20).alias("band"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = SIM.cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf):  # exact char-3-gram Jaccard (banded pairs)
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.lower(F.substring("text", 1, 200)).alias("t")
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(1))),
+            lambda i: F.substr(F.col("t"), i, F.lit(3)),
+        )
+    )
+    g = d.select("doc_id", "source", grams.alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 40),
+    )
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf):  # brute-force cosine top-k (exact ANN baseline)
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
@@ -300,6 +364,55 @@ def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return SIM.ann_topk_lsh(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=8)
+
+
+def q_multimodal_decode_stats(spark, sf):
+    """Binary image column -> decode/inspect inside Arrow batches
+    (mapInPandas): per-format counts, pixel stats, decode success.
+    Exercises the opaque-binary + typed-metadata multimodal path on the
+    deterministic t1 payload table; rows-only check (the codec is not
+    SQL-expressible)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from scrapy_products_tracker_spark.imaging import decode_image
+    from scrapy_products_tracker_spark.synth import T1_SMOKE, generate_world, write_world
+
+    tmp = tempfile.mkdtemp(prefix="mm_decode_")
+    paths = write_world(generate_world(T1_SMOKE), tmp)
+    img = spark.read.parquet(paths["image_caption"])
+
+    schema = T.StructType(
+        [
+            T.StructField("fmt", T.StringType()),
+            T.StructField("decode_ok", T.BooleanType()),
+            T.StructField("px", T.LongType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def _inspect(batches):
+        for pdf in batches:
+            rows = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(data))
+                    rows.append((fmt, True, int(px.shape[0] * px.shape[1]), float(px.mean())))
+                except Exception:
+                    rows.append((fmt, False, 0, 0.0))
+            yield pd.DataFrame(rows, columns=["fmt", "decode_ok", "px", "mean_intensity"])
+
+    return (
+        img.mapInPandas(_inspect, schema)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+            F.sum("px").alias("total_px"),
+            F.round(F.avg("mean_intensity"), 2).alias("avg_intensity"),
+        )
+        .orderBy("fmt")
+    )
 
 
 def q_crawl_end_to_end(spark, sf):
@@ -353,9 +466,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_payload_stats": q_binary_payload_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
+        "currency_inference": q_currency_inference,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_decode_stats": q_multimodal_decode_stats,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -494,6 +611,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents GROUP BY source
+        """,
+        "currency_inference": """
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'USD' ELSE 'GBP' END AS currency,
+                   CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS in_stock,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY 1, 2
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 20 = b.vec_id % 20 AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+        """,
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(t) - 2, 1)),
+                       i -> substring(t, CAST(i AS INT), 3))) AS grams
+              FROM (SELECT doc_id, source, lower(substring(text, 1, 200)) AS t FROM documents)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                         len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b
+              ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 40
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

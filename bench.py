@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_neardup",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
 ]
 
 
@@ -86,7 +88,7 @@ def _cached_world(spec) -> dict[str, str]:
     return {n: os.path.join(cache, f"{n}.parquet") for n in names}
 
 
-def bench_crawl(spark, world_spec=None) -> dict:
+def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
     """Full crawl loop on the BENCH world; returns URLs/s and counters."""
     from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
     from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
@@ -96,6 +98,8 @@ def bench_crawl(spark, world_spec=None) -> dict:
     spec = world_spec or BENCH
     paths = _cached_world(spec)
     tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = dict(chunk_size=25_000, n_salts=8, reencode_payload=False, inline_retries=True)
+    cfg.update(cfg_overrides)
     try:
         store = SnapshotParquetStore(tmp + "/store")
         drv = CrawlDriver(
@@ -104,9 +108,7 @@ def bench_crawl(spark, world_spec=None) -> dict:
             spark.read.parquet(paths["pages"]),
             spark.read.parquet(paths["image_caption"]),
             load_robots(spark, paths["robots"]),
-            CrawlConfig(
-                chunk_size=25_000, n_salts=8, reencode_payload=False, inline_retries=True
-            ),
+            CrawlConfig(**cfg),
         )
         drv.seed(spark.read.parquet(paths["seeds"]))
         t0 = time.monotonic()

@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..dedup.bloom import BloomShards, build_bloom, bloom_mark_candidates
-from ..fetchers.synthetic import FAIL_HW, FAIL_LOGIC, OK, RETRY, classify_fetch, fetch_payloads, resolve_pages
+from ..fetchers.synthetic import (
+    FAIL_HW,
+    FAIL_LOGIC,
+    OK,
+    RETRY,
+    classify_fetch,
+    fetch_payloads,
+    resolve_pages,
+    with_simulated_latency,
+)
 from ..functions.hashing import url_hash_col
 from ..functions.urls import canonicalize_udf, domain_of
 from ..politeness.scheduler import CLAIM_ORDER, collect_budgets, mark_robots, schedule_round
@@ -71,6 +80,10 @@ class CrawlConfig:
     # the throughput bench turns it on to avoid near-empty retry-tail
     # rounds that cost a full round's fixed overhead for a few URLs.
     inline_retries: bool = False
+    # multiply the synthetic world's per-page latency_ms into real wall
+    # time inside the fetch stage (one serial connection per core) —
+    # models a fetch-bound crawl for the scaling benchmark; 0 = off
+    simulate_latency_scale: float = 0.0
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -221,9 +234,10 @@ class CrawlDriver:
         # inline_retries resolves transient failures inside the fetch
         # call (fetch-layer retry, see classify_fetch) — no RETRY rows,
         # no near-empty retry-tail rounds.
-        fx = classify_fetch(
-            resolve_pages(claimed, self.pages), inline_retries=self.cfg.inline_retries
-        ).persist()
+        resolved = resolve_pages(claimed, self.pages)
+        if self.cfg.simulate_latency_scale > 0:
+            resolved = with_simulated_latency(resolved, self.cfg.simulate_latency_scale)
+        fx = classify_fetch(resolved, inline_retries=self.cfg.inline_retries).persist()
         cached: list[DataFrame] = [fx]
 
         # --- frontier expansion (F1-F5) --------------------------------

@@ -51,6 +51,29 @@ def resolve_pages(claimed: DataFrame, pages: DataFrame) -> DataFrame:
     return claimed.join(F.broadcast(hit.drop("domain", "tier")), "url", "left")
 
 
+def with_simulated_latency(resolved: DataFrame, scale: float) -> DataFrame:
+    """Charge each page's ``latency_ms`` as real wall time, serially per
+    partition — i.e. each executor core behaves as one HTTP connection
+    working through its share of the claimed batch (the reference holds
+    16 concurrent connections per spider process, settings.py:40).
+    Under this model crawl throughput scales with total cores exactly
+    the way a fetch-bound crawl scales with concurrent connections,
+    which is what the N -> 4N scaling benchmark measures. ``scale``
+    multiplies the stored latencies (0 disables)."""
+    if scale <= 0:
+        return resolved
+    schema = resolved.schema
+
+    def _sleep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        for pdf in batches:
+            time.sleep(float(pdf["latency_ms"].fillna(0).sum()) * scale / 1000.0)
+            yield pdf
+
+    return resolved.mapInPandas(_sleep, schema)
+
+
 def classify_fetch(resolved: DataFrame, inline_retries: bool = False) -> DataFrame:
     """Add ``eff_status`` (flaky 403s clear after ``flaky_until``
     attempts — the retry-then-success path, X1) and ``outcome``.

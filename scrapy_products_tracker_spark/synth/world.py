@@ -51,6 +51,7 @@ class WorldSpec:
     crawl_delays_ms: tuple = (0, 0, 100, 250)
     budgets: tuple = (4, 8, 16)
     compress_level: int = 1
+    latency_ms: tuple = (10, 200)  # simulated fetch latency range per page
 
 
 def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
@@ -159,7 +160,7 @@ def generate_world(spec: WorldSpec) -> World:
                         ),
                         "outlinks": outlinks,
                         "image_id": None,
-                        "latency_ms": int(r.integers(10, 200)),
+                        "latency_ms": int(r.integers(*spec.latency_ms)),
                     }
                 )
 
@@ -190,7 +191,7 @@ def generate_world(spec: WorldSpec) -> World:
                     "total_items": None,
                     "outlinks": [],
                     "image_id": image_id,
-                    "latency_ms": int(r.integers(10, 200)),
+                    "latency_ms": int(r.integers(*spec.latency_ms)),
                 }
             )
             if image_id not in seen_imgs:
@@ -296,4 +297,23 @@ BENCH = WorldSpec(
     # bench uses the equivalent large-round quotas.
     budgets=(1024, 2048, 4096),
     crawl_delays_ms=(0, 0, 0, 0),
+)
+# Scaling-efficiency world: wide and shallow (2 content rounds), so the
+# crawl is dominated by parallelizable per-URL work (simulated fetch
+# latency + decode) rather than per-round fixed overhead — the sandbox
+# proxy for the 10^10-URL regime, where a round is millions of URLs and
+# the fixed cost amortizes to zero. Throughput then scales with cores
+# the way a fetch-bound crawl scales with concurrent connections.
+SCALING = WorldSpec(
+    seed=42,
+    n_domains=32,
+    cats_per_domain=30,
+    hot_domain_cats=250,
+    chain_len_max=1,
+    items_per_page=30,
+    img_px_min=8,
+    img_px_max=24,
+    budgets=(1 << 20,),
+    crawl_delays_ms=(0,),
+    latency_ms=(80, 120),
 )

