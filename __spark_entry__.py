@@ -349,7 +349,9 @@ def q_embedding_norms(spark, sf):  # vectorized norm via aggregate/zip_with
 
 def q_minhash_lsh_neardup(spark, sf):
     d = _t(spark, sf, "documents")
-    sig = SIM.minhash_signature(d, "doc_id", "text", n_hashes=32, k=3)
+    # persist the signature: banding reads it once (single-pass explode)
+    # and the verification join reads it twice more
+    sig = SIM.minhash_signature(d, "doc_id", "text", n_hashes=32, k=3).persist()
     pairs = SIM.lsh_candidate_pairs(sig, n_hashes=32, bands=8)
     est = SIM.minhash_jaccard_estimate(sig, pairs, n_hashes=32)
     return est.filter(F.col("jaccard_est") >= 0.5).orderBy("doc_a", "doc_b")

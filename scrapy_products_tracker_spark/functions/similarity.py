@@ -52,12 +52,46 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, k: int = 3, seed: int = 42
 ) -> DataFrame:
-    """(id, sig_0..sig_{n-1}) MinHash signature table."""
+    """(id, sig_0..sig_{n-1}) MinHash signature table.
+
+    Shingle hashes are built with posexplode + window ``lead`` over
+    per-token hashes (all whole-stage-codegen operators) rather than
+    array higher-order functions — Spark evaluates HOF lambdas in
+    interpreted mode, which was ~10x slower on real text. The window's
+    hash partitioning by doc is reused by the final groupBy (one
+    shuffle total). Docs shorter than k tokens contribute one shingle
+    (the whole text), matching ``shingles_col`` semantics.
+    """
+    from pyspark.sql import Window
+
     a, b = _perm_params(n_hashes, seed)
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
-    ).select("doc", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("x"))
+    M = F.lit(_MERSENNE31)
+    # per-offset combine coefficients (deterministic, coprime with M)
+    coefs = [pow(1315423911, j + 1, _MERSENNE31) for j in range(k)]
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc"), F.trim(F.col(text_col)).alias("_t"), toks.alias("_toks"))
+
+    long_docs = base.filter(F.size("_toks") >= k).select(
+        "doc", F.posexplode("_toks").alias("pos", "tok")
+    ).select("doc", "pos", F.pmod(F.xxhash64("tok"), M).alias("h"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    # rolling combine of k consecutive token hashes (each term < 2^31,
+    # products reduced mod M before the k-term sum -> no long overflow)
+    terms = [F.pmod(F.col("h") * F.lit(coefs[0]), M)] + [
+        F.pmod(F.lead("h", j).over(w) * F.lit(coefs[j]), M) for j in range(1, k)
+    ]
+    combined = terms[0]
+    for t in terms[1:]:
+        combined = combined + t
+    sh_long = long_docs.select("doc", F.pmod(combined, M).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+
+    sh_short = base.filter(F.size("_toks") < k).select(
+        "doc", F.pmod(F.xxhash64("_t"), M).alias("x")
+    )
+    sh = sh_long.unionByName(sh_short)
     aggs = [
         F.min(F.pmod(F.col("x") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MERSENNE31))).alias(f"sig_{i}")
         for i in range(n_hashes)
@@ -68,21 +102,26 @@ def minhash_signature(
 def lsh_candidate_pairs(
     sig: DataFrame, n_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Docs sharing any LSH band -> (doc_a, doc_b) candidate pairs."""
+    """Docs sharing any LSH band -> (doc_a, doc_b) candidate pairs.
+
+    Bands are emitted in ONE pass over the signature table with
+    ``explode(array(struct...))`` — a union of per-band selects would
+    re-execute the (expensive) signature subtree once per band. Callers
+    should persist ``sig`` if they also verify candidates against it.
+    """
     r = n_hashes // bands
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"sig_{bi * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                F.col("doc"),
-                F.lit(bi).alias("band"),
-                F.xxhash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bh"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                F.concat_ws("_", *[F.col(f"sig_{bi * r + j}").cast("string") for j in range(r)])
+            ).alias("bh"),
         )
-    bands_df = band_rows[0]
-    for extra in band_rows[1:]:
-        bands_df = bands_df.unionByName(extra)
+        for bi in range(bands)
+    ]
+    bands_df = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("doc", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     left = bands_df.select(F.col("doc").alias("doc_a"), "band", "bh")
     right = bands_df.select(F.col("doc").alias("doc_b"), "band", "bh")
     return (

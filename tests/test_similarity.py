@@ -1,0 +1,106 @@
+"""Similarity / near-dup operator tests (MinHash+LSH, SimHash, ANN).
+
+Planted-duplicate design: a corpus of random-word docs plus known
+near-duplicate pairs (small token edits). The pipeline must (a) surface
+every planted pair as an LSH candidate, (b) estimate Jaccard close to
+the exact shingle Jaccard, (c) rank near-dups closer than random pairs
+under SimHash hamming distance, and (d) ANN-LSH must agree with the
+exact brute-force top-k on its own bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions import similarity as SIM
+
+WORDS = [f"w{i}" for i in range(300)]
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _mutate(rng, text, edits=2):
+    toks = text.split()
+    for _ in range(edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+def _exact_shingle_jaccard(a: str, b: str, k=3) -> float:
+    sa = {" ".join(a.split()[i : i + k]) for i in range(len(a.split()) - k + 1)}
+    sb = {" ".join(b.split()[i : i + k]) for i in range(len(b.split()) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": _doc(rng)})
+    # planted near-dups: ids 100+i duplicates of i with 2 token edits
+    for i in range(8):
+        rows.append({"doc_id": 100 + i, "text": _mutate(rng, rows[i]["text"])})
+    return spark.createDataFrame(pd.DataFrame(rows)), rows
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, corpus):
+    df, rows = corpus
+    sig = SIM.minhash_signature(df, "doc_id", "text", n_hashes=32, k=3).persist()
+    pairs = SIM.lsh_candidate_pairs(sig, n_hashes=32, bands=8)
+    est = SIM.minhash_jaccard_estimate(sig, pairs, n_hashes=32)
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in est.collect()}
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    for i in range(8):
+        key = (i, 100 + i)
+        assert key in found, f"planted near-dup {key} not surfaced by LSH"
+        exact = _exact_shingle_jaccard(by_id[i], by_id[100 + i])
+        assert abs(found[key] - exact) < 0.25, (key, found[key], exact)
+    sig.unpersist()
+
+
+def test_minhash_short_doc_handling(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two", "one two", "x"]})
+    )
+    sig = SIM.minhash_signature(df, "doc_id", "text", n_hashes=8, k=3)
+    rows = {r["doc"]: [r[f"sig_{i}"] for i in range(8)] for r in sig.collect()}
+    assert set(rows) == {1, 2, 3}  # sub-k-token docs still get signatures
+    assert rows[1] == rows[2]  # identical short docs -> identical sigs
+
+
+def test_simhash_orders_near_vs_far(spark, corpus):
+    df, rows = corpus
+    sh = {r["doc"]: r["simhash"] for r in SIM.simhash64(df, "doc_id", "text").collect()}
+
+    def ham(a, b):  # mask: simhash is a signed int64
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [ham(sh[i], sh[100 + i]) for i in range(8)]
+    far = [ham(sh[i], sh[i + 10]) for i in range(8)]
+    assert max(near) < min(far), (near, far)
+
+
+def test_ann_lsh_subset_of_bucket_bruteforce(spark):
+    rng = random.Random(11)
+    rows = [
+        {"vec_id": i, "embedding": [rng.gauss(0, 1) for _ in range(16)]} for i in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    q = rows[0]["embedding"]
+    exact = [r["vec_id"] for r in SIM.ann_topk_bruteforce(df, q, k=5).collect()]
+    approx = SIM.ann_topk_lsh(df, q, k=5, n_planes=4).collect()
+    assert exact[0] == 0  # the query vector itself is its own nearest
+    assert approx[0]["vec_id"] == 0  # query's bucket contains the query
+    # every approx hit must be a true corpus vector with correct cosine
+    exact_all = {
+        r["vec_id"]: r["cosine"] for r in SIM.ann_topk_bruteforce(df, q, k=200).collect()
+    }
+    for r in approx:
+        assert abs(exact_all[r["vec_id"]] - r["cosine"]) < 1e-9
