@@ -150,6 +150,12 @@ _PAYLOAD_SCHEMA = T.StructType(
     ]
 )
 
+# event-time column appended JVM-side after decode (streaming consumers
+# watermark on it; excluded from deterministic parity comparisons)
+PAYLOAD_SCHEMA_WITH_TS = T.StructType(
+    _PAYLOAD_SCHEMA.fields + [T.StructField("fetched_at", T.TimestampType())]
+)
+
 
 def fetch_payloads(
     ok_tier1: DataFrame, image_caption: DataFrame, round_no: int, reencode: bool = True
@@ -200,4 +206,6 @@ def fetch_payloads(
                 }
             )
 
-    return joined.mapInPandas(_decode, _PAYLOAD_SCHEMA)
+    return joined.mapInPandas(_decode, _PAYLOAD_SCHEMA).withColumn(
+        "fetched_at", F.current_timestamp()
+    )
