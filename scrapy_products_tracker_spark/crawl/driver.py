@@ -84,6 +84,13 @@ class CrawlConfig:
     # time inside the fetch stage (one serial connection per core) —
     # models a fetch-bound crawl for the scaling benchmark; 0 = off
     simulate_latency_scale: float = 0.0
+    # URL-seen pre-filter: "bloom" (default; union-mergeable, no
+    # deletion) or "cuckoo" (supports deletion — the right choice when
+    # snapshot rollbacks must also retract seen-set entries, O5/O6).
+    # Both are exact end-to-end: the filter only pre-screens, and the
+    # anti-join confirms every maybe-seen candidate.
+    seen_filter: str = "bloom"
+    cuckoo_capacity: int = 1 << 20  # keys the cuckoo table is sized for
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -135,6 +142,43 @@ class CrawlDriver:
             F.when(F.col("_robots_blocked"), F.lit(SKIPPED_ROBOTS)).otherwise(F.lit(PENDING)),
         ).drop("_robots_blocked")
 
+    # --- seen-filter plumbing (bloom default, cuckoo fallback) ---------
+    def _collect_hashes(self, df: DataFrame):
+        from ..dedup.bloom import with_bloom_hashes
+
+        hp = with_bloom_hashes(df, "url").select("_h1", "_h2").toPandas()
+        return hp["_h1"].to_numpy(), hp["_h2"].to_numpy()
+
+    def _build_filter(self, frontier: DataFrame):
+        if self.cfg.seen_filter == "cuckoo":
+            from ..dedup.cuckoo import CuckooFilter
+
+            ck = CuckooFilter.for_capacity(self.cfg.cuckoo_capacity)
+            ck.add_many(*self._collect_hashes(frontier))
+            return ck
+        return build_bloom(
+            frontier,
+            "url",
+            self.cfg.bloom_buckets,
+            self.cfg.bloom_bits_per_bucket,
+            self.cfg.bloom_k,
+        )
+
+    def _read_filter(self):
+        if self.cfg.seen_filter == "cuckoo":
+            return self.store.read_cuckoo()
+        return self.store.read_bloom()
+
+    def _filter_kwargs(self, filt) -> dict:
+        return {"cuckoo": filt} if self.cfg.seen_filter == "cuckoo" else {"bloom": filt}
+
+    def _mark_seen(self, df: DataFrame, filt) -> DataFrame:
+        if self.cfg.seen_filter == "cuckoo":
+            from ..dedup.cuckoo import cuckoo_mark_candidates
+
+            return cuckoo_mark_candidates(df, filt, "url")
+        return bloom_mark_candidates(df, filt, "url")
+
     def seed(self, seeds: DataFrame) -> int:
         """Ingest the seed list (S1-S4): canonicalize, dedup, robots-tag,
         commit frontier v1. Idempotent re-seeding = re-running produces
@@ -154,20 +198,14 @@ class CrawlDriver:
         frontier = self._frontier_row_select(
             tagged, status_col=F.col("_st"), source="seed", round_no=0
         )
-        bloom = build_bloom(
-            frontier,
-            "url",
-            self.cfg.bloom_buckets,
-            self.cfg.bloom_bits_per_bucket,
-            self.cfg.bloom_k,
-        )
+        filt = self._build_filter(frontier)
         n_skipped = frontier.filter(F.col("status") == SKIPPED_ROBOTS).count()
         counters = dict.fromkeys(COUNTER_KEYS, 0)
         counters["urls_skipped_robots"] = n_skipped
         counters["urls_seen"] = frontier.count()
         return self.store.commit(
             frontier,
-            bloom=bloom,
+            **self._filter_kwargs(filt),
             meta={
                 "round": 0,
                 "session": self.cfg.session,
@@ -195,7 +233,7 @@ class CrawlDriver:
             raise RuntimeError("seed() first")
         round_no = manifest["meta"]["round"] + 1
         counters = dict(manifest["meta"]["counters"])
-        bloom = self.store.read_bloom()
+        seen = self._read_filter()
 
         frontier = self.store.read_frontier(self.spark)
         pending = frontier.filter(F.col("status") == PENDING)
@@ -257,10 +295,10 @@ class CrawlDriver:
         )
         # against-frontier dedup: Bloom pre-filter + exact anti-join (D1)
         cached.append(children_raw)
-        if bloom is not None:
+        if seen is not None:
             # probe once, filter twice (a probe per branch would run the
             # canonicalize+window subtree and the probe kernel 2x)
-            probed = bloom_mark_candidates(children, bloom, "url").persist()
+            probed = self._mark_seen(children, seen).persist()
             cached.append(probed)
             unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
@@ -368,27 +406,26 @@ class CrawlDriver:
 
         # --- seen-set maintenance: add this round's inserts -------------
         _t0 = _time.monotonic()
-        if bloom is not None and n_inserted:
-            if n_inserted <= self.cfg.bloom_driver_update_max:
+        if seen is not None and n_inserted:
+            if self.cfg.seen_filter == "cuckoo":
+                seen.add_many(*self._collect_hashes(inserts))
+            elif n_inserted <= self.cfg.bloom_driver_update_max:
                 # small delta: collect JVM-computed (h1,h2) pairs and set
                 # bits driver-side (numpy) — avoids a shuffle job
-                from ..dedup.bloom import with_bloom_hashes
-
-                hpdf = with_bloom_hashes(inserts, "url").select("_h1", "_h2").toPandas()
-                h1 = hpdf["_h1"].to_numpy()
-                buckets = (h1.view("uint64") % bloom.n_buckets).astype("int64")
                 import numpy as np
 
+                h1, h2 = self._collect_hashes(inserts)
+                buckets = (h1.view("uint64") % seen.n_buckets).astype("int64")
                 for b in np.unique(buckets):
                     m = buckets == b
-                    bloom.add_pdf(int(b), h1[m], hpdf["_h2"].to_numpy()[m])
+                    seen.add_pdf(int(b), h1[m], h2[m])
             else:
-                delta = build_bloom(inserts, "url", bloom.n_buckets, bloom.bits, bloom.k)
+                delta = build_bloom(inserts, "url", seen.n_buckets, seen.bits, seen.k)
                 for b, arr in delta.arrays.items():
-                    if b in bloom.arrays:
-                        bloom.arrays[b] = bloom.arrays[b] | arr
+                    if b in seen.arrays:
+                        seen.arrays[b] = seen.arrays[b] | arr
                     else:
-                        bloom.arrays[b] = arr
+                        seen.arrays[b] = arr
 
         t_bloom = _time.monotonic() - _t0
         meta = {
@@ -404,7 +441,7 @@ class CrawlDriver:
             new_frontier,
             new_results=items if n_items else None,
             new_crawl_order=crawl_order,
-            bloom=bloom,
+            **self._filter_kwargs(seen),
             meta=meta,
         )
         meta["timings"] = {
@@ -458,7 +495,7 @@ class CrawlDriver:
         counters = dict(manifest["meta"]["counters"])
         return self.store.commit(
             rearmed,
-            bloom=self.store.read_bloom(),
+            **self._filter_kwargs(self._read_filter()),
             meta={
                 "round": manifest["meta"]["round"],
                 "session": new_session,

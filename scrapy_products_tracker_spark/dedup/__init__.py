@@ -6,7 +6,7 @@ from .bloom import (
     optimal_params,
     with_bloom_hashes,
 )
-from .cuckoo import CuckooFilter
+from .cuckoo import CuckooFilter, cuckoo_mark_candidates
 from .exact import dedup_against_frontier, dedup_within_batch
 
 __all__ = [
@@ -17,6 +17,7 @@ __all__ = [
     "optimal_params",
     "with_bloom_hashes",
     "CuckooFilter",
+    "cuckoo_mark_candidates",
     "dedup_against_frontier",
     "dedup_within_batch",
 ]

@@ -91,6 +91,14 @@ class SnapshotParquetStore:
             pdf, int(pdf["n_buckets"].iloc[0]), int(pdf["bits"].iloc[0]), int(pdf["k"].iloc[0])
         )
 
+    def read_cuckoo(self, version: int | None = None):
+        from ..dedup.cuckoo import CuckooFilter
+
+        m = self.read_manifest(version)
+        if not m or not m.get("cuckoo"):
+            return None
+        return CuckooFilter.from_pandas(pd.read_parquet(self.root / m["cuckoo"]))
+
     # --- commit ----------------------------------------------------------
     def commit(
         self,
@@ -99,6 +107,7 @@ class SnapshotParquetStore:
         new_results: DataFrame | None = None,
         new_crawl_order: DataFrame | None = None,
         bloom: BloomShards | None = None,
+        cuckoo=None,
         meta: dict | None = None,
     ) -> int:
         prev = self.read_manifest()
@@ -142,6 +151,11 @@ class SnapshotParquetStore:
             bloom_path = f"data/bloom/v{version}.parquet"
             (self.root / "data/bloom").mkdir(exist_ok=True)
             bloom.to_pandas().to_parquet(self.root / bloom_path)
+        cuckoo_path = prev.get("cuckoo") if prev else None
+        if cuckoo is not None:
+            cuckoo_path = f"data/cuckoo/v{version}.parquet"
+            (self.root / "data/cuckoo").mkdir(exist_ok=True)
+            cuckoo.to_pandas().to_parquet(self.root / cuckoo_path)
 
         manifest = {
             "version": version,
@@ -150,6 +164,7 @@ class SnapshotParquetStore:
             "results": results,
             "crawl_order": order,
             "bloom": bloom_path,
+            "cuckoo": cuckoo_path,
             "meta": meta or {},
         }
         self._manifest_path(version).write_text(json.dumps(manifest, indent=1))
@@ -183,7 +198,9 @@ class SnapshotParquetStore:
             live.update(m.get("crawl_order", []))
             if m.get("bloom"):
                 live.add(m["bloom"])
-        for sub in ("frontier", "results", "crawl_order", "bloom"):
+            if m.get("cuckoo"):
+                live.add(m["cuckoo"])
+        for sub in ("frontier", "results", "crawl_order", "bloom", "cuckoo"):
             d = self.root / "data" / sub
             if not d.exists():
                 continue

@@ -100,3 +100,19 @@ def test_schedule_round_pending_hint_equivalence(spark):
     kb = [tuple(r) for r in fast.orderBy("within_round_rank").collect()]
     assert ka == kb
     assert len(ka) == 25
+
+
+def test_cuckoo_seen_filter_matches_bloom(spark, t1_paths):
+    """The cuckoo seen-set path must produce the exact same crawl as
+    the Bloom path — both are pre-filters confirmed by an anti-join."""
+    s_bloom, m_bloom = _crawl(spark, t1_paths, seen_filter="bloom")
+    s_ck, m_ck = _crawl(spark, t1_paths, seen_filter="cuckoo")
+    fa = sorted(
+        (r["url"], r["status"]) for r in s_bloom.read_frontier(spark).collect()
+    )
+    fb = sorted((r["url"], r["status"]) for r in s_ck.read_frontier(spark).collect())
+    assert fa == fb
+    assert m_bloom["counters"] == m_ck["counters"]
+    # cuckoo persists across snapshots and supports deletion
+    ck = s_ck.read_cuckoo()
+    assert ck is not None and ck.count == m_ck["counters"]["urls_seen"]
