@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the optimizations that matter at
+100 TB must stay visible in the plan, not just be fast today.
+
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema),
+- ORDER BY + LIMIT compiles to TakeOrderedAndProject (top-k, no full
+  sort of the frontier),
+- the robots check is a broadcast join (never a shuffle of the
+  candidate set against a 30-row table),
+- the claimed batch never carries the image payload column into the
+  politeness scheduler (binary-heavy shuffle ban, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_claim_topk_is_take_ordered_with_pushdown(spark):
+    plan = _formatted_plan(entry.q_frontier_claim_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # top-k, not Sort+Limit
+    assert "EqualTo(o_orderstatus,O)" in plan  # predicate pushed to scan
+    # column pruning: the scan must not read all 9 order columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" not in read_schema and "o_comment" not in read_schema
+
+
+def test_category_export_pushdown(spark):
+    plan = _formatted_plan(entry.q_category_export(spark, SF))
+    assert "GreaterThanOrEqual(p_size,25)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_robots_check_is_broadcast_join(spark, t1_paths):
+    from scrapy_products_tracker_spark.politeness import load_robots, mark_robots
+
+    robots = load_robots(spark, t1_paths["robots"])
+    cands = spark.range(100).select(
+        F.concat(F.lit("https://d0.example.com/p/"), F.col("id")).alias("url"),
+        F.lit("d0.example.com").alias("domain"),
+    )
+    plan = _formatted_plan(mark_robots(cands, robots))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scheduler_input_never_carries_payload_bytes(spark, t1_paths):
+    """The frontier rows fed to the politeness scheduler are narrow —
+    the binary image payload must never enter that shuffle."""
+    import tempfile
+
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots, schedule_round
+
+    tmp = tempfile.mkdtemp(prefix="planq_")
+    store = SnapshotParquetStore(tmp + "/store")
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        CrawlConfig(chunk_size=50),
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    frontier = store.read_frontier(spark)
+    assert "bytes" not in frontier.columns  # payload lives in results only
+    narrow = frontier.select(
+        "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
+    )
+    claimed = schedule_round(narrow, drv.robots, 50, budgets=drv._budgets)
+    plan = _formatted_plan(claimed)
+    assert "bytes" not in plan
