@@ -111,8 +111,13 @@ class CrawlDriver:
         self.robots = robots
         self.cfg = config or CrawlConfig()
         # robots is static for a session: materialize budgets once, not
-        # once per round (was a collect() job every round)
+        # once per round (was a collect() job every round), and ship
+        # them to executors as a real broadcast variable — a plain dict
+        # captured in the applyInPandas closure is re-pickled into every
+        # task; at web scale (10^7+ domains) that's a multi-MB closure
+        # per task, a broadcast is shipped once per executor.
         self._budgets = collect_budgets(robots, self.cfg.round_ms)
+        self._budgets_bc = spark.sparkContext.broadcast(self._budgets)
 
     # ------------------------------------------------------------------
     def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
@@ -199,10 +204,14 @@ class CrawlDriver:
             tagged, status_col=F.col("_st"), source="seed", round_no=0
         )
         filt = self._build_filter(frontier)
-        n_skipped = frontier.filter(F.col("status") == SKIPPED_ROBOTS).count()
+        # one job for both tallies (was two separate count() actions)
+        stats = frontier.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("status") == SKIPPED_ROBOTS, 1).otherwise(0)).alias("n_skip"),
+        ).collect()[0]
         counters = dict.fromkeys(COUNTER_KEYS, 0)
-        counters["urls_skipped_robots"] = n_skipped
-        counters["urls_seen"] = frontier.count()
+        counters["urls_skipped_robots"] = int(stats["n_skip"] or 0)
+        counters["urls_seen"] = int(stats["n"])
         return self.store.commit(
             frontier,
             **self._filter_kwargs(filt),
@@ -211,6 +220,7 @@ class CrawlDriver:
                 "session": self.cfg.session,
                 "counters": counters,
                 "lineage": {},
+                "pending_hint": counters["urls_seen"] - counters["urls_skipped_robots"],
                 **self.cfg.extra_meta,
             },
         )
@@ -240,24 +250,19 @@ class CrawlDriver:
         narrow = pending.select(
             "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
         )
-        # upper bound on PENDING rows from the previous snapshot's
-        # counters (retry rows stay pending and are never terminal-
-        # counted, so they remain inside this bound)
-        pending_hint = max(
-            0,
-            counters["urls_seen"]
-            - counters["urls_fetched"]
-            - counters["urls_failed_hw"]
-            - counters["urls_failed_logic"]
-            - counters["urls_skipped_robots"],
-        )
+        # upper bound on PENDING rows, maintained incrementally in the
+        # manifest meta (seed sets it; each round subtracts terminal
+        # resolutions and adds pending inserts; rearm_session resets it
+        # to the re-armed count — so large re-crawl sessions still take
+        # the salted hot-domain path). None = unknown -> salted path.
+        pending_hint = manifest["meta"].get("pending_hint")
         claimed = schedule_round(
             narrow,
             self.robots,
             self.cfg.chunk_size,
             self.cfg.n_salts,
             self.cfg.round_ms,
-            budgets=self._budgets,
+            budgets=self._budgets_bc,
             pending_hint=pending_hint,
         )
         # spread the claimed batch back across the cluster: the claim's
@@ -334,7 +339,15 @@ class CrawlDriver:
             return df.select(key_col.alias("k"))
 
         stats_df = (
-            _tag(fx, F.concat_ws("|", F.lit("fx"), F.col("outcome"), F.col("domain")))
+            # coalesce: concat_ws silently DROPS null columns, and a null
+            # domain (arbitrary seed URL through parse_url) would shift
+            # the 3-part key to 2 parts and crash the unpack below
+            _tag(
+                fx,
+                F.concat_ws(
+                    "|", F.lit("fx"), F.col("outcome"), F.coalesce(F.col("domain"), F.lit(""))
+                ),
+            )
             .unionAll(_tag(children_raw, F.lit("raw")))
             .unionAll(
                 _tag(
@@ -397,6 +410,21 @@ class CrawlDriver:
         counters["items_emitted"] += n_items
         counters["urls_seen"] += n_inserted
 
+        n_terminal = (
+            by_outcome.get(OK, 0) + by_outcome.get(FAIL_HW, 0) + by_outcome.get(FAIL_LOGIC, 0)
+        )
+        if pending_hint is None:  # older manifest without the field
+            pending_hint = max(
+                0,
+                counters["urls_seen"]
+                - counters["urls_fetched"]
+                - counters["urls_failed_hw"]
+                - counters["urls_failed_logic"]
+                - counters["urls_skipped_robots"],
+            )
+        else:
+            pending_hint = max(0, pending_hint - n_terminal + (n_inserted - n_skipped))
+
         crawl_order = fx.select(
             F.lit(round_no).cast("int").alias("round"),
             "url",
@@ -434,6 +462,7 @@ class CrawlDriver:
             "counters": counters,
             "lineage": lineage,
             "claimed": by_outcome,
+            "pending_hint": pending_hint,
             **self.cfg.extra_meta,
         }
         _t0 = _time.monotonic()
@@ -493,6 +522,16 @@ class CrawlDriver:
         self.cfg.session = new_session
         manifest = self.store.read_manifest()
         counters = dict(manifest["meta"]["counters"])
+        # re-armed rows become PENDING again without touching counters;
+        # reset the hint to the re-armed (= previously resolved) count
+        # so the first rounds of a big re-crawl still take the salted
+        # hot-domain path (no extra count job: counters already know it)
+        rearmed_count = (
+            counters["urls_fetched"]
+            + counters["urls_failed_hw"]
+            + counters["urls_failed_logic"]
+        )
+        prev_hint = manifest["meta"].get("pending_hint") or 0
         return self.store.commit(
             rearmed,
             **self._filter_kwargs(self._read_filter()),
@@ -501,5 +540,6 @@ class CrawlDriver:
                 "session": new_session,
                 "counters": counters,
                 "lineage": {},
+                "pending_hint": prev_hint + rearmed_count,
             },
         )

@@ -63,6 +63,14 @@ class BloomShards:
     """Seen-set state: dict bucket -> packed bit array (numpy uint8)."""
 
     def __init__(self, n_buckets: int, bits_per_bucket: int, k: int):
+        if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+            # power-of-two is a hard requirement, not a convention: the
+            # JVM-side bucket key (bitwiseAND below / pmod) and the
+            # numpy probe kernels (uint64-view modulo) only agree when
+            # 2^64 % n_buckets == 0. A silent mismatch would create
+            # Bloom FALSE NEGATIVES, and false-negative rows bypass the
+            # exact anti-join confirm entirely.
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_buckets = n_buckets
         self.bits = bits_per_bucket
         self.k = k
@@ -112,6 +120,14 @@ class BloomShards:
         return bs
 
 
+def bucket_col(h1: "F.Column", n_buckets: int) -> "F.Column":
+    """JVM-side shard key for a 64-bit hash. ``h1 & (n_buckets-1)`` on
+    two's-complement longs equals the numpy kernels' uint64-view modulo
+    for power-of-two bucket counts (enforced by BloomShards), so build,
+    probe, and driver-delta paths all agree bit-for-bit."""
+    return h1.bitwiseAND(F.lit(n_buckets - 1)).cast("int")
+
+
 def with_bloom_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach h1/h2 (JVM-side) used by every Bloom kernel downstream."""
     h1, h2 = bloom_hash_cols(F.col(url_col))
@@ -139,7 +155,7 @@ def build_bloom(df: DataFrame, url_col: str, n_buckets: int, bits: int, k: int) 
         return pd.DataFrame({"bucket": [key[0]], "payload": [arr.tobytes()]})
 
     hashed = with_bloom_hashes(df, url_col).withColumn(
-        "_bucket", F.pmod(F.col("_h1"), F.lit(n_buckets)).cast("int")
+        "_bucket", bucket_col(F.col("_h1"), n_buckets)
     )
     shard_rows = hashed.groupBy("_bucket").applyInPandas(_build, schema).collect()
     bs = BloomShards(n_buckets, bits, k)

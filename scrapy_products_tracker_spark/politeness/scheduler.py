@@ -114,7 +114,12 @@ def schedule_round(
     out_schema = candidates.schema
 
     def kernel(key, pdf):
-        b = budgets.get(key[0], default_budget)
+        # budgets may be a plain dict (tests) or a sparkContext.broadcast
+        # handle (engine): a broadcast ships the domain->budget map once
+        # per executor instead of re-pickling it into every task closure
+        # (10^7 domains = multi-MB closure otherwise)
+        b_map = budgets.value if hasattr(budgets, "value") else budgets
+        b = b_map.get(key[0], default_budget)
         if b <= 0:
             return pdf.iloc[0:0]
         return pdf.nsmallest(min(b, len(pdf)), CLAIM_ORDER, keep="first").drop(columns=["_salt"])

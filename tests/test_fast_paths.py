@@ -64,7 +64,7 @@ def test_inline_retries_terminal_state_matches(spark, t1_paths):
     assert m_inline["round"] <= m_reclaim["round"]
 
 
-def test_schedule_round_pending_hint_equivalence(spark):
+def _hint_fixture(spark):
     import pandas as pd
 
     rows = []
@@ -94,12 +94,28 @@ def test_schedule_round_pending_hint_equivalence(spark):
             }
         )
     )
-    salted = schedule_round(cands, robots, chunk_size=25, n_salts=4, pending_hint=None)
-    fast = schedule_round(cands, robots, chunk_size=25, n_salts=4, pending_hint=len(rows))
+    return cands, robots, len(rows)  # 350 candidate rows
+
+
+def _uses_salted_phase1(df) -> bool:
+    """The salted phase 1 is the only FlatMapGroupsInPandas in the claim."""
+    return "FlatMapGroupsInPandas" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "chunk_size", [25, 50]
+)  # 350 rows vs threshold 8*chunk: 25 -> 200 (salted), 50 -> 400 (phase-1 skipped)
+def test_schedule_round_pending_hint_branches_agree(spark, chunk_size):
+    cands, robots, n_rows = _hint_fixture(spark)
+    salted = schedule_round(cands, robots, chunk_size=chunk_size, n_salts=4, pending_hint=None)
+    hinted = schedule_round(cands, robots, chunk_size=chunk_size, n_salts=4, pending_hint=n_rows)
+    # the hint must actually flip the branch where the threshold says so
+    assert _uses_salted_phase1(salted)  # hint=None always takes phase 1
+    assert _uses_salted_phase1(hinted) == (n_rows > 8 * chunk_size)
     ka = [tuple(r) for r in salted.orderBy("within_round_rank").collect()]
-    kb = [tuple(r) for r in fast.orderBy("within_round_rank").collect()]
+    kb = [tuple(r) for r in hinted.orderBy("within_round_rank").collect()]
     assert ka == kb
-    assert len(ka) == 25
+    assert len(ka) == min(chunk_size, 6 * 7)  # 6 domains x budget 7 caps the claim
 
 
 def test_cuckoo_seen_filter_matches_bloom(spark, t1_paths):
