@@ -1,19 +1,38 @@
 """Driver contract: flagship entry + per-operator queries + DuckDB oracles.
 
 Each ``queries()`` entry exercises one operator family from SURVEY.md §2
-(or a training-data-pipeline op) over the driver-generated tables; the
-matching ``oracle_sql()`` is the exact ANSI-SQL twin DuckDB runs on the
-same parquet. Column names/types are aligned on both sides (the driver
-hashes values after sorting columns by name).
+(or a training-data-pipeline op); the matching ``oracle_sql()`` is the
+ANSI-SQL twin DuckDB runs on the same parquet. Column names/types are
+aligned on both sides (the driver hashes values after sorting columns
+by name).
 
-Crawl-engine ops that are not SQL-expressible (full crawl loop, MinHash
-LSH, SimHash, hyperplane-LSH ANN) have no oracle entry -> the driver
-records the weaker rows-only check; their exact-parity coverage lives
-in tests/ against the pure-Python scheduling oracle instead.
+Round-2 structure (VERDICT r01 next-round #3/#4/#5/#8):
+
+- **engine-routed queries**: frontier_claim_topk / politeness_budget_rank
+  run the real salted ``schedule_round`` kernel; seed_ingest_dedup runs
+  the real canonicalizer + first-wins dedup; pagination_fanout runs
+  ``discover_children``; retry_escalation runs ``classify_fetch``;
+  product_field_extraction runs the Arrow-batched HTML parse kernel.
+  Their oracles are plain SQL twins over the same sf tables.
+- **engine-table queries**: crawl_end_to_end / history_export_join /
+  session_export_join / export_bookkeeping / stop_tracking_rearm run
+  the full crawl engine (2 sessions) and the product-table exporters;
+  their oracles consume expected parquet computed by the INDEPENDENT
+  pure-Python reference simulator + world ground truth
+  (oracle/builders.py) — zero engine code in the expected-data path.
+- **hash-kernel queries**: minhash_lsh_neardup / simhash_neardup /
+  ann_lsh_topk get oracles whose expected artifacts are recomputed by
+  an independent pure-Python xxhash64 implementation (bit-parity with
+  Spark pinned in tests), with the banding/top-k logic expressed in
+  DuckDB SQL.
+
+Only ``multimodal_decode_stats`` (image codec) stays rows-only.
 """
 
 from __future__ import annotations
 
+import glob as _glob
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -22,6 +41,8 @@ from pyspark.sql import functions as F
 
 from scrapy_products_tracker_spark.functions import text as TX
 from scrapy_products_tracker_spark.functions import similarity as SIM
+from scrapy_products_tracker_spark.oracle import builders as OB
+from scrapy_products_tracker_spark.schemas import MAX_ATTEMPTS
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -38,6 +59,26 @@ def _doc_urls(docs: DataFrame) -> DataFrame:
         ).alias("url"),
         "doc_id",
     )
+
+
+def _domain(col=None):
+    return F.concat(F.col("source"), F.lit(".example.com"))
+
+
+def _frontier_from_docs(docs: DataFrame) -> DataFrame:
+    """Candidate frontier rows shaped for the real scheduler kernel."""
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        _domain().alias("domain"),
+        F.lit(0).alias("tier"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("doc_id").cast("long").alias("discovered_seq"),
+        F.lit(0).alias("attempt"),
+    ).withColumn("url_hash", F.xxhash64("url"))
 
 
 # ---------------------------------------------------------------------------
@@ -62,36 +103,117 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cached 2-session engine crawl over the deterministic T1 world — shared
+# by every engine-table query (run once per process)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict = {}
+
+
+def _crawl_store(spark):
+    if "store" not in _CRAWL_CACHE:
+        from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+        from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+        from scrapy_products_tracker_spark.politeness import load_robots
+        from scrapy_products_tracker_spark.synth import T1_SMOKE, generate_world, write_world
+
+        tmp = tempfile.mkdtemp(prefix="entry_crawl_")
+        paths = write_world(generate_world(T1_SMOKE), tmp + "/world")
+        store = SnapshotParquetStore(tmp + "/store")
+        drv = CrawlDriver(
+            spark,
+            store,
+            spark.read.parquet(paths["pages"]),
+            spark.read.parquet(paths["image_caption"]),
+            load_robots(spark, paths["robots"]),
+            CrawlConfig(chunk_size=50),
+        )
+        drv.seed(spark.read.parquet(paths["seeds"]))
+        drv.run()
+        drv.rearm_session(2)
+        drv.run()
+        _CRAWL_CACHE.update(store=store, tmp=tmp, paths=paths)
+    return _CRAWL_CACHE["store"], _CRAWL_CACHE["paths"]
+
+
+def _copy_store(spark):
+    """Fresh store clone for queries that mutate state (exports, O6)."""
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+
+    store, _ = _crawl_store(spark)
+    dst = tempfile.mkdtemp(prefix="entry_copy_") + "/store"
+    shutil.copytree(str(store.root), dst)
+    return SnapshotParquetStore(dst)
+
+
+# ---------------------------------------------------------------------------
 # operator queries (spark side)
 # ---------------------------------------------------------------------------
 
-def q_frontier_claim_topk(spark, sf):  # S5/O1: ORDER BY ... LIMIT chunk
-    o = _t(spark, sf, "orders")
-    return (
-        o.filter(F.col("o_orderstatus") == "O")
-        .orderBy("o_orderdate", "o_orderkey")
-        .limit(100)
-        .select("o_orderkey", "o_custkey", "o_orderdate")
+def q_frontier_claim_topk(spark, sf):
+    """S5/O1/R3/P3 via the REAL scheduler: salted groupBy.applyInPandas
+    per-domain budget + global top-chunk claim (politeness/scheduler.py
+    schedule_round, pending_hint=None forces the salted phase-1 path)."""
+    from scrapy_products_tracker_spark.politeness import schedule_round
+
+    cand = _frontier_from_docs(_t(spark, sf, "documents"))
+    robots = (
+        cand.select("domain").distinct()
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .withColumn("crawl_delay_ms", F.lit(0).cast("long"))
+        .withColumn("max_per_round", F.lit(8))
     )
+    claimed = schedule_round(cand, robots, chunk_size=100, n_salts=4)
+    return claimed.select("url", "domain", "discovered_seq", "within_round_rank")
 
 
-def q_politeness_budget_rank(spark, sf):  # R3/P1: per-key budget via rank
-    o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        o.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("o_custkey", "o_orderkey", "rnk")
+def q_politeness_budget_rank(spark, sf):
+    """P1/P5/R3 via the REAL scheduler with crawl-delay-derived budgets:
+    effective budget = min(max_per_round, round_ms // crawl_delay)."""
+    from scrapy_products_tracker_spark.politeness import schedule_round
+
+    cand = _frontier_from_docs(_t(spark, sf, "documents"))
+    robots = (
+        cand.select("domain").distinct()
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .withColumn(
+            "crawl_delay_ms", (F.pmod(F.length("domain"), F.lit(4)) * 300).cast("long")
+        )
+        .withColumn("max_per_round", F.lit(5))
     )
+    claimed = schedule_round(cand, robots, chunk_size=1_000_000, n_salts=4, round_ms=1000)
+    return claimed.select("url", "domain", "discovered_seq", "within_round_rank")
 
 
-def q_seed_ingest_dedup(spark, sf):  # S1-S3/D1/D3: seen-set first-wins
-    urls = _doc_urls(_t(spark, sf, "documents"))
-    return urls.groupBy("url").agg(F.min("doc_id").alias("first_doc")).select(
-        "url",
-        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("domain"),
-        "first_doc",
+def q_seed_ingest_dedup(spark, sf):
+    """S1-S3/D1-D3 via the REAL canonicalizer (Arrow-batched pandas UDF)
+    + first-discovery-wins dedup: three messy variants per doc
+    (uppercase host+scheme, :443 port, fragment, tracking params,
+    unsorted query) collapse to canonical forms."""
+    from scrapy_products_tracker_spark.dedup import dedup_within_batch
+    from scrapy_products_tracker_spark.functions.urls import canonicalize_udf
+
+    d = _t(spark, sf, "documents")
+    n = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 3
+    messy = (
+        F.when(v == 0, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), n))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"), F.lit(".EXAMPLE.COM:443/doc/"), n, F.lit("#frag")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), n,
+                F.lit("?utm_source=x&b=2&a=1"),
+            )
+        )
     )
+    rows = d.select(canonicalize_udf(messy).alias("url"), "doc_id")
+    first = dedup_within_batch(rows, ["doc_id"], key="url")
+    return first.select("url", F.col("doc_id").alias("first_doc"))
 
 
 def q_domain_routing_counts(spark, sf):  # R1/A7: per-queue depth
@@ -102,13 +224,24 @@ def q_domain_routing_counts(spark, sf):  # R1/A7: per-queue depth
     )
 
 
-def q_pagination_fanout(spark, sf):  # F1: computed fan-out via sequence
+def q_pagination_fanout(spark, sf):
+    """F1 via the REAL frontier-expansion operator: discover_children's
+    computed fan-out branch (explode(sequence(2, pages_needed)) with
+    the arithmetic discovery-order key)."""
+    from scrapy_products_tracker_spark.crawl.parse import discover_children
+
     p = _t(spark, sf, "part")
-    pages = F.ceil(F.col("p_size") / F.lit(10.0)).cast("int")
-    return (
-        p.filter(pages >= 2)
-        .select("p_partkey", F.explode(F.sequence(F.lit(2), pages)).alias("page"))
+    base = p.select(
+        F.concat(F.lit("https://x.example.com/cat/"), F.col("p_partkey").cast("string")).alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority"),
+        F.pmod(F.col("p_partkey"), F.lit(997)).cast("int").alias("within_round_rank"),
+        F.array().cast("array<string>").alias("outlinks"),
+        F.lit(None).cast("string").alias("next_url"),
+        F.col("p_size").cast("int").alias("total_items"),
     )
+    ch = discover_children(base, round_no=1, pagination_size=10)
+    return ch.select("url", "tier", "depth", "discovered_seq")
 
 
 def q_position_ranking(spark, sf):  # F5/O2: position lineage as window
@@ -142,49 +275,105 @@ def q_task_counters(spark, sf):  # A1: per-task counter aggregation
     )
 
 
-def q_retry_escalation(spark, sf):  # X1: attempt budget arithmetic
+def q_retry_escalation(spark, sf):
+    """X1-X3 via the REAL fetch classifier: classify_fetch's status ->
+    outcome state machine (retry budget, flaky-403 clearing, hardware
+    vs logic classes) over synthesized fetch results."""
+    from scrapy_products_tracker_spark.fetchers.synthetic import classify_fetch
+
     e = _t(spark, sf, "events")
-    attempt = (F.col("event_id") % 7).cast("int")
-    return e.groupBy("event_type").agg(
-        F.sum(F.when(attempt < 5, 1).otherwise(0)).cast("long").alias("n_retryable"),
-        F.sum(F.when(attempt >= 5, 1).otherwise(0)).cast("long").alias("n_gave_up"),
+    m = F.col("event_id") % 10
+    resolved = e.select(
+        "event_type",
+        F.when(m == 0, 403)
+        .when(m == 1, -1)
+        .when(m == 2, 404)
+        .when(m == 9, F.lit(None))
+        .otherwise(200)
+        .cast("int")
+        .alias("status_code"),
+        F.when(F.col("event_id") % 5 == 0, 2).otherwise(0).cast("int").alias("flaky_until"),
+        (F.col("event_id") % 7).cast("int").alias("attempt"),
     )
+    fx = classify_fetch(resolved)
+    return fx.groupBy("event_type", "outcome").agg(F.count("*").alias("n"))
 
 
-def q_history_export_join(spark, sf):  # J1/S9: 3-way export join
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+def _units_expr():
     return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            # integer cents (floor) so the sum is order-independent and
-            # bit-exact across engines (double sums are not associative)
-            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100))
-            .cast("long")
-            .alias("revenue_cents"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-        )
+        F.when(F.col("p_size") % 3 == 0, F.lit("each"))
+        .when(F.col("p_size") % 3 == 1, F.lit("dozen"))
+        .otherwise(F.lit("case"))
     )
+
+
+def q_product_field_extraction(spark, sf):
+    """E3-E12 via the REAL Arrow-batched HTML parse kernel: render
+    product pages from `part` columns with SQL concat (varying quote
+    style + malformed slice), parse them back, and compare against the
+    directly-computed fields — the oracle proves the parser inverts the
+    page format exactly (including the X7 missing-title guard)."""
+    from scrapy_products_tracker_spark.crawl.extract import extract_product_fields
+
+    p = _t(spark, sf, "part")
+    key = F.col("p_partkey").cast("string")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    sym = F.when(F.col("p_partkey") % 2 == 0, F.lit("$")).otherwise(F.lit("£"))
+    disc = F.col("p_partkey") % 5 == 0
+    reg_cents = cents + F.when(disc, F.lit(50000)).otherwise(F.lit(0))
+    malformed = F.col("p_partkey") % 37 == 0
+    in_stock = F.col("p_size") >= 25
+
+    def fmt(c):
+        return F.concat(
+            sym, F.floor(c / 100).cast("string"), F.lit("."), F.lpad(F.pmod(c, F.lit(100)).cast("string"), 2, "0")
+        )
+
+    body = F.concat(
+        F.lit('<html><head><title>store</title></head><body>'),
+        F.lit('<nav class="breadcrumb"><a href="/cat/'), (F.col("p_partkey") % 7).cast("string"), F.lit('">back</a></nav>'),
+        F.when(malformed, F.lit("")).otherwise(
+            F.concat(F.lit('<h1 class="m-sku-title">'), F.col("p_name"), F.lit("</h1>"))
+        ),
+        F.lit('<div class="skuDescription"><span>Part '), F.col("p_name"), F.lit("</span></div>"),
+        F.lit('<div class="brand-row"><span>Brand</span><div>'), F.col("p_brand"), F.lit("</div></div>"),
+        F.lit('<img class="sku-image" src="https://parts.example.com/img/'), key, F.lit('.jpg"/>'),
+        F.lit('<div class="pricing-wrap"><span class="price-size">'), fmt(cents), F.lit("</span>"),
+        F.lit('<span class="selling-uom">/ '), _units_expr(), F.lit("</span>"),
+        F.when(disc, F.concat(F.lit('<del class="elp-percentage">'), fmt(reg_cents), F.lit("</del>"))).otherwise(F.lit("")),
+        F.lit("</div>"),
+        F.lit('<div class="promo-flag">'), F.when(in_stock, F.lit("In stock")).otherwise(F.lit("Out of stock")), F.lit("</div>"),
+        F.lit('<table class="skuSpecification"><tr><td>Size</td><td>'), F.col("p_size").cast("string"),
+        F.lit("</td></tr><tr><td>Type</td><td>"), F.col("p_type"), F.lit("</td></tr></table>"),
+        F.lit("</body></html>"),
+    )
+    pages = p.select(
+        F.concat(F.lit("https://parts.example.com/p/"), key).alias("url"), body.alias("body")
+    )
+    out = extract_product_fields(pages)
+    return out.select(
+        "url", "title", "description", "brand", "image_url", "image_file",
+        "additional_info", "regular_price_cents", "current_price_cents",
+        "currency", F.col("is_in_stock").cast("int").alias("is_in_stock"),
+        "stock", "units", "category", "parse_ok",
+    )
+
+
+def q_history_export_join(spark, sf):
+    """J1/J4/K4/K6/S9 over REAL engine tables: the 2-session crawl's
+    product_targets ⋈ product_history export (products/export.py);
+    oracle = simulator + ground-truth expected rows."""
+    from scrapy_products_tracker_spark.products import export_history
+
+    store, _ = _crawl_store(spark)
+    return export_history(spark, store, cents=True).select(*OB.EXPORT_COLS)
 
 
 def q_session_export_join(spark, sf):  # J2: epoch-filtered export
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    sess = o.filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    return (
-        sess.join(li, sess["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_lines"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        )
-    )
+    from scrapy_products_tracker_spark.products import export_history
+
+    store, _ = _crawl_store(spark)
+    return export_history(spark, store, session=2, cents=True).select(*OB.EXPORT_COLS)
 
 
 def q_category_export(spark, sf):  # J3/O3: filter + order + limit export
@@ -197,10 +386,45 @@ def q_category_export(spark, sf):  # J3/O3: filter + order + limit export
     )
 
 
-def q_export_bookkeeping(spark, sf):  # K9: unsent-only incremental export
-    e = _t(spark, sf, "events")
-    unsent = e.filter((F.col("event_id") % 10) >= 7)
-    return unsent.groupBy("event_type").agg(F.count("*").alias("n_unsent"))
+def q_export_bookkeeping(spark, sf):
+    """K8/K9/O4 via the REAL incremental exporter: chunked unsent-only
+    CSV export with mark-sent MERGE on a cloned store; returns the
+    per-chunk row counts (exactly-once split of the unsent set)."""
+    from scrapy_products_tracker_spark.products import run_incremental_export
+
+    store = _copy_store(spark)
+    out_dir = tempfile.mkdtemp(prefix="entry_export_")
+    run_incremental_export(spark, store, out_dir, chunk=40)
+    rows = []
+    for d in sorted(_glob.glob(out_dir + "/chunk_*")):
+        n = sum(len(open(f).readlines()) - 1 for f in _glob.glob(d + "/part-*.csv"))
+        rows.append((len(rows), n))
+    return spark.createDataFrame(rows, "chunk int, n_rows bigint")
+
+
+def q_stop_tracking_rearm(spark, sf):
+    """O6/O5 via the REAL operators: stop_tracking flips is_tracked on
+    the products table; rearm_session re-arms every terminal frontier
+    row EXCEPT the stopped ones. Returns the post-rearm frontier
+    statuses; oracle = simulator statuses + the same transform."""
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.politeness import load_robots
+    from scrapy_products_tracker_spark.products import stop_tracking
+
+    store = _copy_store(spark)
+    _, paths = _crawl_store(spark)
+    victims = OB.stop_victims()
+    stop_tracking(spark, store, spark.createDataFrame([(u,) for u in victims], ["url"]))
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["image_caption"]),
+        load_robots(spark, paths["robots"]),
+        CrawlConfig(chunk_size=50),
+    )
+    drv.rearm_session(3)
+    return store.read_frontier(spark).select("url", "status")
 
 
 def q_json_projection(spark, sf):  # E1/E2: JSON field plucking
@@ -345,8 +569,6 @@ def q_embedding_norms(spark, sf):  # vectorized norm via aggregate/zip_with
     )
 
 
-# --- rows-only queries (non-SQL-expressible; exact parity lives in tests/) --
-
 def q_minhash_lsh_neardup(spark, sf):
     d = _t(spark, sf, "documents")
     # persist the signature: banding reads it once (single-pass explode)
@@ -378,10 +600,8 @@ def q_multimodal_decode_stats(spark, sf):
 
     from pyspark.sql import types as T
     from scrapy_products_tracker_spark.imaging import decode_image
-    from scrapy_products_tracker_spark.synth import T1_SMOKE, generate_world, write_world
 
-    tmp = tempfile.mkdtemp(prefix="mm_decode_")
-    paths = write_world(generate_world(T1_SMOKE), tmp)
+    _, paths = _crawl_store(spark)
     img = spark.read.parquet(paths["image_caption"])
 
     schema = T.StructType(
@@ -418,27 +638,12 @@ def q_multimodal_decode_stats(spark, sf):
 
 
 def q_crawl_end_to_end(spark, sf):
-    """Full crawl loop on the deterministic t1 world: returns the crawl
-    order (the north-rule artifact). Exact parity vs the pure-Python
-    oracle is asserted in tests/test_crawl_parity.py."""
-    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
-    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
-    from scrapy_products_tracker_spark.politeness import load_robots
-    from scrapy_products_tracker_spark.synth import T1_SMOKE, generate_world, write_world
-
-    tmp = tempfile.mkdtemp(prefix="crawl_e2e_")
-    paths = write_world(generate_world(T1_SMOKE), tmp + "/world")
-    store = SnapshotParquetStore(tmp + "/store")
-    drv = CrawlDriver(
-        spark,
-        store,
-        spark.read.parquet(paths["pages"]),
-        spark.read.parquet(paths["image_caption"]),
-        load_robots(spark, paths["robots"]),
-        CrawlConfig(chunk_size=50),
-    )
-    drv.seed(spark.read.parquet(paths["seeds"]))
-    drv.run()
+    """Full crawl loop (2 sessions, re-arm between) on the deterministic
+    t1 world: returns the crawl order — the north-rule artifact. The
+    oracle is the pure-Python reference-semantics simulator
+    (oracle/simulator.simulate_sessions), the same one the exact-parity
+    pytest suite pins."""
+    store, _ = _crawl_store(spark)
     return store.read_crawl_order(spark).orderBy("round", "within_round_rank")
 
 
@@ -453,10 +658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_derivation": q_status_derivation,
         "task_counters": q_task_counters,
         "retry_escalation": q_retry_escalation,
+        "product_field_extraction": q_product_field_extraction,
         "history_export_join": q_history_export_join,
         "session_export_join": q_session_export_join,
         "category_export": q_category_export,
         "export_bookkeeping": q_export_bookkeeping,
+        "stop_tracking_rearm": q_stop_tracking_rearm,
         "json_projection": q_json_projection,
         "price_parse": q_price_parse,
         "timestamp_conversion": q_timestamp_conversion,
@@ -481,26 +688,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOP_RE = r"\b(the|and|of|to|in|is|for|with|that|this)\b"
 _NT = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
-_URL = "concat('https://', source, '.example.com/doc/', CAST(doc_id % 100 AS VARCHAR))"
 
 
 def oracle_sql() -> dict[str, str]:
+    # expected artifacts for the non-SQL-expressible cores, recomputed
+    # here by independent pure-Python implementations (see builders.py);
+    # building at string-construction time makes the oracle independent
+    # of query execution order
+    p_order = OB.build_crawl_order_expected()
+    p_export = OB.build_export_expected()
+    p_stop = OB.build_stop_rearm_expected()
+    p_sig = OB.build_minhash_signatures()
+    p_sim = OB.build_simhash_expected()
+    p_ann, qb = OB.build_ann_assignments()
+    export_cols = ", ".join(OB.EXPORT_COLS)
+
     return {
         "frontier_claim_topk": """
-            SELECT o_orderkey, o_custkey, o_orderdate FROM orders
-            WHERE o_orderstatus = 'O' ORDER BY o_orderdate, o_orderkey LIMIT 100
+            WITH cand AS (
+              SELECT concat('https://', source, '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     concat(source, '.example.com') AS domain,
+                     doc_id AS discovered_seq
+              FROM documents),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY discovered_seq) AS rnk
+              FROM cand),
+            claimed AS (
+              SELECT url, domain, discovered_seq FROM ranked
+              WHERE rnk <= 8 ORDER BY discovered_seq LIMIT 100)
+            SELECT url, domain, discovered_seq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
+            FROM claimed
         """,
         "politeness_budget_rank": """
-            SELECT o_custkey, o_orderkey, rnk FROM (
-              SELECT o_custkey, o_orderkey,
-                     CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rnk
-              FROM orders) WHERE rnk <= 3
+            WITH cand AS (
+              SELECT concat('https://', source, '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     concat(source, '.example.com') AS domain,
+                     doc_id AS discovered_seq
+              FROM documents),
+            budgets AS (
+              SELECT domain,
+                     CASE WHEN (length(domain) % 4) * 300 = 0 THEN 5
+                          ELSE LEAST(5, GREATEST(1, CAST(FLOOR(1000.0 / ((length(domain) % 4) * 300)) AS INT)))
+                     END AS b
+              FROM (SELECT DISTINCT domain FROM cand)),
+            ranked AS (
+              SELECT c.*, b.b, ROW_NUMBER() OVER (PARTITION BY c.domain ORDER BY c.discovered_seq) AS rnk
+              FROM cand c JOIN budgets b USING (domain)),
+            claimed AS (SELECT url, domain, discovered_seq FROM ranked WHERE rnk <= b)
+            SELECT url, domain, discovered_seq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
+            FROM claimed
         """,
-        "seed_ingest_dedup": f"""
-            SELECT url, regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
-                   min(doc_id) AS first_doc
-            FROM (SELECT {_URL} AS url, doc_id FROM documents)
-            GROUP BY url
+        "seed_ingest_dedup": """
+            WITH canon AS (
+              SELECT CASE WHEN doc_id % 3 = 2
+                       THEN concat('https://', source, '.example.com/doc/', CAST(doc_id % 100 AS VARCHAR), '?a=1&b=2')
+                       ELSE concat('https://', source, '.example.com/doc/', CAST(doc_id % 100 AS VARCHAR))
+                     END AS url,
+                     doc_id
+              FROM documents)
+            SELECT url, min(doc_id) AS first_doc FROM canon GROUP BY url
         """,
         "domain_routing_counts": """
             SELECT o_orderpriority, count(*) AS n,
@@ -508,8 +756,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "pagination_fanout": """
-            SELECT p_partkey, CAST(unnest(generate_series(2, pages)) AS INT) AS page
-            FROM (SELECT p_partkey, CAST(ceil(p_size / 10.0) AS INT) AS pages FROM part)
+            SELECT concat('https://x.example.com/cat/', CAST(p_partkey AS VARCHAR), '?page=', CAST(page AS VARCHAR)) AS url,
+                   CAST(0 AS INT) AS tier, CAST(1 AS INT) AS depth,
+                   CAST(1099511627776 + (p_partkey % 997) * 1048576 + (page - 2) AS BIGINT) AS discovered_seq
+            FROM (SELECT p_partkey, CAST(ceil(p_size / 10.0) AS INT) AS pages FROM part),
+                 unnest(generate_series(2, pages)) AS t(page)
             WHERE pages >= 2
         """,
         "position_ranking": """
@@ -529,35 +780,74 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(value) AS DOUBLE), 2) AS total_value
             FROM events GROUP BY event_type
         """,
-        "retry_escalation": """
+        "retry_escalation": f"""
+            WITH resolved AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 10 = 0 THEN 403
+                          WHEN event_id % 10 = 1 THEN -1
+                          WHEN event_id % 10 = 2 THEN 404
+                          WHEN event_id % 10 = 9 THEN NULL
+                          ELSE 200 END AS status_code,
+                     CASE WHEN event_id % 5 = 0 THEN 2 ELSE 0 END AS flaky,
+                     CAST(event_id % 7 AS INT) AS attempt
+              FROM events),
+            eff AS (
+              SELECT event_type, attempt,
+                     CASE WHEN status_code IS NULL THEN -1
+                          WHEN status_code = 403 AND flaky > 0 AND attempt >= flaky THEN 200
+                          ELSE status_code END AS eff
+              FROM resolved)
             SELECT event_type,
-                   CAST(sum(CASE WHEN event_id % 7 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_retryable,
-                   CAST(sum(CASE WHEN event_id % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_gave_up
-            FROM events GROUP BY event_type
+                   CASE WHEN eff = 200 THEN 'ok'
+                        WHEN eff IN (403, -1) AND attempt + 1 < {MAX_ATTEMPTS} THEN 'retry'
+                        WHEN eff = -1 THEN 'fail_hw'
+                        ELSE 'fail_logic' END AS outcome,
+                   count(*) AS n
+            FROM eff GROUP BY 1, 2
         """,
-        "history_export_join": """
-            SELECT c.c_custkey, c.c_name,
-                   CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-                   count(DISTINCT o.o_orderkey) AS n_orders
-            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-            GROUP BY c.c_custkey, c.c_name
+        "product_field_extraction": """
+            SELECT concat('https://parts.example.com/p/', CAST(p_partkey AS VARCHAR)) AS url,
+                   CASE WHEN bad THEN NULL ELSE p_name END AS title,
+                   CASE WHEN bad THEN NULL ELSE concat('Part ', p_name) END AS description,
+                   CASE WHEN bad THEN NULL ELSE p_brand END AS brand,
+                   CASE WHEN bad THEN NULL ELSE concat('https://parts.example.com/img/', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_url,
+                   CASE WHEN bad THEN NULL ELSE concat('parts_', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_file,
+                   CASE WHEN bad THEN NULL
+                        ELSE concat('{"Size": "', CAST(p_size AS VARCHAR), '", "Type": "', p_type, '"}') END AS additional_info,
+                   CASE WHEN bad THEN NULL
+                        ELSE CAST(round(p_retailprice * 100) AS BIGINT)
+                             + CASE WHEN p_partkey % 5 = 0 THEN 50000 ELSE 0 END END AS regular_price_cents,
+                   CASE WHEN bad THEN NULL ELSE CAST(round(p_retailprice * 100) AS BIGINT) END AS current_price_cents,
+                   CASE WHEN bad THEN NULL WHEN p_partkey % 2 = 0 THEN 'USD' ELSE 'GBP' END AS currency,
+                   CASE WHEN bad THEN NULL ELSE CAST(p_size >= 25 AS INT) END AS is_in_stock,
+                   CASE WHEN bad THEN NULL WHEN p_size >= 25 THEN 1 ELSE 0 END AS stock,
+                   CASE WHEN bad THEN NULL ELSE (CASE WHEN p_size % 3 = 0 THEN 'each' WHEN p_size % 3 = 1 THEN 'dozen' ELSE 'case' END) END AS units,
+                   CASE WHEN bad THEN NULL
+                        ELSE concat('https://parts.example.com/cat/', CAST(p_partkey % 7 AS VARCHAR)) END AS category,
+                   NOT bad AS parse_ok
+            FROM (SELECT *, p_partkey % 37 = 0 AS bad FROM part)
         """,
-        "session_export_join": """
-            SELECT o_orderpriority, count(*) AS n_lines,
-                   round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty
-            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-            GROUP BY o_orderpriority
+        "history_export_join": f"""
+            SELECT {export_cols} FROM read_parquet('{p_export}')
+        """,
+        "session_export_join": f"""
+            SELECT {export_cols} FROM read_parquet('{p_export}') WHERE session = 2
         """,
         "category_export": """
             SELECT p_partkey, p_name, round(CAST(p_retailprice AS DOUBLE), 2) AS price
             FROM part WHERE p_size >= 25
             ORDER BY p_retailprice DESC, p_partkey LIMIT 50
         """,
-        "export_bookkeeping": """
-            SELECT event_type, count(*) AS n_unsent FROM events
-            WHERE event_id % 10 >= 7 GROUP BY event_type
+        "export_bookkeeping": f"""
+            SELECT CAST(FLOOR((rn - 1) / 40) AS INT) AS chunk, count(*) AS n_rows
+            FROM (SELECT ROW_NUMBER() OVER (ORDER BY url) AS rn FROM read_parquet('{p_export}') WHERE session = 2)
+            GROUP BY 1
+        """,
+        "stop_tracking_rearm": f"""
+            SELECT url, status FROM read_parquet('{p_stop}')
+        """,
+        "crawl_end_to_end": f"""
+            SELECT round, url, domain, within_round_rank FROM read_parquet('{p_order}')
         """,
         "json_projection": """
             SELECT event_type,
@@ -655,5 +945,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
             FROM embeddings
+        """,
+        "minhash_lsh_neardup": f"""
+            WITH sig AS (SELECT doc, sig FROM read_parquet('{p_sig}')),
+            bands AS (
+              SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+              FROM sig, unnest(generate_series(0, 7)) AS t(band)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc
+            ),
+            est AS (
+              SELECT c.doc_a, c.doc_b,
+                     list_sum(list_transform(generate_series(1, 32),
+                         i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) / 32.0 AS jaccard_est
+              FROM cand c JOIN sig sa ON sa.doc = c.doc_a JOIN sig sb ON sb.doc = c.doc_b
+            )
+            SELECT doc_a, doc_b, jaccard_est FROM est
+            WHERE jaccard_est >= 0.5 ORDER BY doc_a, doc_b
+        """,
+        "simhash_neardup": f"""
+            SELECT doc, simhash FROM read_parquet('{p_sim}') ORDER BY doc
+        """,
+        "ann_lsh_topk": f"""
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings e JOIN read_parquet('{p_ann}') b ON e.vec_id = b.vec_id
+            WHERE b.bucket = {qb}
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
         """,
     }

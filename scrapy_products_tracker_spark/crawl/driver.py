@@ -9,6 +9,19 @@ here by one atomic snapshot commit per round. Crash recovery is the
 reference's nack-redelivery semantic for free: a round that never
 committed leaves the frontier unchanged, so its rows are re-claimed
 identically on resume (X4/X5).
+
+Scale shape of one round (every step bounded by the chunk, never the
+frontier):
+- claim: frontier scan filtered to PENDING (columnar, narrow columns),
+  salted per-domain top-k, global top-``chunk``;
+- dedup: parquet-backed seen-table probe (bucket-co-partitioned
+  cogroup, dedup/seen_table.py), then an exact anti-join keyed on
+  ``url_hash`` against ONLY the candidates' hash buckets of the
+  frontier (store.read_frontier_buckets);
+- commit: dirty-bucket frontier rewrite + dirty-shard seen-set delta —
+  both bounded by the round's updates/inserts (store.py).
+The driver holds plans, counters, and the manifest; no shard payload,
+frontier slice, or URL list is ever materialized driver-side.
 """
 
 from __future__ import annotations
@@ -18,7 +31,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..dedup.bloom import BloomShards, build_bloom, bloom_mark_candidates
+from ..dedup.exact import anti_join_on_hash
+from ..dedup.seen_table import BloomTable, CuckooTable
 from ..fetchers.synthetic import (
     FAIL_HW,
     FAIL_LOGIC,
@@ -29,6 +43,7 @@ from ..fetchers.synthetic import (
     resolve_pages,
     with_simulated_latency,
 )
+from ..frontier.store import frontier_bucket_col
 from ..functions.hashing import url_hash_col
 from ..functions.urls import canonicalize_udf, domain_of
 from ..politeness.scheduler import CLAIM_ORDER, collect_budgets, mark_robots, schedule_round
@@ -65,11 +80,6 @@ class CrawlConfig:
     bloom_k: int = 5
     max_rounds: int = 10_000
     reencode_payload: bool = True
-    # below this many inserts the round's Bloom delta is applied driver-
-    # side from collected (h1,h2) pairs — one tiny job instead of a
-    # distributed build; above it the distributed applyInPandas build
-    # runs (the 10^10-scale path, same bit layout either way)
-    bloom_driver_update_max: int = 200_000
     # resolve transient failures (403/timeout) by re-fetching INSIDE the
     # round's plan (unrolled to MAX_ATTEMPTS) instead of re-claiming in
     # later rounds. This is the reference's retry-middleware semantic
@@ -91,6 +101,7 @@ class CrawlConfig:
     # anti-join confirms every maybe-seen candidate.
     seen_filter: str = "bloom"
     cuckoo_capacity: int = 1 << 20  # keys the cuckoo table is sized for
+    cuckoo_shards: int = 16  # power of two
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -121,9 +132,12 @@ class CrawlDriver:
 
     # ------------------------------------------------------------------
     def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
+        url_hash = (
+            F.col("url_hash") if "url_hash" in df.columns else url_hash_col(F.col("url"))
+        )
         return df.select(
             "url",
-            url_hash_col(F.col("url")).alias("url_hash"),
+            url_hash.alias("url_hash"),
             domain_of(F.col("url")).alias("domain"),
             F.col("tier").cast("int"),
             F.col("priority").cast("int"),
@@ -148,41 +162,27 @@ class CrawlDriver:
         ).drop("_robots_blocked")
 
     # --- seen-filter plumbing (bloom default, cuckoo fallback) ---------
-    def _collect_hashes(self, df: DataFrame):
-        from ..dedup.bloom import with_bloom_hashes
-
-        hp = with_bloom_hashes(df, "url").select("_h1", "_h2").toPandas()
-        return hp["_h1"].to_numpy(), hp["_h2"].to_numpy()
-
-    def _build_filter(self, frontier: DataFrame):
+    def _seen_build_spec(self, frontier: DataFrame) -> tuple[str, dict, DataFrame]:
+        """(kind, params, shards_df) for the initial seen-table build —
+        a distributed applyInPandas whose output the store writes as
+        the parquet shard table (nothing collected)."""
         if self.cfg.seen_filter == "cuckoo":
-            from ..dedup.cuckoo import CuckooFilter
-
-            ck = CuckooFilter.for_capacity(self.cfg.cuckoo_capacity)
-            ck.add_many(*self._collect_hashes(frontier))
-            return ck
-        return build_bloom(
-            frontier,
-            "url",
-            self.cfg.bloom_buckets,
-            self.cfg.bloom_bits_per_bucket,
-            self.cfg.bloom_k,
+            params = CuckooTable.params_for_capacity(
+                self.cfg.cuckoo_capacity, self.cfg.cuckoo_shards
+            )
+            df = CuckooTable.build_shards_df(
+                frontier, "url", params["n_shards"], params["n_buckets"]
+            )
+            return "cuckoo", params, df
+        params = {
+            "n_buckets": self.cfg.bloom_buckets,
+            "bits": self.cfg.bloom_bits_per_bucket,
+            "k": self.cfg.bloom_k,
+        }
+        df = BloomTable.build_shards_df(
+            frontier, "url", params["n_buckets"], params["bits"], params["k"]
         )
-
-    def _read_filter(self):
-        if self.cfg.seen_filter == "cuckoo":
-            return self.store.read_cuckoo()
-        return self.store.read_bloom()
-
-    def _filter_kwargs(self, filt) -> dict:
-        return {"cuckoo": filt} if self.cfg.seen_filter == "cuckoo" else {"bloom": filt}
-
-    def _mark_seen(self, df: DataFrame, filt) -> DataFrame:
-        if self.cfg.seen_filter == "cuckoo":
-            from ..dedup.cuckoo import cuckoo_mark_candidates
-
-            return cuckoo_mark_candidates(df, filt, "url")
-        return bloom_mark_candidates(df, filt, "url")
+        return "bloom", params, df
 
     def seed(self, seeds: DataFrame) -> int:
         """Ingest the seed list (S1-S4): canonicalize, dedup, robots-tag,
@@ -203,7 +203,6 @@ class CrawlDriver:
         frontier = self._frontier_row_select(
             tagged, status_col=F.col("_st"), source="seed", round_no=0
         )
-        filt = self._build_filter(frontier)
         # one job for both tallies (was two separate count() actions)
         stats = frontier.agg(
             F.count("*").alias("n"),
@@ -214,7 +213,7 @@ class CrawlDriver:
         counters["urls_seen"] = int(stats["n"])
         return self.store.commit(
             frontier,
-            **self._filter_kwargs(filt),
+            seen_build=self._seen_build_spec(frontier),
             meta={
                 "round": 0,
                 "session": self.cfg.session,
@@ -230,20 +229,21 @@ class CrawlDriver:
         """Execute one scheduling round; returns round meta, or None when
         no claimable work remains (frontier drained).
 
-        Job economy: one round costs exactly one *stats* job (a union of
-        tagged 1-column projections over the persisted claim/fetch/
-        expand/item frames, aggregated in a single pass — replaces six
-        separate count()/collect() actions), plus the snapshot writes
-        and a tiny Bloom-delta collect. At 10^10-URL scale the per-round
-        fixed cost is what bounds scheduler throughput, so the loop is
-        designed around action count, not row count.
+        Job economy: one round costs one *stats* job (a union of tagged
+        1-column projections over the persisted claim/fetch/expand/item
+        frames, aggregated in a single pass — replaces six separate
+        count()/collect() actions), one tiny bucket-id collect for the
+        anti-join pruning, plus the snapshot writes (dirty buckets/
+        shards only). At 10^10-URL scale the per-round fixed cost is
+        what bounds scheduler throughput, so the loop is designed
+        around action count, not row count.
         """
         manifest = self.store.read_manifest()
         if manifest is None:
             raise RuntimeError("seed() first")
         round_no = manifest["meta"]["round"] + 1
         counters = dict(manifest["meta"]["counters"])
-        seen = self._read_filter()
+        seen = self.store.read_seen(self.spark)
 
         frontier = self.store.read_frontier(self.spark)
         pending = frontier.filter(F.col("status") == PENDING)
@@ -297,28 +297,37 @@ class CrawlDriver:
             children_raw.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .withColumn("url_hash", url_hash_col(F.col("url")))
         )
-        # against-frontier dedup: Bloom pre-filter + exact anti-join (D1)
-        cached.append(children_raw)
+        # against-frontier dedup (D1): seen-table pre-filter (cogroup
+        # probe over the parquet shards) + exact anti-join confirm on
+        # url_hash, probing ONLY the candidates' hash buckets of the
+        # frontier store (partition pruning; at 10^10 rows the pruned
+        # read is what keeps the confirm sub-linear in frontier size)
         if seen is not None:
             # probe once, filter twice (a probe per branch would run the
             # canonicalize+window subtree and the probe kernel 2x)
-            probed = self._mark_seen(children, seen).persist()
+            probed = seen.mark(children).persist()
             cached.append(probed)
             unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-            rescued = maybe.join(
-                frontier.select(F.col("url").alias("_seen")),
-                maybe["url"] == F.col("_seen"),
-                "left_anti",
-            )
+            n_buckets = self.store.frontier_n_buckets()
+            if n_buckets:
+                cand_buckets = [
+                    r["fb"]
+                    for r in maybe.select(
+                        frontier_bucket_col(F.col("url_hash"), n_buckets).alias("fb")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                confirm_keys = self.store.read_frontier_buckets(self.spark, cand_buckets)
+            else:
+                confirm_keys = frontier
+            rescued = anti_join_on_hash(maybe, confirm_keys.select("url_hash", "url"))
             new_urls = unseen.unionByName(rescued)
         else:
-            new_urls = children.join(
-                frontier.select(F.col("url").alias("_seen")),
-                children["url"] == F.col("_seen"),
-                "left_anti",
-            )
+            new_urls = anti_join_on_hash(children, frontier.select("url_hash", "url"))
         tagged = self._robots_status(new_urls)
         inserts = self._frontier_row_select(
             tagged, status_col=F.col("_st"), source="outlink", round_no=round_no
@@ -333,6 +342,24 @@ class CrawlDriver:
             ok_t1, self.image_caption, round_no, self.cfg.reencode_payload
         ).persist()
         cached.append(items)
+
+        # --- product-field extraction (E3-E12) + targets/history (K4/K6)
+        # when the fetch layer returns raw bodies: parse inside Arrow
+        # batches, upsert the 16-field metadata keyed by url, append the
+        # price-history snapshot. Unparseable pages (X7) are counted,
+        # never fatal.
+        parsed = products_batch = history_batch = None
+        if "body" in fx.columns:
+            from ..products.tables import build_history_rows, build_target_rows
+            from .extract import extract_product_fields
+
+            parsed = extract_product_fields(
+                ok_t1.select("url", "url_hash", "position", "body"), "url", "body"
+            ).persist()
+            cached.append(parsed)
+            parsed_ok = parsed.filter(F.col("parse_ok"))
+            products_batch = build_target_rows(parsed_ok, self.cfg.session, round_no)
+            history_batch = build_history_rows(parsed_ok, self.cfg.session, round_no)
 
         # --- ONE stats job: counters (A1-A4) + per-domain lineage -------
         def _tag(df, key_col):
@@ -359,6 +386,13 @@ class CrawlDriver:
             )
             .unionAll(_tag(items, F.lit("item")))
         )
+        if parsed is not None:
+            stats_df = stats_df.unionAll(
+                _tag(
+                    parsed,
+                    F.when(F.col("parse_ok"), F.lit("prod")).otherwise(F.lit("prod_bad")),
+                )
+            )
         import time as _time
 
         _t0 = _time.monotonic()
@@ -381,6 +415,8 @@ class CrawlDriver:
         n_inserted = tallies.get("ins", 0) + tallies.get("ins_skip", 0)
         n_skipped = tallies.get("ins_skip", 0)
         n_items = tallies.get("item", 0)
+        n_products = tallies.get("prod", 0)
+        n_unparseable = tallies.get("prod_bad", 0)
 
         # --- status state machine (A3/K2/K7) ----------------------------
         new_status = (
@@ -397,10 +433,6 @@ class CrawlDriver:
             .otherwise(F.col("attempt") + 1)
             .alias("new_attempt"),
         )
-        merged = self.store.read_frontier(self.spark)  # re-read: keep plan shallow
-        from ..frontier.merge import merge_inserts, merge_status_updates
-
-        new_frontier = merge_inserts(merge_status_updates(merged, updates), inserts)
 
         counters["urls_fetched"] += by_outcome.get(OK, 0)
         counters["urls_failed_hw"] += by_outcome.get(FAIL_HW, 0)
@@ -432,30 +464,6 @@ class CrawlDriver:
             F.col("within_round_rank").cast("int").alias("within_round_rank"),
         )
 
-        # --- seen-set maintenance: add this round's inserts -------------
-        _t0 = _time.monotonic()
-        if seen is not None and n_inserted:
-            if self.cfg.seen_filter == "cuckoo":
-                seen.add_many(*self._collect_hashes(inserts))
-            elif n_inserted <= self.cfg.bloom_driver_update_max:
-                # small delta: collect JVM-computed (h1,h2) pairs and set
-                # bits driver-side (numpy) — avoids a shuffle job
-                import numpy as np
-
-                h1, h2 = self._collect_hashes(inserts)
-                buckets = (h1.view("uint64") % seen.n_buckets).astype("int64")
-                for b in np.unique(buckets):
-                    m = buckets == b
-                    seen.add_pdf(int(b), h1[m], h2[m])
-            else:
-                delta = build_bloom(inserts, "url", seen.n_buckets, seen.bits, seen.k)
-                for b, arr in delta.arrays.items():
-                    if b in seen.arrays:
-                        seen.arrays[b] = seen.arrays[b] | arr
-                    else:
-                        seen.arrays[b] = arr
-
-        t_bloom = _time.monotonic() - _t0
         meta = {
             "round": round_no,
             "session": self.cfg.session,
@@ -463,19 +471,24 @@ class CrawlDriver:
             "lineage": lineage,
             "claimed": by_outcome,
             "pending_hint": pending_hint,
+            "products": {"upserted": n_products, "unparseable": n_unparseable},
             **self.cfg.extra_meta,
         }
+        # --- commit: dirty-bucket frontier MERGE + dirty-shard seen
+        # delta, all computed executor-side inside the store ------------
         _t0 = _time.monotonic()
         self.store.commit(
-            new_frontier,
+            frontier_updates=updates,
+            frontier_inserts=inserts if n_inserted else None,
             new_results=items if n_items else None,
             new_crawl_order=crawl_order,
-            **self._filter_kwargs(seen),
+            new_history=history_batch if n_products else None,
+            products_upsert=products_batch if n_products else None,
+            seen_delta=(seen.delta_df(inserts) if (seen is not None and n_inserted) else None),
             meta=meta,
         )
         meta["timings"] = {
             "stats_s": round(t_stats, 2),
-            "bloom_s": round(t_bloom, 2),
             "commit_s": round(_time.monotonic() - _t0, 2),
         }
         for df in cached:
@@ -497,27 +510,33 @@ class CrawlDriver:
     def rearm_session(self, new_session: int) -> int:
         """Session rotation (O5): re-arm every finally-resolved row for a
         fresh crawl epoch (reference start_tracking.py:176-193 flips
-        status=0, session=cur for tracked rows)."""
+        status=0, session=cur WHERE is_tracked=1). Products stopped via
+        stop_tracking (O6, products/export.py) are excluded: their
+        frontier rows keep their terminal status and are never
+        re-claimed."""
         frontier = self.store.read_frontier(self.spark)
+        products = self.store.read_products(self.spark)
+        tracked = F.lit(True)
+        if products is not None:
+            untracked = products.filter(~F.col("is_tracked")).select(
+                F.col("url").alias("_untracked_url")
+            )
+            frontier = frontier.join(
+                untracked, frontier["url"] == F.col("_untracked_url"), "left"
+            )
+            tracked = F.col("_untracked_url").isNull()
+        rearm = F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR) & tracked
         rearmed = (
             frontier.withColumn(
-                "attempt",
-                F.when(F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(0)).otherwise(
-                    F.col("attempt")
-                ),
+                "attempt", F.when(rearm, F.lit(0)).otherwise(F.col("attempt"))
             )
             .withColumn(
-                "session",
-                F.when(
-                    F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(new_session)
-                ).otherwise(F.col("session")),
+                "session", F.when(rearm, F.lit(new_session)).otherwise(F.col("session"))
             )
             .withColumn(
-                "status",
-                F.when(F.col("status").isin(SUCCESS, ERROR, HARDWARE_ERROR), F.lit(PENDING)).otherwise(
-                    F.col("status")
-                ),
+                "status", F.when(rearm, F.lit(PENDING)).otherwise(F.col("status"))
             )
+            .drop("_untracked_url")
         )
         self.cfg.session = new_session
         manifest = self.store.read_manifest()
@@ -534,7 +553,6 @@ class CrawlDriver:
         prev_hint = manifest["meta"].get("pending_hint") or 0
         return self.store.commit(
             rearmed,
-            **self._filter_kwargs(self._read_filter()),
             meta={
                 "round": manifest["meta"]["round"],
                 "session": new_session,

@@ -1,23 +1,18 @@
-from .bloom import (
-    BloomShards,
-    bloom_filter_candidates,
-    bloom_mark_candidates,
-    build_bloom,
-    optimal_params,
-    with_bloom_hashes,
-)
-from .cuckoo import CuckooFilter, cuckoo_mark_candidates
-from .exact import dedup_against_frontier, dedup_within_batch
+from .bloom import BloomShards, bucket_col, optimal_params, with_bloom_hashes
+from .cuckoo import CuckooFilter
+from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch
+from .seen_table import BloomTable, CuckooTable, open_seen_table
 
 __all__ = [
     "BloomShards",
-    "bloom_filter_candidates",
-    "bloom_mark_candidates",
-    "build_bloom",
-    "optimal_params",
-    "with_bloom_hashes",
+    "BloomTable",
     "CuckooFilter",
-    "cuckoo_mark_candidates",
+    "CuckooTable",
+    "anti_join_on_hash",
+    "bucket_col",
     "dedup_against_frontier",
     "dedup_within_batch",
+    "open_seen_table",
+    "optimal_params",
+    "with_bloom_hashes",
 ]

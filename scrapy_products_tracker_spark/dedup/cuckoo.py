@@ -21,33 +21,6 @@ _SLOTS = 4
 _MAX_KICKS = 500
 
 
-def cuckoo_mark_candidates(df, ck: "CuckooFilter", url_col: str = "url"):
-    """Streaming-probe twin of ``bloom_mark_candidates``: adds a
-    ``_maybe_seen`` boolean column using the cuckoo table (closure-
-    broadcast to executors; probe is vectorized numpy over the same
-    JVM-computed (h1, h2) hash pair the Bloom kernels use)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from .bloom import with_bloom_hashes
-
-    table, n_buckets = ck.table, ck.n_buckets
-
-    def _probe(it):
-        probe_ck = CuckooFilter(n_buckets)
-        probe_ck.table = table
-        for pdf in it:
-            out = pdf.copy()
-            out["_maybe_seen"] = probe_ck.contains_many(
-                pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy()
-            )
-            yield out
-
-    hashed = with_bloom_hashes(df, url_col)
-    schema = T.StructType(hashed.schema.fields + [T.StructField("_maybe_seen", T.BooleanType())])
-    return hashed.mapInPandas(_probe, schema).drop("_h1", "_h2")
-
-
 class CuckooFilter:
     def __init__(self, n_buckets: int, seed: int = 42):
         # power-of-two bucket count so xor-indexing stays in range

@@ -9,11 +9,14 @@ because the frontier itself is the dedup point. Here:
 - within-batch: first discovery wins, deterministically by the
   discovery order key (parent rank, outlink position) — not
   ``dropDuplicates`` (which keeps an arbitrary row).
-- against-frontier: Bloom pre-filter (bloom.py) splits candidates into
-  definitely-unseen (pass through, no join) and maybe-seen; only the
-  maybe-seen slice pays the ``left_anti`` join against the frontier.
-  The join keys on ``url_hash`` (64-bit) with an equality confirm on
-  ``url`` to be collision-safe.
+- against-frontier: the seen-table pre-filter (seen_table.BloomTable /
+  CuckooTable cogroup probe) splits candidates into definitely-unseen
+  (pass through, no join) and maybe-seen; only the maybe-seen slice
+  pays the ``left_anti`` join against the frontier. That join keys on
+  ``url_hash`` (8 bytes shuffled, not full URL strings) with an
+  equality confirm on ``url`` for 64-bit collision safety, and the
+  probe side can be pruned to the candidates' hash buckets when the
+  frontier store is bucketized (store.read_frontier_buckets).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .bloom import BloomShards, bloom_filter_candidates
+from ..functions.hashing import url_hash_col
 
 
 def dedup_within_batch(df: DataFrame, order_cols: list[str], key: str = "url") -> DataFrame:
@@ -32,24 +35,46 @@ def dedup_within_batch(df: DataFrame, order_cols: list[str], key: str = "url") -
     )
 
 
+def anti_join_on_hash(candidates: DataFrame, frontier_keys: DataFrame) -> DataFrame:
+    """``candidates LEFT ANTI JOIN frontier`` on (url_hash, url).
+
+    Both sides shuffle 8-byte hashes plus the candidate rows; the
+    frontier side only needs its (url_hash, url) projection — column
+    pruning reaches the parquet scan. A hash collision (same hash,
+    different url) fails the url-equality confirm, so the candidate
+    survives — exactness does not rest on hash uniqueness.
+    """
+    cand = candidates
+    if "url_hash" not in cand.columns:
+        cand = cand.withColumn("url_hash", url_hash_col(F.col("url")))
+    keys = frontier_keys.select(
+        F.col("url_hash").alias("_seen_hash"), F.col("url").alias("_seen_url")
+    )
+    return cand.join(
+        keys,
+        (cand["url_hash"] == F.col("_seen_hash")) & (cand["url"] == F.col("_seen_url")),
+        "left_anti",
+    )
+
+
 def dedup_against_frontier(
     candidates: DataFrame,
     frontier: DataFrame,
-    bloom: BloomShards | None,
+    seen=None,
     url_col: str = "url",
 ) -> tuple[DataFrame, int]:
-    """Return (unseen candidates, n_maybe) — exact, Bloom-accelerated.
+    """Return (unseen candidates, n_maybe) — exact, seen-table
+    accelerated.
 
-    ``n_maybe`` is -1 when no Bloom filter is supplied (pure anti-join
-    path, used by tests to compare both paths for exactness).
+    ``seen`` is a seen_table.BloomTable / CuckooTable (or None for the
+    pure anti-join path, used by tests to compare both for exactness).
+    ``n_maybe`` is -1 without a filter, -2 with one (the split is lazy;
+    counting it would force an extra job).
     """
-    seen_keys = frontier.select(F.col(url_col).alias("_seen_url"))
-    if bloom is None:
-        out = candidates.join(
-            seen_keys, candidates[url_col] == F.col("_seen_url"), "left_anti"
-        )
-        return out, -1
-    unseen = bloom_filter_candidates(candidates, bloom, url_col, keep="unseen")
-    maybe = bloom_filter_candidates(candidates, bloom, url_col, keep="maybe")
-    rescued = maybe.join(seen_keys, maybe[url_col] == F.col("_seen_url"), "left_anti")
+    if seen is None:
+        return anti_join_on_hash(candidates, frontier), -1
+    probed = seen.mark(candidates, url_col)
+    unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    rescued = anti_join_on_hash(maybe, frontier)
     return unseen.unionByName(rescued), -2

@@ -13,12 +13,24 @@ manifests and an atomically-replaced ``LATEST`` pointer:
   manifest naming them, then atomically flips ``LATEST`` (os.replace).
   The pointer flip is the commit point; a crash before it leaves only
   unreferenced garbage (exactly Iceberg's model).
-- frontier versions are copy-on-write rewrites (Iceberg MERGE INTO
-  copy-on-write); results / crawl-order are append-only file lists.
+- the **frontier is hash-bucketized**: rows live under
+  ``fb=pmod-equivalent(url_hash, B)`` directories and the manifest maps
+  bucket -> file path. A round's commit (``frontier_updates`` +
+  ``frontier_inserts``) reads and rewrites ONLY the dirty buckets —
+  the buckets containing updated or inserted url_hashes — so per-round
+  commit cost is bounded by the claim chunk + discoveries, not the
+  10^10-row frontier (Iceberg MERGE INTO on a ``bucket(url_hash)``
+  partition spec behaves identically). Clean buckets are carried
+  forward by reference, like Iceberg manifests reusing data files.
+- the **seen-set (Bloom/cuckoo) shards are a parquet table** under
+  ``data/seen/``, also referenced per-shard, with the same dirty-shard
+  delta commit; shard payloads never pass through the driver
+  (dedup/seen_table.py).
+- results / crawl-order are append-only file lists.
 - time travel / resume = read any retained manifest.
 - the manifest also carries the run metadata the north rule requires:
   round number, session, fetch/dedup/skip counters, per-partition
-  (per-domain) lineage counts, and the Bloom seen-set shards.
+  (per-domain) lineage counts.
 
 On a real cluster with Iceberg jars present, ``IcebergFrontierStore``
 maps commit -> MERGE INTO/append + snapshot id; the engine only talks
@@ -33,15 +45,29 @@ import shutil
 import time
 from pathlib import Path
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..dedup.bloom import BloomShards
+from ..dedup.seen_table import (
+    BLOOM_SHARD_SCHEMA,
+    CUCKOO_SHARD_SCHEMA,
+    BloomTable,
+    open_seen_table,
+)
+
+
+def frontier_bucket_col(url_hash_col, n_buckets: int):
+    """Bucket key for the frontier layout; same two's-complement AND the
+    Bloom shards use, exact for power-of-two bucket counts."""
+    return url_hash_col.bitwiseAND(F.lit(n_buckets - 1)).cast("int")
 
 
 class SnapshotParquetStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, n_frontier_buckets: int = 32):
+        if n_frontier_buckets < 1 or (n_frontier_buckets & (n_frontier_buckets - 1)) != 0:
+            raise ValueError("n_frontier_buckets must be a power of two")
         self.root = Path(root)
+        self.n_frontier_buckets = n_frontier_buckets
         (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
 
@@ -62,11 +88,39 @@ class SnapshotParquetStore:
         return json.loads(self._manifest_path(version).read_text())
 
     # --- readers ---------------------------------------------------------
+    def _frontier_paths(self, m: dict, buckets=None) -> list[str]:
+        fr = m["frontier"]
+        if isinstance(fr, str):  # legacy unbucketized layout
+            return [str(self.root / fr)]
+        bmap = fr["buckets"]
+        if buckets is None:
+            return [str(self.root / p) for p in bmap.values()]
+        return [str(self.root / bmap[str(b)]) for b in buckets if str(b) in bmap]
+
     def read_frontier(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         m = self.read_manifest(version)
         if m is None:
             return None
-        return spark.read.parquet(str(self.root / m["frontier"]))
+        return spark.read.parquet(*self._frontier_paths(m))
+
+    def read_frontier_buckets(
+        self, spark: SparkSession, buckets, version: int | None = None
+    ) -> DataFrame | None:
+        """Read only the named hash buckets — partition pruning for the
+        seen-set exact-confirm anti-join (candidates' buckets only)."""
+        m = self.read_manifest(version)
+        if m is None:
+            return None
+        paths = self._frontier_paths(m, buckets)
+        if not paths:
+            return self.read_frontier(spark, version).limit(0)
+        return spark.read.parquet(*paths)
+
+    def frontier_n_buckets(self, version: int | None = None) -> int | None:
+        m = self.read_manifest(version)
+        if m is None or isinstance(m["frontier"], str):
+            return None
+        return int(m["frontier"]["n_buckets"])
 
     def _read_appendlist(self, spark: SparkSession, key: str, version: int | None) -> DataFrame | None:
         m = self.read_manifest(version)
@@ -80,93 +134,322 @@ class SnapshotParquetStore:
     def read_crawl_order(self, spark, version=None):
         return self._read_appendlist(spark, "crawl_order", version)
 
-    def read_bloom(self, version: int | None = None) -> BloomShards | None:
+    def read_history(self, spark, version=None):
+        return self._read_appendlist(spark, "history", version)
+
+    def read_products(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         m = self.read_manifest(version)
-        if not m or not m.get("bloom"):
+        if m is None or not m.get("products"):
             return None
-        pdf = pd.read_parquet(self.root / m["bloom"])
-        if pdf.empty:
-            return None
-        return BloomShards.from_pandas(
-            pdf, int(pdf["n_buckets"].iloc[0]), int(pdf["bits"].iloc[0]), int(pdf["k"].iloc[0])
+        return spark.read.parquet(
+            *[str(self.root / p) for p in m["products"]["buckets"].values()]
         )
 
-    def read_cuckoo(self, version: int | None = None):
-        from ..dedup.cuckoo import CuckooFilter
-
+    def read_seen(self, spark: SparkSession | None = None, version: int | None = None):
+        """Seen-table handle (BloomTable/CuckooTable) for the snapshot;
+        state stays in parquet — this only returns paths + params."""
         m = self.read_manifest(version)
-        if not m or not m.get("cuckoo"):
+        if not m or not m.get("seen"):
             return None
-        return CuckooFilter.from_pandas(pd.read_parquet(self.root / m["cuckoo"]))
+        spark = spark or SparkSession.getActiveSession()
+        s = m["seen"]
+        paths = [str(self.root / p) for p in s["files"].values()]
+        return open_seen_table(spark, s["kind"], paths, s["params"])
+
+    def read_bloom(self, version: int | None = None):
+        t = self.read_seen(version=version)
+        return t if t is not None and t.kind == "bloom" else None
+
+    def read_cuckoo(self, version: int | None = None):
+        t = self.read_seen(version=version)
+        return t if t is not None and t.kind == "cuckoo" else None
+
+    # --- write helpers ---------------------------------------------------
+    def _write_partitioned(self, df: DataFrame, rel_dir: str, part_col) -> dict[str, str]:
+        """Write df into ``rel_dir`` partitioned by the given bucket
+        column expression; returns bucket -> relpath of the dirs that
+        actually materialized."""
+        out = self.root / rel_dir
+        (
+            df.withColumn("pb", part_col)
+            .repartition("pb")  # one task per bucket -> ~one file per dir
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(str(out))
+        )
+        found: dict[str, str] = {}
+        for child in out.iterdir():
+            if child.is_dir() and child.name.startswith("pb="):
+                found[child.name.split("=", 1)[1]] = f"{rel_dir}/{child.name}"
+        return found
+
+    def _commit_frontier_full(self, frontier: DataFrame, version: int):
+        rel = f"data/frontier/v{version}"
+        if "url_hash" not in frontier.columns:
+            # legacy/simple tables (unit tests): single directory
+            frontier.write.mode("overwrite").parquet(str(self.root / rel))
+            return rel
+        B = self.n_frontier_buckets
+        written = self._write_partitioned(
+            frontier, rel, frontier_bucket_col(F.col("url_hash"), B)
+        )
+        return {"n_buckets": B, "buckets": written}
+
+    def _commit_frontier_delta(
+        self, prev: dict, updates: DataFrame | None, inserts: DataFrame | None, version: int
+    ):
+        """Dirty-bucket MERGE: read only buckets containing updated or
+        inserted hashes, apply the copy-on-write merge plan, rewrite
+        those buckets; clean buckets carry forward by reference."""
+        from .merge import merge_inserts, merge_status_updates
+
+        fr = prev["frontier"]
+        if isinstance(fr, str):
+            raise ValueError("delta commit requires a bucketized frontier")
+        B = int(fr["n_buckets"])
+        bmap = dict(fr["buckets"])
+        spark = (updates or inserts).sparkSession
+
+        def _fb(df):
+            return df.select(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+
+        parts = [_fb(d) for d in (updates, inserts) if d is not None]
+        dirty_df = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        dirty = sorted(int(r["fb"]) for r in dirty_df.distinct().collect())
+        if not dirty:
+            return {"n_buckets": B, "buckets": bmap}, []
+        sub_paths = [str(self.root / bmap[str(b)]) for b in dirty if str(b) in bmap]
+        if sub_paths:
+            sub = spark.read.parquet(*sub_paths)
+        else:
+            sub = self.read_frontier(spark).limit(0)
+        merged = sub if updates is None else merge_status_updates(sub, updates)
+        if inserts is not None:
+            merged = merge_inserts(merged, inserts)
+        rel = f"data/frontier/v{version}"
+        written = self._write_partitioned(
+            merged, rel, frontier_bucket_col(F.col("url_hash"), B)
+        )
+        for b in dirty:
+            sb = str(b)
+            if sb in written:
+                bmap[sb] = written[sb]
+            else:  # bucket emptied (cannot happen today: rows never deleted)
+                bmap.pop(sb, None)
+        return {"n_buckets": B, "buckets": bmap}, dirty
+
+    def _commit_products_delta(
+        self,
+        prev: dict,
+        upsert: DataFrame | None,
+        set_updates: DataFrame | None,
+        version: int,
+    ) -> dict:
+        """Dirty-bucket MERGE for the product_targets table — the K4
+        16-field upsert (products/tables.upsert_products) or a
+        set-columns MERGE (mark-sent K9 / stop-tracking O6). Same
+        copy-on-write layout as the frontier; first upsert creates the
+        table."""
+        from ..products.tables import merge_set_columns, upsert_products
+
+        delta = upsert if upsert is not None else set_updates
+        spark = delta.sparkSession
+        entry = prev.get("products") if prev else None
+        B = int(entry["n_buckets"]) if entry else self.n_frontier_buckets
+        bmap = dict(entry["buckets"]) if entry else {}
+        dirty = sorted(
+            int(r["fb"])
+            for r in delta.select(
+                frontier_bucket_col(F.col("url_hash"), B).alias("fb")
+            )
+            .distinct()
+            .collect()
+        )
+        if not dirty:
+            return entry
+        sub_paths = [str(self.root / bmap[str(b)]) for b in dirty if str(b) in bmap]
+        if sub_paths:
+            sub = spark.read.parquet(*sub_paths)
+        elif entry:
+            sub = self.read_products(spark).limit(0)
+        else:
+            if set_updates is not None:
+                raise ValueError("products_set requires an existing products table")
+            sub = spark.createDataFrame([], upsert.schema)
+        merged = (
+            upsert_products(sub, upsert)
+            if upsert is not None
+            else merge_set_columns(sub, set_updates)
+        )
+        rel = f"data/products/v{version}"
+        written = self._write_partitioned(
+            merged, rel, frontier_bucket_col(F.col("url_hash"), B)
+        )
+        for b in dirty:
+            if str(b) in written:
+                bmap[str(b)] = written[str(b)]
+        return {"n_buckets": B, "buckets": bmap}
+
+    def _commit_seen_build(self, kind: str, params: dict, shards_df: DataFrame, version: int) -> dict:
+        written = self._write_partitioned(shards_df, f"data/seen/v{version}", F.col("bucket"))
+        return {"kind": kind, "params": params, "files": written}
+
+    def _commit_seen_delta(self, prev_seen: dict, delta_df: DataFrame, version: int) -> dict:
+        """Merge a round's delta into the dirty shards only. The delta is
+        small (bounded by the round's inserts) but its distinct-shard
+        set is what bounds the rewrite, exactly like the frontier."""
+        kind, params = prev_seen["kind"], prev_seen["params"]
+        files = dict(prev_seen["files"])
+        spark = delta_df.sparkSession
+        delta_df = delta_df.persist()
+        try:
+            dirty = sorted(
+                int(r["bucket"]) for r in delta_df.select("bucket").distinct().collect()
+            )
+            if not dirty:
+                return prev_seen
+            existing_paths = [str(self.root / files[str(b)]) for b in dirty if str(b) in files]
+            schema = BLOOM_SHARD_SCHEMA if kind == "bloom" else CUCKOO_SHARD_SCHEMA
+            existing = (
+                spark.read.parquet(*existing_paths)
+                if existing_paths
+                else spark.createDataFrame([], schema)
+            )
+            table = open_seen_table(spark, kind, [], params)
+            if kind == "bloom":
+                merged = BloomTable.merge_shards(existing, delta_df)
+            else:
+                merged = table.merge_shards(existing, delta_df)
+            written = self._write_partitioned(merged, f"data/seen/v{version}", F.col("bucket"))
+            for b in dirty:
+                if str(b) in written:
+                    files[str(b)] = written[str(b)]
+            return {"kind": kind, "params": params, "files": files}
+        finally:
+            delta_df.unpersist()
 
     # --- commit ----------------------------------------------------------
     def commit(
         self,
-        frontier: DataFrame,
+        frontier: DataFrame | None = None,
         *,
+        frontier_updates: DataFrame | None = None,
+        frontier_inserts: DataFrame | None = None,
         new_results: DataFrame | None = None,
         new_crawl_order: DataFrame | None = None,
-        bloom: BloomShards | None = None,
-        cuckoo=None,
+        new_history: DataFrame | None = None,
+        products_upsert: DataFrame | None = None,
+        products_set: DataFrame | None = None,
+        seen_build: tuple[str, dict, DataFrame] | None = None,
+        seen_delta: DataFrame | None = None,
         meta: dict | None = None,
     ) -> int:
+        """One atomic snapshot. Exactly one of ``frontier`` (full
+        rewrite: seeding, session re-arm) or ``frontier_updates``/
+        ``frontier_inserts`` (dirty-bucket delta: a crawl round) should
+        be provided. The pointer flip after ALL writes land is the
+        commit point; a crash before it leaves the previous snapshot
+        fully intact (reference nack-redelivery semantics, X4/X5)."""
         prev = self.read_manifest()
         version = (prev["version"] + 1) if prev else 1
-        fdir = f"data/frontier/v{version}"
+        delta_mode = frontier_updates is not None or frontier_inserts is not None
+        if delta_mode and frontier is not None:
+            raise ValueError("pass either frontier or frontier_updates/inserts, not both")
+        if delta_mode and not prev:
+            raise ValueError("delta commit requires an existing snapshot")
+        if products_upsert is not None and products_set is not None:
+            raise ValueError("pass either products_upsert or products_set, not both")
 
-        # the three table writes are independent Spark jobs — submit them
-        # concurrently from driver threads (Spark's scheduler interleaves
-        # them across executors). The commit point is still the single
-        # pointer flip below, after ALL writes land, so atomicity is
-        # unchanged; this just removes two serial job latencies per round.
-        jobs = [(frontier, fdir)]
+        # independent Spark jobs -> submit concurrently from driver
+        # threads (scheduler interleaves across executors); atomicity is
+        # unchanged since the pointer flips only after all writes land.
         results = list(prev.get("results", [])) if prev else []
+        order = list(prev.get("crawl_order", [])) if prev else []
+        history = list(prev.get("history", [])) if prev else []
+        jobs = []
         if new_results is not None:
             rdir = f"data/results/v{version}"
             results.append(rdir)
             jobs.append((new_results, rdir))
-        order = list(prev.get("crawl_order", [])) if prev else []
         if new_crawl_order is not None:
             odir = f"data/crawl_order/v{version}"
             order.append(odir)
             jobs.append((new_crawl_order, odir))
-        if len(jobs) == 1:
-            frontier.write.mode("overwrite").parquet(str(self.root / fdir))
-        else:
-            from concurrent.futures import ThreadPoolExecutor
+        if new_history is not None:
+            hdir = f"data/history/v{version}"
+            history.append(hdir)
+            jobs.append((new_history, hdir))
 
-            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-                futs = [
-                    pool.submit(
-                        lambda df, d: df.write.mode("overwrite").parquet(str(self.root / d)),
-                        df,
-                        d,
-                    )
-                    for df, d in jobs
-                ]
-                for f in futs:
-                    f.result()
-        bloom_path = prev.get("bloom") if prev else None
-        if bloom is not None:
-            bloom_path = f"data/bloom/v{version}.parquet"
-            (self.root / "data/bloom").mkdir(exist_ok=True)
-            bloom.to_pandas().to_parquet(self.root / bloom_path)
-        cuckoo_path = prev.get("cuckoo") if prev else None
-        if cuckoo is not None:
-            cuckoo_path = f"data/cuckoo/v{version}.parquet"
-            (self.root / "data/cuckoo").mkdir(exist_ok=True)
-            cuckoo.to_pandas().to_parquet(self.root / cuckoo_path)
+        from concurrent.futures import ThreadPoolExecutor
 
+        dirty_frontier: list[int] = []
+        with ThreadPoolExecutor(max_workers=len(jobs) + 2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df, d: df.write.mode("overwrite").parquet(str(self.root / d)),
+                    df,
+                    d,
+                )
+                for df, d in jobs
+            ]
+            if delta_mode:
+                f_frontier = pool.submit(
+                    self._commit_frontier_delta, prev, frontier_updates, frontier_inserts, version
+                )
+            elif frontier is not None:
+                f_frontier = pool.submit(self._commit_frontier_full, frontier, version)
+            else:
+                f_frontier = None
+            if seen_build is not None:
+                kind, params, shards_df = seen_build
+                f_seen = pool.submit(self._commit_seen_build, kind, params, shards_df, version)
+            elif seen_delta is not None:
+                f_seen = pool.submit(
+                    self._commit_seen_delta, prev["seen"], seen_delta, version
+                )
+            else:
+                f_seen = None
+            if products_upsert is not None or products_set is not None:
+                f_products = pool.submit(
+                    self._commit_products_delta, prev or {}, products_upsert, products_set, version
+                )
+            else:
+                f_products = None
+            for f in futs:
+                f.result()
+            if f_frontier is not None:
+                fres = f_frontier.result()
+                frontier_entry = fres[0] if delta_mode else fres
+                if delta_mode:
+                    dirty_frontier = fres[1]
+            else:
+                frontier_entry = prev["frontier"]
+            seen_entry = f_seen.result() if f_seen is not None else (prev.get("seen") if prev else None)
+            products_entry = (
+                f_products.result()
+                if f_products is not None
+                else (prev.get("products") if prev else None)
+            )
+
+        # meta carries forward: bookkeeping commits (mark-sent, stop-
+        # tracking) must not erase the crawl counters/round state the
+        # resume path reads
+        merged_meta = dict(prev["meta"]) if prev else {}
+        merged_meta.pop("dirty_frontier_buckets", None)
+        merged_meta.update(meta or {})
         manifest = {
             "version": version,
             "committed_at": time.time(),
-            "frontier": fdir,
+            "frontier": frontier_entry,
             "results": results,
             "crawl_order": order,
-            "bloom": bloom_path,
-            "cuckoo": cuckoo_path,
-            "meta": meta or {},
+            "history": history,
+            "products": products_entry,
+            "seen": seen_entry,
+            "meta": merged_meta,
         }
+        if delta_mode:
+            manifest["meta"]["dirty_frontier_buckets"] = len(dirty_frontier)
         self._manifest_path(version).write_text(json.dumps(manifest, indent=1))
         tmp = self.root / "LATEST.tmp"
         tmp.write_text(str(version))
@@ -174,8 +457,9 @@ class SnapshotParquetStore:
         return version
 
     def rollback(self, version: int) -> None:
-        """Time-travel the pointer back (cuckoo/seen-set deletions are
-        handled by re-reading the older Bloom/cuckoo state)."""
+        """Time-travel the pointer back (seen-set state rolls back with
+        it since shards are referenced per-manifest; the cuckoo variant
+        additionally supports explicit deletion deltas)."""
         if not self._manifest_path(version).exists():
             raise ValueError(f"no snapshot v{version}")
         tmp = self.root / "LATEST.tmp"
@@ -183,7 +467,10 @@ class SnapshotParquetStore:
         os.replace(tmp, self.root / "LATEST")
 
     def expire_snapshots(self, keep_last: int = 3) -> None:
-        """GC old versions (Iceberg expire_snapshots analog)."""
+        """GC versions older than the retained window (Iceberg
+        expire_snapshots analog). Bucketized layouts are partially
+        live: a version dir survives as long as any of its bucket
+        subdirectories is still referenced by a retained manifest."""
         latest = self.latest_version()
         if latest is None:
             return
@@ -193,21 +480,40 @@ class SnapshotParquetStore:
             m = self.read_manifest(v)
             if not m:
                 continue
-            live.add(m["frontier"])
+            fr = m["frontier"]
+            if isinstance(fr, str):
+                live.add(fr)
+            elif fr:
+                live.update(fr["buckets"].values())
             live.update(m.get("results", []))
             live.update(m.get("crawl_order", []))
-            if m.get("bloom"):
-                live.add(m["bloom"])
-            if m.get("cuckoo"):
-                live.add(m["cuckoo"])
-        for sub in ("frontier", "results", "crawl_order", "bloom", "cuckoo"):
+            live.update(m.get("history", []))
+            if m.get("products"):
+                live.update(m["products"]["buckets"].values())
+            if m.get("seen"):
+                live.update(m["seen"]["files"].values())
+            for legacy in ("bloom", "cuckoo"):
+                if m.get(legacy) and isinstance(m[legacy], str):
+                    live.add(m[legacy])
+
+        def _gc(child: Path) -> None:
+            rel = str(child.relative_to(self.root))
+            if rel in live:
+                return
+            if child.is_dir() and any(p.startswith(rel + "/") for p in live):
+                for grand in child.iterdir():
+                    if grand.name.startswith(("_", ".")):
+                        continue  # _SUCCESS markers
+                    _gc(grand)
+                return
+            shutil.rmtree(child, ignore_errors=True) if child.is_dir() else child.unlink()
+
+        for sub in ("frontier", "results", "crawl_order", "history", "products", "seen", "bloom", "cuckoo"):
             d = self.root / "data" / sub
             if not d.exists():
                 continue
             for child in d.iterdir():
-                rel = str(child.relative_to(self.root))
-                if rel not in live:
-                    shutil.rmtree(child, ignore_errors=True) if child.is_dir() else child.unlink()
+                _gc(child)
         for mp in (self.root / "snapshots").glob("v*.json"):
             if int(mp.stem[1:]) not in keep:
                 mp.unlink()
@@ -216,10 +522,12 @@ class SnapshotParquetStore:
 class IcebergFrontierStore:  # pragma: no cover - needs Iceberg runtime jars
     """Same contract on a real Iceberg catalog (production path).
 
-    commit() becomes: MERGE INTO frontier (copy-on-write), append to
-    results/crawl_order tables, and the Iceberg snapshot id is the
-    checkpoint. Not constructible in this sandbox (no runtime jar);
-    kept as the documented production binding of the interface.
+    commit() becomes: MERGE INTO frontier (copy-on-write over a
+    ``bucket(N, url_hash)`` partition spec — the dirty-bucket rewrite
+    below is exactly what Iceberg does there), append to results/
+    crawl_order tables, and the Iceberg snapshot id is the checkpoint.
+    Not constructible in this sandbox (no runtime jar); kept as the
+    documented production binding of the interface.
     """
 
     def __init__(self, spark: SparkSession, catalog: str, namespace: str):

@@ -65,6 +65,83 @@ def murmur3_str(s: str, seed: int = 42) -> int:
     return murmur3_32(s.encode("utf-8"), seed)
 
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XP2) & _M64
+    return (_rotl64(acc, 31) * _XP1) & _M64
+
+
+def _xx_merge(acc: int, v: int) -> int:
+    acc ^= _xx_round(0, v)
+    return (acc * _XP1 + _XP4) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 matching Spark's ``F.xxhash64`` on strings
+    (org.apache.spark.sql.catalyst.expressions.XxHash64, seed 42,
+    UTF-8 bytes; standard XXH64 — public algorithm). Exists so the
+    DuckDB-oracle builders can reproduce engine hashes (MinHash shingle
+    hashes, LSH band hashes, SimHash token hashes) without Spark;
+    bit-parity is pinned by tests/test_hashing_dedup.py."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i <= n - 32:
+            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = _xx_merge(h, v)
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    return xxhash64(s.encode("utf-8"), seed)
+
+
+def xxhash64_long(v: int, seed: int = 42) -> int:
+    """Spark's xxhash64 of a LongType value (8-byte little-endian)."""
+    return xxhash64(int(v).to_bytes(8, "little", signed=True), seed)
+
+
 def url_hash_col(url: Column) -> Column:
     """64-bit content-derived id for a canonical URL (JVM-side xxhash64).
 

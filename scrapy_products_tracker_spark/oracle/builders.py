@@ -1,0 +1,294 @@
+"""Spark-free builders for DuckDB-oracle expected artifacts.
+
+The CORRECTNESS gate runs each ``queries()`` entry against a DuckDB SQL
+twin. For operators whose core work is not expressible in SQL (64-bit
+hashing, the crawl loop, LSH planes), the twin consumes a parquet file
+computed here by an INDEPENDENT pure-Python implementation:
+
+- crawl/export artifacts come from the reference-semantics simulator
+  (oracle/simulator.py) + the world generator's ground-truth product
+  fields — no engine code in the data path;
+- MinHash signatures / SimHash fingerprints reuse the pure-Python
+  xxhash64 (functions/hashing.py, bit-parity-pinned against Spark) and
+  plain Python arithmetic — independent of the DataFrame kernels in
+  functions/similarity.py;
+- ANN bucket assignments replicate the hyperplane projection with the
+  same left-fold double arithmetic Spark's ``aggregate`` uses.
+
+Builders are idempotent and cheap (they run at the CORRECTNESS scale,
+sf=0.01 / the T1 smoke world); ``oracle_sql()`` calls them at string-
+construction time so artifact existence never depends on query
+execution order.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import xxhash64_str
+
+# the driver runs the oracle comparison at this scale (TESTDATA.md);
+# bench runs (other sf) never evaluate oracle SQL
+CORRECTNESS_SF = "/root/testdata/sf0.01"
+ORACLE_DIR = Path(tempfile.gettempdir()) / "sptspark_oracle_r2"
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _write(df: pd.DataFrame, name: str, schema) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+    path = ORACLE_DIR / name
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine artifacts: simulator + world ground truth (T1 smoke world)
+# ---------------------------------------------------------------------------
+
+_crawl_cache: dict = {}
+
+EXPORT_COLS = [
+    "url",
+    "title",
+    "description",
+    "brand",
+    "image_url",
+    "additional_info",
+    "category",
+    "regular_price_cents",
+    "current_price_cents",
+    "currency",
+    "is_in_stock",
+    "stock",
+    "units",
+    "position",
+    "session",
+    "round",
+]
+
+
+def _sim_world():
+    if "sim" not in _crawl_cache:
+        from ..synth.world import T1_SMOKE, generate_world
+        from .simulator import simulate_sessions
+
+        world = generate_world(T1_SMOKE)
+        _crawl_cache["world"] = world
+        _crawl_cache["sim"] = simulate_sessions(world, n_sessions=2, chunk_size=50)
+    return _crawl_cache["world"], _crawl_cache["sim"]
+
+
+def build_crawl_order_expected() -> str:
+    import pyarrow as pa
+
+    _, sim = _sim_world()
+    df = pd.DataFrame(sim.crawl_order, columns=["round", "url", "domain", "within_round_rank"])
+    schema = pa.schema(
+        [
+            ("round", pa.int32()),
+            ("url", pa.string()),
+            ("domain", pa.string()),
+            ("within_round_rank", pa.int32()),
+        ]
+    )
+    return _write(df, "crawl_order.parquet", schema)
+
+
+def build_export_expected() -> str:
+    """Expected history⋈targets export rows: one per (fetched-OK,
+    parseable) detail page per session — item rounds/positions from the
+    simulator, product fields from the generator's ground truth."""
+    import pyarrow as pa
+
+    world, sim = _sim_world()
+    truth = {r["url"]: r for _, r in world.truth.iterrows()}
+    rows = []
+    for url, round_no, _iid, _cap, pos in sim.items:
+        t = truth.get(url)
+        if t is None or not t["parse_ok"]:
+            continue
+        rows.append(
+            {
+                "url": url,
+                "title": t["title"],
+                "description": t["description"] if pd.notna(t["description"]) else None,
+                "brand": t["brand"],
+                "image_url": t["image_url"],
+                "additional_info": t["additional_info"] if pd.notna(t["additional_info"]) else None,
+                "category": t["category"],
+                "regular_price_cents": int(t["regular_price_cents"]),
+                "current_price_cents": int(t["current_price_cents"]),
+                "currency": t["currency"],
+                "is_in_stock": bool(t["is_in_stock"]),
+                "stock": int(t["stock"]),
+                "units": t["units"],
+                "position": int(pos),
+                "session": int(sim.session_of_round(round_no)),
+                "round": int(round_no),
+            }
+        )
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("title", pa.string()),
+            ("description", pa.string()),
+            ("brand", pa.string()),
+            ("image_url", pa.string()),
+            ("additional_info", pa.string()),
+            ("category", pa.string()),
+            ("regular_price_cents", pa.int64()),
+            ("current_price_cents", pa.int64()),
+            ("currency", pa.string()),
+            ("is_in_stock", pa.bool_()),
+            ("stock", pa.int32()),
+            ("units", pa.string()),
+            ("position", pa.int32()),
+            ("session", pa.int32()),
+            ("round", pa.int32()),
+        ]
+    )
+    return _write(pd.DataFrame(rows, columns=EXPORT_COLS), "export_expected.parquet", schema)
+
+
+def stop_victims(n: int = 2) -> list[str]:
+    """Deterministic stop-tracking victims: first n product urls."""
+    world, sim = _sim_world()
+    truth = {r["url"]: r for _, r in world.truth.iterrows()}
+    urls = sorted(
+        {u for (u, _r, _i, _c, _p) in sim.items if truth.get(u) is not None and truth[u]["parse_ok"]}
+    )
+    return urls[:n]
+
+
+def build_stop_rearm_expected() -> str:
+    """Frontier (url, status) after: 2-session crawl, stop-tracking the
+    victims, rearm to session 3 (no further crawl). Terminal non-victim
+    rows re-arm to PENDING; victims keep their terminal status;
+    robots-skipped rows stay skipped."""
+    import pyarrow as pa
+
+    from ..schemas import ERROR, HARDWARE_ERROR, PENDING, SUCCESS
+
+    _, sim = _sim_world()
+    victims = set(stop_victims())
+    rows = []
+    for url, row in sim.seen.items():
+        st = row["status"]
+        if st in (SUCCESS, ERROR, HARDWARE_ERROR) and url not in victims:
+            st = PENDING
+        rows.append({"url": url, "status": int(st)})
+    schema = pa.schema([("url", pa.string()), ("status", pa.int32())])
+    return _write(pd.DataFrame(rows), "stop_rearm_expected.parquet", schema)
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash / ANN artifacts (independent pure-Python impls)
+# ---------------------------------------------------------------------------
+
+
+def _documents(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def build_minhash_signatures(sf_dir: str = CORRECTNESS_SF, n_hashes: int = 32, k: int = 3, seed: int = 42) -> str:
+    """Independent MinHash: same shingle/permutation definitions as
+    functions/similarity.minhash_signature, computed with pure Python
+    xxhash64 + integer arithmetic (no Spark)."""
+    import pyarrow as pa
+    import re
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, n_hashes, dtype=np.int64)
+    coefs = [pow(1315423911, j + 1, _MERSENNE31) for j in range(k)]
+    docs = _documents(sf_dir)
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = text.strip()
+        toks = re.split(r"\s+", t)
+        if len(toks) >= k:
+            hs = [xxhash64_str(tok) % _MERSENNE31 for tok in toks]
+            xs = np.array(
+                [
+                    sum(hs[i + j] * coefs[j] % _MERSENNE31 for j in range(k)) % _MERSENNE31
+                    for i in range(len(hs) - k + 1)
+                ],
+                dtype=np.int64,
+            )
+        else:
+            xs = np.array([xxhash64_str(t) % _MERSENNE31], dtype=np.int64)
+        sig = [int(((xs * int(a[i]) + int(b[i])) % _MERSENNE31).min()) for i in range(n_hashes)]
+        out.append({"doc": int(doc_id), "sig": sig})
+    schema = pa.schema([("doc", pa.int64()), ("sig", pa.list_(pa.int64()))])
+    return _write(pd.DataFrame(out), "minhash_sig.parquet", schema)
+
+
+def build_simhash_expected(sf_dir: str = CORRECTNESS_SF) -> str:
+    import pyarrow as pa
+    import re
+
+    docs = _documents(sf_dir)
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        votes = [0] * 64
+        for tok in re.split(r"\s+", text.strip()):
+            h = xxhash64_str(tok)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        v = sum((1 << i) for i in range(63) if votes[i] > 0)
+        if votes[63] > 0:
+            v -= 1 << 63
+        rows.append({"doc": int(doc_id), "simhash": v})
+    schema = pa.schema([("doc", pa.int64()), ("simhash", pa.int64())])
+    return _write(pd.DataFrame(rows), "simhash_expected.parquet", schema)
+
+
+def _fold_dot(vec, plane) -> float:
+    """Left-fold double dot product — the exact evaluation order of
+    Spark's ``aggregate(zip_with(...))`` so projection signs match
+    bit-for-bit."""
+    acc = np.float64(0.0)
+    for x, p in zip(vec, plane):
+        acc = acc + np.float64(x) * np.float64(p)
+    return float(acc)
+
+
+def build_ann_assignments(sf_dir: str = CORRECTNESS_SF, n_planes: int = 8, seed: int = 42) -> tuple[str, int]:
+    """(assignments parquet path, query bucket): replicates
+    functions/similarity.lsh_bucket_col / ann_topk_lsh without Spark."""
+    import pyarrow as pa
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    qvec = [float(x) for x in emb.loc[emb["vec_id"] == 0, "embedding"].iloc[0]]
+    qb = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(np.asarray(p), np.asarray(qvec))) >= 0
+        )
+    )
+    rows = []
+    for vec_id, vec in zip(emb["vec_id"], emb["embedding"]):
+        if vec_id == 0:
+            continue
+        bucket = sum(
+            (1 << i) for i, p in enumerate(planes) if _fold_dot(vec, p) >= 0
+        )
+        rows.append({"vec_id": int(vec_id), "bucket": int(bucket)})
+    schema = pa.schema([("vec_id", pa.int64()), ("bucket", pa.int64())])
+    path = _write(pd.DataFrame(rows), "ann_buckets.parquet", schema)
+    return path, qb

@@ -46,6 +46,13 @@ class SimResult:
     counters: dict = field(default_factory=dict)
     items: list = field(default_factory=list)  # (url, round, image_id, caption, position)
     rounds: int = 0
+    session_last_round: dict = field(default_factory=dict)  # session -> last round
+
+    def session_of_round(self, round_no: int) -> int:
+        for s in sorted(self.session_last_round):
+            if round_no <= self.session_last_round[s]:
+                return s
+        return max(self.session_last_round, default=1)
 
 
 def simulate_crawl(
@@ -55,6 +62,8 @@ def simulate_crawl(
     pagination_size: int = 12,
     session: int = 1,
     max_rounds: int = 10_000,
+    _res: SimResult | None = None,
+    _start_round: int = 1,
 ) -> SimResult:
     pages = {r["url"]: r for _, r in world.pages.iterrows()}
     payload = {r["image_id"]: r for _, r in world.image_caption.iterrows()}
@@ -77,7 +86,7 @@ def simulate_crawl(
         path = path_of_str(url)
         return any(path.startswith(p) for p in r["disallow_prefixes"])
 
-    res = SimResult(
+    res = _res or SimResult(
         counters={
             "urls_seen": 0,
             "urls_fetched": 0,
@@ -111,15 +120,16 @@ def simulate_crawl(
             res.counters["urls_skipped_robots"] += 1
 
     # --- seeding (S1-S4): canonicalize, first-rank-wins dedup ------------
-    for _, s in world.seeds.sort_values("seed_rank").iterrows():
-        cu = canonicalize_url(s["url"])
-        if cu is None or cu in seen:
-            continue
-        insert(cu, int(s["tier"]), 0, 0, _seq(0, 0, int(s["seed_rank"])), 0, "seed")
+    if _res is None:
+        for _, s in world.seeds.sort_values("seed_rank").iterrows():
+            cu = canonicalize_url(s["url"])
+            if cu is None or cu in seen:
+                continue
+            insert(cu, int(s["tier"]), 0, 0, _seq(0, 0, int(s["seed_rank"])), 0, "seed")
 
     # --- rounds -----------------------------------------------------------
     order_key = lambda r: (r["priority"], r["depth"], r["discovered_seq"])
-    for round_no in range(1, max_rounds + 1):
+    for round_no in range(_start_round, _start_round + max_rounds):
         pending = [r for r in seen.values() if r["status"] == PENDING]
         # per-domain budget (politeness), then global chunk (O1/P3)
         by_domain: dict[str, list] = {}
@@ -207,6 +217,26 @@ def simulate_crawl(
         for cu, info in discovered_batch.items():
             insert(cu, info["tier"], info["priority"], info["depth"], info["seq"], round_no, "outlink")
 
+    res.session_last_round[session] = res.rounds
+    return res
+
+
+def simulate_sessions(world, n_sessions: int = 2, **kw) -> SimResult:
+    """O5 multi-epoch oracle: crawl, re-arm, re-crawl — mirroring
+    CrawlDriver.rearm_session (terminal rows -> PENDING / attempt=0 /
+    session=k; robots-skipped rows stay skipped; counters untouched by
+    the re-arm itself). Round numbering continues across sessions like
+    the engine's manifest round counter."""
+    res = simulate_crawl(world, **kw)
+    for s in range(2, n_sessions + 1):
+        for row in res.seen.values():
+            if row["status"] in (SUCCESS, ERROR, HARDWARE_ERROR):
+                row["status"] = PENDING
+                row["attempt"] = 0
+                row["session"] = s
+        res = simulate_crawl(
+            world, session=s, _res=res, _start_round=res.rounds + 1, **kw
+        )
     return res
 
 

@@ -1,0 +1,31 @@
+from .tables import (
+    HISTORY_COLS,
+    PRODUCT_TARGET_COLS,
+    build_history_rows,
+    build_target_rows,
+    merge_set_columns,
+    upsert_products,
+)
+from .export import (
+    export_category,
+    export_history,
+    export_session,
+    run_incremental_export,
+    stop_tracking,
+    write_csv,
+)
+
+__all__ = [
+    "HISTORY_COLS",
+    "PRODUCT_TARGET_COLS",
+    "build_history_rows",
+    "build_target_rows",
+    "merge_set_columns",
+    "upsert_products",
+    "export_category",
+    "export_history",
+    "export_session",
+    "run_incremental_export",
+    "stop_tracking",
+    "write_csv",
+]

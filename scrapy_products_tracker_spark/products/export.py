@@ -1,0 +1,189 @@
+"""CSV exporters + mark-sent bookkeeping + stop-tracking (K8/K9/O3/O4/O6, J1-J3).
+
+Reference behavior being re-expressed:
+- ``history_exporter --url=...``: inner join product_history ⋈
+  product_targets projecting the 16 export columns, optional url
+  filter, ordered by created_at (commands/exporter/history_exporter.py:
+  79-98) — J1.
+- ``session_exporter --session=...``: same join filtered to one crawl
+  session (session_exporter.py:82-99) — J2.
+- ``category_exporter --category=...``: targets filtered by category,
+  ordered by position (category_exporter.py:83-85) — J3/O3.
+- chunked CSV export with exactly-once bookkeeping: repeatedly
+  ``SELECT ... WHERE sent_to_customer IS NULL LIMIT chunk``, write the
+  chunk, then ``UPDATE ... SET sent_to_customer=today``
+  (commands/base/base_csv_exporter.py:42-117) — K8/K9/O4. A re-run
+  exports nothing that was already sent.
+
+Join strategy: history rows join targets on the content-derived
+``product_id == url_hash`` (J4's id-resolution lookup is free). At
+scale targets is the smaller side only per-bucket; the join keys are
+co-bucketized by construction (both tables hash on url_hash), so on
+Iceberg this is a storage-partitioned join; here Catalyst picks
+broadcast/SMJ by stats. Prices render as DECIMAL(20,2) like the MySQL
+schema (product_history.py:14-15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXPORT_ORDER = ["created_at", "product_id", "round"]  # history_exporter.py:98 + tiebreak
+
+
+def _dec(cents_col):
+    return (cents_col / F.lit(100)).cast("decimal(20,2)")
+
+
+def export_history(
+    spark: SparkSession,
+    store,
+    url: str | None = None,
+    session: int | None = None,
+    cents: bool = False,
+) -> DataFrame:
+    """J1/J2: the reference's 16-column history⋈targets export.
+    ``cents=True`` keeps the exact integer-cents price columns
+    (oracle-comparable) instead of the DECIMAL(20,2) render."""
+    targets = store.read_products(spark)
+    history = store.read_history(spark)
+    if targets is None or history is None:
+        raise ValueError("no products/history tables committed yet")
+    h = history
+    if url is not None:
+        h = h.filter(F.col("url") == url)
+    if session is not None:
+        h = h.filter(F.col("session") == session)
+    t = targets.select(
+        F.col("url_hash").alias("product_id"),
+        F.col("url").alias("target_url"),
+        "title",
+        "description",
+        "brand",
+        "image_url",
+        "image_file",
+        "additional_info",
+        "category",
+    )
+    price_cols = (
+        [F.col("regular_price_cents"), F.col("current_price_cents")]
+        if cents
+        else [
+            _dec(F.col("regular_price_cents")).alias("regular_price"),
+            _dec(F.col("current_price_cents")).alias("current_price"),
+        ]
+    )
+    return (
+        h.join(t, "product_id", "inner")
+        .select(
+            "product_id",
+            F.col("target_url").alias("url"),
+            "title",
+            "description",
+            "brand",
+            "image_url",
+            "image_file",
+            "additional_info",
+            "category",
+            *price_cols,
+            "is_in_stock",
+            "stock",
+            "position",
+            "currency",
+            "units",
+            "session",
+            "round",
+            "created_at",
+        )
+        .orderBy(*EXPORT_ORDER)
+    )
+
+
+def export_session(spark: SparkSession, store, session: int) -> DataFrame:
+    return export_history(spark, store, session=session)
+
+
+def export_category(spark: SparkSession, store, category: str) -> DataFrame:
+    """J3/O3: targets of one category ordered by last-seen position."""
+    targets = store.read_products(spark)
+    history = store.read_history(spark)
+    if targets is None:
+        raise ValueError("no products table committed yet")
+    pos = (
+        history.groupBy(F.col("product_id").alias("url_hash"))
+        .agg(F.max_by("position", "round").alias("position"))
+        if history is not None
+        else None
+    )
+    t = targets.filter(F.col("category") == category)
+    if pos is not None:
+        t = t.join(pos, "url_hash", "left")
+    else:
+        t = t.withColumn("position", F.lit(None).cast("int"))
+    return t.select(
+        "url", "title", "brand", "category", "position", "session"
+    ).orderBy(F.asc_nulls_last("position"), "url")
+
+
+def write_csv(df: DataFrame, out_path: str) -> None:
+    """K8: single CSV with header (reference DictWriter append,
+    csv_exporter.py:82-94). coalesce(1) is an export-sink choice, not a
+    compute bottleneck: the plan upstream stays parallel."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(out_path)
+
+
+def run_incremental_export(
+    spark: SparkSession, store, out_dir: str, chunk: int = 1000
+) -> int:
+    """K9/O4: chunked unsent-only export with mark-sent MERGE.
+
+    Loop: claim up to ``chunk`` unsent targets (deterministic order),
+    write them as a CSV chunk, commit ``sent_to_customer`` back through
+    the store's dirty-bucket MERGE; repeat until no unsent rows. Sent
+    state is snapshot-durable, so re-running exports nothing twice and
+    a crash between write and commit re-exports only the in-flight
+    chunk (the reference has the same at-least-once window between
+    DictWriter append and the UPDATE, base_csv_exporter.py:82-117)."""
+    n_chunks = 0
+    while True:
+        targets = store.read_products(spark)
+        if targets is None:
+            break
+        batch = (
+            targets.filter(F.col("sent_to_customer").isNull())
+            .orderBy("url")  # deterministic claim order (UNIQUE url key)
+            .limit(chunk)
+            .persist()
+        )
+        if batch.isEmpty():
+            batch.unpersist()
+            break
+        write_csv(
+            batch.select(
+                "url", "title", "brand", "category", "session"
+            ),
+            f"{out_dir}/chunk_{store.latest_version()}_{n_chunks}",
+        )
+        marks = batch.select(
+            "url_hash", "url", F.current_date().cast("string").alias("sent_to_customer")
+        )
+        store.commit(products_set=marks, meta={"export_chunk": n_chunks})
+        batch.unpersist()
+        n_chunks += 1
+    return n_chunks
+
+
+def stop_tracking(spark: SparkSession, store, urls: DataFrame) -> int:
+    """O6: CSV of URLs -> ``is_tracked=0`` (stop_tracking.py:109-146).
+    Stopped products are excluded from session re-arming
+    (CrawlDriver.rearm_session consults is_tracked) and from incremental
+    exports of tracked rows."""
+    targets = store.read_products(spark)
+    if targets is None:
+        raise ValueError("no products table committed yet")
+    keyed = urls.select("url").join(
+        targets.select("url_hash", "url"), "url", "inner"
+    )
+    marks = keyed.select("url_hash", "url", F.lit(False).alias("is_tracked"))
+    return store.commit(products_set=marks, meta={"stop_tracking": True})

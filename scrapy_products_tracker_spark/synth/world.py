@@ -21,12 +21,14 @@ product/detail, SURVEY.md §2.6):
 from __future__ import annotations
 
 import hashlib
+import json
 from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
 
 from ..imaging import encode_image, phash64
+from .html import product_meta, render_detail_html
 
 PAGINATION_SIZE = 12  # detail links per listing page (reference zoro: 36)
 
@@ -97,6 +99,7 @@ class World:
     pages: pd.DataFrame
     image_caption: pd.DataFrame
     robots: pd.DataFrame
+    truth: pd.DataFrame = field(default=None)  # ground-truth product fields
     spec: WorldSpec = field(default=None)
 
 
@@ -117,6 +120,7 @@ def generate_world(spec: WorldSpec) -> World:
         )
 
     seeds, pages, detail_urls_by_domain = [], [], {}
+    detail_category: dict[str, str] = {}  # first-discovery category path
     pid_counter = 0
     for d in domains:
         n_cats = spec.cats_per_domain + (spec.hot_domain_cats if d.startswith("hot.") else 0)
@@ -143,6 +147,7 @@ def generate_world(spec: WorldSpec) -> World:
                         pid_counter += 1
                         outlinks.append(u)
                         detail_urls_by_domain[d].append(u)
+                        detail_category[u] = f"/cat/{c}"
                 pages.append(
                     {
                         "url": purl,
@@ -161,11 +166,14 @@ def generate_world(spec: WorldSpec) -> World:
                         "outlinks": outlinks,
                         "image_id": None,
                         "latency_ms": int(r.integers(*spec.latency_ms)),
+                        "category": f"/cat/{c}",
+                        "body": None,  # listing responses are the JSON-API
+                        # style already modeled by outlinks/total_items (E1)
                     }
                 )
 
-    # detail pages + payload
-    image_rows, seen_imgs = [], set()
+    # detail pages + payload + ground-truth product fields
+    image_rows, seen_imgs, truth_rows = [], set(), []
     for d in domains:
         for u in detail_urls_by_domain[d]:
             r = _rng_for(spec.seed, "detail", u)
@@ -180,6 +188,35 @@ def generate_world(spec: WorldSpec) -> World:
             elif x < spec.err_403_frac + spec.err_timeout_frac + spec.err_404_frac + spec.flaky_frac:
                 status, flaky = 403, 2  # clears after 2 attempts (X1 retry-success)
             image_id = "img_" + u.rsplit("/", 1)[1]
+            cat = detail_category.get(u, "/cat/0")
+            meta = product_meta(_rng_for(spec.seed, "meta", u), u, d, cat)
+            body = render_detail_html(meta, u, variant=int(r.integers(0, 4)))
+            truth_rows.append(
+                {
+                    "url": u,
+                    "title": None if meta["malformed"] else meta["title"],
+                    "description": None if meta["malformed"] else meta["description"],
+                    "brand": None if meta["malformed"] else meta["brand"],
+                    "image_url": None if meta["malformed"] else meta["image_url"],
+                    "additional_info": (
+                        None
+                        if meta["malformed"] or not meta["additional_info"]
+                        else json.dumps(meta["additional_info"], sort_keys=True)
+                    ),
+                    "regular_price_cents": None if meta["malformed"] else meta["regular_price_cents"],
+                    "current_price_cents": None if meta["malformed"] else meta["current_price_cents"],
+                    "currency": (
+                        None
+                        if meta["malformed"]
+                        else {"$": "USD", "£": "GBP"}[meta["currency_sym"]]
+                    ),
+                    "is_in_stock": None if meta["malformed"] else meta["in_stock"],
+                    "stock": None if meta["malformed"] else (1 if meta["in_stock"] else 0),
+                    "units": None if meta["malformed"] else meta["units"],
+                    "category": None if meta["malformed"] else f"https://{d}{cat}",
+                    "parse_ok": not meta["malformed"],
+                }
+            )
             pages.append(
                 {
                     "url": u,
@@ -192,6 +229,8 @@ def generate_world(spec: WorldSpec) -> World:
                     "outlinks": [],
                     "image_id": image_id,
                     "latency_ms": int(r.integers(*spec.latency_ms)),
+                    "category": cat,
+                    "body": body if status != 404 else "<html><body>not found</body></html>",
                 }
             )
             if image_id not in seen_imgs:
@@ -208,6 +247,7 @@ def generate_world(spec: WorldSpec) -> World:
         pages=pd.DataFrame(pages),
         image_caption=pd.DataFrame(image_rows),
         robots=pd.DataFrame(robots_rows),
+        truth=pd.DataFrame(truth_rows),
         spec=spec,
     )
 
@@ -233,6 +273,26 @@ def _arrow_schemas():
                 ("outlinks", pa.list_(pa.string())),
                 ("image_id", pa.string()),
                 ("latency_ms", pa.int32()),
+                ("category", pa.string()),
+                ("body", pa.string()),
+            ]
+        ),
+        "truth": pa.schema(
+            [
+                ("url", pa.string()),
+                ("title", pa.string()),
+                ("description", pa.string()),
+                ("brand", pa.string()),
+                ("image_url", pa.string()),
+                ("additional_info", pa.string()),
+                ("regular_price_cents", pa.int64()),
+                ("current_price_cents", pa.int64()),
+                ("currency", pa.string()),
+                ("is_in_stock", pa.bool_()),
+                ("stock", pa.int32()),
+                ("units", pa.string()),
+                ("category", pa.string()),
+                ("parse_ok", pa.bool_()),
             ]
         ),
         "image_caption": pa.schema(
@@ -272,7 +332,15 @@ def write_world(world: World, out_dir: str) -> dict[str, str]:
         ("pages", world.pages),
         ("image_caption", world.image_caption),
         ("robots", world.robots),
+        ("truth", world.truth),
     ]:
+        if df is None:  # hand-built worlds (tests) may omit truth
+            continue
+        missing = [f for f in schemas[name].names if f not in df.columns]
+        if missing:  # hand-built worlds predating optional columns
+            df = df.copy()
+            for f in missing:
+                df[f] = None
         path = str(p / f"{name}.parquet")
         pq.write_table(pa.Table.from_pandas(df, schema=schemas[name], preserve_index=False), path)
         out[name] = path

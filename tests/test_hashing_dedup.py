@@ -5,10 +5,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from scrapy_products_tracker_spark.dedup import (
-    BloomShards,
+    BloomTable,
     CuckooFilter,
-    bloom_filter_candidates,
-    build_bloom,
     dedup_within_batch,
     optimal_params,
 )
@@ -20,6 +18,25 @@ def test_murmur3_matches_spark(spark):
     df = spark.createDataFrame([(s,) for s in samples], ["s"]).select("s", F.hash("s").alias("h"))
     for row in df.collect():
         assert murmur3_str(row["s"]) == row["h"], row["s"]
+
+
+def test_xxhash64_matches_spark(spark):
+    from scrapy_products_tracker_spark.functions.hashing import xxhash64_long, xxhash64_str
+
+    samples = [
+        "", "a", "abc", "abcd", "abcdefg", "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+        "https://hot.example.com/p/1?x=1", "ünïcødé-路径",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"]).select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for row in df.collect():
+        assert xxhash64_str(row["s"]) == row["h"], row["s"]
+    dfl = spark.createDataFrame(
+        [(v,) for v in [0, 1, -1, 2**62, -(2**62), 123456789]], ["v"]
+    ).select("v", F.xxhash64("v").alias("h"))
+    for row in dfl.collect():
+        assert xxhash64_long(row["v"]) == row["h"], row["v"]
 
 
 @given(st.text(max_size=40))
@@ -34,27 +51,42 @@ def test_optimal_params_fpr_shape():
     assert bits > 10_000 and 1 <= k <= 16
 
 
-def test_bloom_no_false_negatives_and_fpr(spark):
+def _bloom_table(spark, df, tmpdir_path, n_buckets, bits, k):
+    params = {"n_buckets": n_buckets, "bits": bits, "k": k}
+    shards = BloomTable.build_shards_df(df, "url", n_buckets, bits, k)
+    path = tmpdir_path + "/shards"
+    shards.write.mode("overwrite").parquet(path)
+    return BloomTable(spark, [path], params)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, tmpdir_path):
     seen = spark.createDataFrame([(f"https://d{i % 5}.com/p/{i}",) for i in range(3000)], ["url"])
-    bloom = build_bloom(seen, "url", n_buckets=16, bits=65536, k=7)
+    bloom = _bloom_table(spark, seen, tmpdir_path, n_buckets=16, bits=65536, k=7)
     probe = spark.createDataFrame(
         [(f"https://d{i % 5}.com/p/{i}",) for i in range(2000, 5000)], ["url"]
     )
-    n_maybe = bloom_filter_candidates(probe, bloom, keep="maybe").count()
-    n_unseen = bloom_filter_candidates(probe, bloom, keep="unseen").count()
+    marked = bloom.mark(probe).persist()
+    n_maybe = marked.filter(F.col("_maybe_seen")).count()
+    n_unseen = marked.filter(~F.col("_maybe_seen")).count()
+    marked.unpersist()
     assert n_maybe + n_unseen == 3000
     assert n_maybe >= 1000  # the 1000 truly-seen must all be 'maybe'
     assert (n_maybe - 1000) / 2000 < 0.03  # FPR bound on truly-unseen
 
 
-def test_bloom_serialization_roundtrip(spark):
-    seen = spark.createDataFrame([(f"u{i}",) for i in range(500)], ["url"])
-    bloom = build_bloom(seen, "url", n_buckets=8, bits=16384, k=5)
-    pdf = bloom.to_pandas()
-    back = BloomShards.from_pandas(pdf, bloom.n_buckets, bloom.bits, bloom.k)
-    assert set(back.arrays) == set(bloom.arrays)
-    for b in bloom.arrays:
-        assert np.array_equal(back.arrays[b], bloom.arrays[b])
+def test_bloom_delta_merge_matches_single_build(spark, tmpdir_path):
+    """Building over A then delta-merging B must equal building A∪B."""
+    a = spark.createDataFrame([(f"u{i}",) for i in range(500)], ["url"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(300)], ["url"])
+    both = a.unionByName(b)
+    t_a = _bloom_table(spark, a, tmpdir_path + "/a", n_buckets=8, bits=16384, k=5)
+    merged = BloomTable.merge_shards(t_a.shards_df(), t_a.delta_df(b))
+    merged.write.mode("overwrite").parquet(tmpdir_path + "/m")
+    t_m = BloomTable(spark, [tmpdir_path + "/m"], t_a.params)
+    t_ab = _bloom_table(spark, both, tmpdir_path + "/ab", n_buckets=8, bits=16384, k=5)
+    pm = {r["bucket"]: bytes(r["payload"]) for r in t_m.shards_df().collect()}
+    pab = {r["bucket"]: bytes(r["payload"]) for r in t_ab.shards_df().collect()}
+    assert pm == pab
 
 
 def test_cuckoo_membership_delete():

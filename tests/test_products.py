@@ -1,0 +1,161 @@
+"""Product-targets upsert, price history, exporters, mark-sent, and
+stop-tracking (K4/K6/K8/K9/O4/O6, J1-J4) — the reference's
+product_result_consumer.py:40-94 transaction + base_csv_exporter.py:
+42-117 bookkeeping, re-expressed as engine tables."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+from scrapy_products_tracker_spark.politeness import load_robots
+from scrapy_products_tracker_spark.products import (
+    export_category,
+    export_history,
+    run_incremental_export,
+    stop_tracking,
+)
+from scrapy_products_tracker_spark.schemas import SUCCESS
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, t1_paths, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("products"))
+    store = SnapshotParquetStore(tmp + "/store")
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        CrawlConfig(chunk_size=50),
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    drv.run()
+    return store, drv, tmp
+
+
+def test_targets_match_truth_and_history_appends(spark, t1_paths, crawled):
+    store, drv, _ = crawled
+    prods = store.read_products(spark)
+    hist = store.read_history(spark)
+    truth = spark.read.parquet(t1_paths["truth"]).filter(F.col("parse_ok"))
+    # every successfully fetched+parsed detail page has exactly one
+    # target row (upsert; K4) and one history row per crawl (K6)
+    assert prods.count() == hist.count()
+    assert prods.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    j = prods.join(
+        truth.select(
+            "url",
+            F.col("title").alias("t_title"),
+            F.col("brand").alias("t_brand"),
+            F.col("additional_info").alias("t_ai"),
+            F.col("category").alias("t_cat"),
+        ),
+        "url",
+        "inner",
+    )
+    assert j.count() == prods.count()  # all products exist in truth
+    bad = j.filter(
+        ~F.col("title").eqNullSafe(F.col("t_title"))
+        | ~F.col("brand").eqNullSafe(F.col("t_brand"))
+        | ~F.col("additional_info").eqNullSafe(F.col("t_ai"))
+        | ~F.col("category").eqNullSafe(F.col("t_cat"))
+    )
+    assert bad.count() == 0
+    hj = hist.join(
+        truth.select(
+            "url",
+            F.col("current_price_cents").alias("t_cur"),
+            F.col("regular_price_cents").alias("t_reg"),
+            F.col("is_in_stock").alias("t_st"),
+            F.col("currency").alias("t_ccy"),
+        ),
+        "url",
+    )
+    assert (
+        hj.filter(
+            (F.col("current_price_cents") != F.col("t_cur"))
+            | (F.col("regular_price_cents") != F.col("t_reg"))
+            | (F.col("is_in_stock") != F.col("t_st"))
+            | (F.col("currency") != F.col("t_ccy"))
+        ).count()
+        == 0
+    )
+    # the unparseable slice was counted, not dropped silently
+    assert store.read_manifest()["meta"]["products"]["unparseable"] >= 0
+
+
+def test_history_export_join(spark, crawled):
+    store, _, _ = crawled
+    out = export_history(spark, store)
+    assert out.count() == store.read_history(spark).count()
+    row = out.first()
+    assert row["current_price"] is not None  # DECIMAL(20,2) render
+    # url filter narrows to one product's history (history_exporter --url)
+    one = export_history(spark, store, url=row["url"])
+    assert one.count() >= 1
+    assert {r["url"] for r in one.collect()} == {row["url"]}
+
+
+def test_category_export_ordering(spark, crawled):
+    store, _, _ = crawled
+    cat = store.read_products(spark).select("category").first()["category"]
+    out = export_category(spark, store, cat).collect()
+    assert len(out) >= 1
+    positions = [r["position"] for r in out if r["position"] is not None]
+    assert positions == sorted(positions)  # O3: ordered by position
+
+
+def test_rearm_after_recrawl_updates_metadata_session(spark, t1_paths, crawled):
+    store, drv, _ = crawled
+    before = store.read_products(spark)
+    n_before = before.count()
+    drv.rearm_session(2)
+    drv.run()
+    after = store.read_products(spark)
+    assert after.count() == n_before  # upsert, not append (UNIQUE url)
+    assert after.filter(F.col("session") == 2).count() == n_before  # refreshed
+    assert after.filter(F.col("first_round") <= 0).count() == 0
+    # history grew: one snapshot per session (K6 append-only)
+    hist = store.read_history(spark)
+    assert hist.filter(F.col("session") == 2).count() == n_before
+
+
+def test_incremental_export_exactly_once(spark, crawled):
+    store, _, tmp = crawled
+    n_unsent = (
+        store.read_products(spark).filter(F.col("sent_to_customer").isNull()).count()
+    )
+    n1 = run_incremental_export(spark, store, tmp + "/exp", chunk=40)
+    assert n1 == -(-n_unsent // 40)  # ceil
+    rows = sum(
+        len(open(f).readlines()) - 1 for f in glob.glob(tmp + "/exp/chunk_*/part-*.csv")
+    )
+    assert rows == n_unsent
+    # second run exports nothing (K9 sent_to_customer bookkeeping)
+    assert run_incremental_export(spark, store, tmp + "/exp2", chunk=40) == 0
+    assert glob.glob(tmp + "/exp2/chunk_*/part-*.csv") == []
+
+
+def test_stop_tracking_excludes_from_rearm(spark, crawled):
+    store, drv, _ = crawled
+    prods = store.read_products(spark)
+    victim = prods.orderBy("url").select("url").first()["url"]
+    stop_tracking(spark, store, spark.createDataFrame([(victim,)], ["url"]))
+    assert (
+        store.read_products(spark)
+        .filter(F.col("url") == victim)
+        .select("is_tracked")
+        .first()["is_tracked"]
+        is False
+    )
+    drv.rearm_session(3)
+    fr = store.read_frontier(spark)
+    # O6: the stopped URL keeps its terminal status; everything else re-armed
+    assert fr.filter(F.col("url") == victim).select("status").first()["status"] == SUCCESS
+    assert fr.filter((F.col("status") == SUCCESS)).count() == 1
