@@ -33,8 +33,8 @@ HEADLINE = [
     "pagination_fanout",
     "position_ranking",
     "status_derivation",
-    "history_export_join",
-    "session_export_join",
+    "retry_escalation",
+    "product_field_extraction",
     "dedup_exact_text",
     "token_count_stats",
     "quality_scores",
@@ -71,7 +71,9 @@ def _cached_world(spec) -> dict[str, str]:
     is cached under /tmp keyed by the spec dataclass repr."""
     import hashlib
 
-    key = hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    from scrapy_products_tracker_spark.synth.world import WORLD_VERSION
+
+    key = hashlib.sha256(f"v{WORLD_VERSION}|{spec!r}".encode()).hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(), f"spark_graft_world_{key}")
     done = os.path.join(cache, "_DONE")
     names = ["seeds", "pages", "image_caption", "robots"]
@@ -112,7 +114,18 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
         )
         drv.seed(spark.read.parquet(paths["seeds"]))
         t0 = time.monotonic()
-        meta = drv.run()
+        meta, stages = None, {"stats_s": 0.0, "commit_s": 0.0}
+        dirty_buckets = []
+        while True:
+            m = drv.run_round()
+            if m is None:
+                break
+            meta = m
+            for k in stages:
+                stages[k] += m.get("timings", {}).get(k, 0.0)
+            dirty_buckets.append(
+                store.read_manifest()["meta"].get("dirty_frontier_buckets")
+            )
         wall = time.monotonic() - t0
         c = meta["counters"]
         scheduled_fetched = c["urls_fetched"] + c["urls_failed_hw"] + c["urls_failed_logic"]
@@ -121,9 +134,61 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
             "urls_per_s": round(scheduled_fetched / wall, 2),
             "rounds": meta["round"],
             "counters": c,
+            # per-stage breakdown: stats job (claim+fetch+parse+dedup
+            # all materialize here) vs snapshot commit (dirty-bucket
+            # frontier MERGE + seen-shard delta + results writes)
+            "stage_s": {k: round(v, 2) for k, v in stages.items()},
+            "dirty_frontier_buckets": dirty_buckets,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_commit_scaling(spark, sizes=(100_000, 800_000), chunk: int = 200) -> dict:
+    """Evidence that per-round commit cost is bounded by the dirty set,
+    not the frontier size (VERDICT r01 #2): same 200-row update against
+    a 100k-row and an 800k-row frontier (1024 buckets); with the
+    dirty-bucket rewrite the commit times should be ~flat while the
+    frontier grows 8x (a full copy-on-write rewrite would scale ~8x)."""
+    from pyspark.sql import functions as F
+
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+
+    out = {}
+    for n in sizes:
+        tmp = tempfile.mkdtemp(prefix="bench_commit_")
+        try:
+            store = SnapshotParquetStore(tmp + "/store", n_frontier_buckets=1024)
+            fr = spark.range(n).select(
+                F.concat(F.lit("https://d/p/"), F.col("id").cast("string")).alias("url"),
+                F.xxhash64(F.concat(F.lit("https://d/p/"), F.col("id").cast("string"))).alias(
+                    "url_hash"
+                ),
+                F.lit(0).cast("int").alias("status"),
+                F.lit(0).cast("int").alias("attempt"),
+            )
+            store.commit(fr, meta={})
+            updates = fr.limit(chunk).select(
+                "url_hash",
+                "url",
+                F.lit(2).alias("new_status"),
+                F.lit(0).alias("new_attempt"),
+            )
+            t0 = time.monotonic()
+            store.commit(frontier_updates=updates, meta={})
+            commit_s = time.monotonic() - t0
+            out[str(n)] = {
+                "commit_s": round(commit_s, 3),
+                "dirty_buckets": store.read_manifest()["meta"]["dirty_frontier_buckets"],
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    ks = [str(n) for n in sizes]
+    out["cost_ratio_large_over_small"] = round(
+        out[ks[-1]]["commit_s"] / max(out[ks[0]]["commit_s"], 1e-9), 2
+    )
+    out["frontier_ratio"] = round(sizes[-1] / sizes[0], 1)
+    return out
 
 
 def main():
@@ -139,6 +204,7 @@ def main():
 
     queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
+    commit_scaling = bench_commit_scaling(spark)
 
     total = round(sum(queries.values()) + crawl["crawl_wall_s"], 3)
     result = {
@@ -150,6 +216,7 @@ def main():
         "crawl": crawl,
         "north_metric": "frontier URLs scheduled+fetched per second (full crawl loop, synthetic BENCH world)",
         "north_value": crawl["urls_per_s"],
+        "commit_scaling": commit_scaling,
         "cpus": int(cpus),
     }
     print(json.dumps(result))

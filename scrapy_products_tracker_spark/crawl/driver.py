@@ -102,6 +102,16 @@ class CrawlConfig:
     seen_filter: str = "bloom"
     cuckoo_capacity: int = 1 << 20  # keys the cuckoo table is sized for
     cuckoo_shards: int = 16  # power of two
+    # fetch-layer proxy config (T1/T2): list of proxy URLs + rotation
+    # mode ("in_order" | "randomize"); empty = direct connections
+    proxies: tuple = ()
+    proxy_mode: str = "in_order"
+    # bucket-prune the exact-confirm anti-join's frontier read once the
+    # seen-set exceeds this many URLs. Below it, scanning all (url_hash,
+    # url) keys is cheaper than the extra candidate-bucket collect
+    # round-trip; above it (the 10^10 regime) the pruned read is what
+    # keeps the confirm sub-linear in frontier size. 0 = always prune.
+    confirm_prune_threshold: int = 1_000_000
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -272,6 +282,10 @@ class CrawlDriver:
         # enforced at claim time)
         n_fetch_parts = self.cfg.fetch_partitions or self.spark.sparkContext.defaultParallelism
         claimed = claimed.repartition(n_fetch_parts, F.col("url_hash"))
+        if self.cfg.proxies:  # T1/T2: per-request proxy + auth header
+            from ..fetchers.proxy import with_proxy
+
+            claimed = with_proxy(claimed, list(self.cfg.proxies), self.cfg.proxy_mode)
 
         # fetch + classify (S6/S7, X1-X3); fx carries every claimed row.
         # inline_retries resolves transient failures inside the fetch
@@ -312,7 +326,7 @@ class CrawlDriver:
             unseen = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
             maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
             n_buckets = self.store.frontier_n_buckets()
-            if n_buckets:
+            if n_buckets and counters["urls_seen"] >= self.cfg.confirm_prune_threshold:
                 cand_buckets = [
                     r["fb"]
                     for r in maybe.select(
@@ -386,6 +400,27 @@ class CrawlDriver:
             )
             .unionAll(_tag(items, F.lit("item")))
         )
+        # piggyback dirty-bucket detection for the delta commit on this
+        # same job (a dedicated distinct+collect per table would add two
+        # driver round-trips per round): every fx row is a status update
+        # -> its frontier bucket is dirty; every insert dirties its
+        # frontier bucket AND its seen shard
+        n_buckets = self.store.frontier_n_buckets()
+        if n_buckets:
+            fb = lambda c: frontier_bucket_col(c, n_buckets).cast("string")
+            stats_df = stats_df.unionAll(
+                _tag(fx, F.concat(F.lit("fb|"), fb(F.col("url_hash"))))
+            ).unionAll(_tag(inserts, F.concat(F.lit("fb|"), fb(F.col("url_hash")))))
+        if seen is not None:
+            stats_df = stats_df.unionAll(
+                _tag(
+                    inserts,
+                    F.concat(
+                        F.lit("sb|"),
+                        seen.shard_of_hash_col(F.col("url_hash")).cast("string"),
+                    ),
+                )
+            )
         if parsed is not None:
             stats_df = stats_df.unionAll(
                 _tag(
@@ -401,11 +436,17 @@ class CrawlDriver:
 
         by_outcome: dict[str, int] = {}
         lineage: dict[str, int] = {}
+        frontier_dirty: set[int] = set()
+        seen_dirty: set[int] = set()
         for k, n in tallies.items():
             if k.startswith("fx|"):
                 _, outcome, domain = k.split("|", 2)
                 by_outcome[outcome] = by_outcome.get(outcome, 0) + n
                 lineage[domain] = lineage.get(domain, 0) + n
+            elif k.startswith("fb|"):
+                frontier_dirty.add(int(k[3:]))
+            elif k.startswith("sb|"):
+                seen_dirty.add(int(k[3:]))
         n_claimed = sum(by_outcome.values())
         if n_claimed == 0:
             for df in cached:
@@ -485,6 +526,8 @@ class CrawlDriver:
             new_history=history_batch if n_products else None,
             products_upsert=products_batch if n_products else None,
             seen_delta=(seen.delta_df(inserts) if (seen is not None and n_inserted) else None),
+            frontier_dirty=sorted(frontier_dirty) if frontier_dirty else None,
+            seen_dirty=sorted(seen_dirty) if seen_dirty else None,
             meta=meta,
         )
         meta["timings"] = {

@@ -84,6 +84,12 @@ class BloomTable:
     def params(self) -> dict:
         return {"n_buckets": self.n_buckets, "bits": self.bits, "k": self.k}
 
+    def shard_of_hash_col(self, url_hash_col) -> "F.Column":
+        """Shard id from the frontier's url_hash (== xxhash64(url) ==
+        the probe's _h1), JVM-side — lets callers piggyback dirty-shard
+        detection on an existing job instead of a dedicated collect."""
+        return bucket_col(url_hash_col, self.n_buckets)
+
     def shards_df(self) -> DataFrame:
         if not self.paths:
             return self.spark.createDataFrame([], BLOOM_SHARD_SCHEMA)
@@ -207,6 +213,10 @@ class CuckooTable:
     @property
     def params(self) -> dict:
         return {"n_shards": self.n_shards, "n_buckets": self.n_buckets}
+
+    def shard_of_hash_col(self, url_hash_col) -> "F.Column":
+        """See BloomTable.shard_of_hash_col (url_hash == _h1)."""
+        return _cuckoo_shard_col(url_hash_col, self.n_shards)
 
     @classmethod
     def params_for_capacity(cls, n_keys: int, n_shards: int) -> dict:

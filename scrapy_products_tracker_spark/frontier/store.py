@@ -196,7 +196,12 @@ class SnapshotParquetStore:
         return {"n_buckets": B, "buckets": written}
 
     def _commit_frontier_delta(
-        self, prev: dict, updates: DataFrame | None, inserts: DataFrame | None, version: int
+        self,
+        prev: dict,
+        updates: DataFrame | None,
+        inserts: DataFrame | None,
+        version: int,
+        dirty: list[int] | None = None,
     ):
         """Dirty-bucket MERGE: read only buckets containing updated or
         inserted hashes, apply the copy-on-write merge plan, rewrite
@@ -210,12 +215,15 @@ class SnapshotParquetStore:
         bmap = dict(fr["buckets"])
         spark = (updates or inserts).sparkSession
 
-        def _fb(df):
-            return df.select(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+        if dirty is None:  # caller may precompute this inside its stats job
+            def _fb(df):
+                return df.select(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
 
-        parts = [_fb(d) for d in (updates, inserts) if d is not None]
-        dirty_df = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-        dirty = sorted(int(r["fb"]) for r in dirty_df.distinct().collect())
+            parts = [_fb(d) for d in (updates, inserts) if d is not None]
+            dirty_df = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            dirty = sorted(int(r["fb"]) for r in dirty_df.distinct().collect())
+        else:
+            dirty = sorted(int(b) for b in dirty)
         if not dirty:
             return {"n_buckets": B, "buckets": bmap}, []
         sub_paths = [str(self.root / bmap[str(b)]) for b in dirty if str(b) in bmap]
@@ -294,7 +302,9 @@ class SnapshotParquetStore:
         written = self._write_partitioned(shards_df, f"data/seen/v{version}", F.col("bucket"))
         return {"kind": kind, "params": params, "files": written}
 
-    def _commit_seen_delta(self, prev_seen: dict, delta_df: DataFrame, version: int) -> dict:
+    def _commit_seen_delta(
+        self, prev_seen: dict, delta_df: DataFrame, version: int, dirty: list[int] | None = None
+    ) -> dict:
         """Merge a round's delta into the dirty shards only. The delta is
         small (bounded by the round's inserts) but its distinct-shard
         set is what bounds the rewrite, exactly like the frontier."""
@@ -303,9 +313,12 @@ class SnapshotParquetStore:
         spark = delta_df.sparkSession
         delta_df = delta_df.persist()
         try:
-            dirty = sorted(
-                int(r["bucket"]) for r in delta_df.select("bucket").distinct().collect()
-            )
+            if dirty is None:
+                dirty = sorted(
+                    int(r["bucket"]) for r in delta_df.select("bucket").distinct().collect()
+                )
+            else:
+                dirty = sorted(int(b) for b in dirty)
             if not dirty:
                 return prev_seen
             existing_paths = [str(self.root / files[str(b)]) for b in dirty if str(b) in files]
@@ -342,6 +355,8 @@ class SnapshotParquetStore:
         products_set: DataFrame | None = None,
         seen_build: tuple[str, dict, DataFrame] | None = None,
         seen_delta: DataFrame | None = None,
+        frontier_dirty: list[int] | None = None,
+        seen_dirty: list[int] | None = None,
         meta: dict | None = None,
     ) -> int:
         """One atomic snapshot. Exactly one of ``frontier`` (full
@@ -394,7 +409,12 @@ class SnapshotParquetStore:
             ]
             if delta_mode:
                 f_frontier = pool.submit(
-                    self._commit_frontier_delta, prev, frontier_updates, frontier_inserts, version
+                    self._commit_frontier_delta,
+                    prev,
+                    frontier_updates,
+                    frontier_inserts,
+                    version,
+                    frontier_dirty,
                 )
             elif frontier is not None:
                 f_frontier = pool.submit(self._commit_frontier_full, frontier, version)
@@ -405,7 +425,7 @@ class SnapshotParquetStore:
                 f_seen = pool.submit(self._commit_seen_build, kind, params, shards_df, version)
             elif seen_delta is not None:
                 f_seen = pool.submit(
-                    self._commit_seen_delta, prev["seen"], seen_delta, version
+                    self._commit_seen_delta, prev["seen"], seen_delta, version, seen_dirty
                 )
             else:
                 f_seen = None

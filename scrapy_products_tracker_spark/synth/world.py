@@ -31,6 +31,7 @@ from ..imaging import encode_image, phash64
 from .html import product_meta, render_detail_html
 
 PAGINATION_SIZE = 12  # detail links per listing page (reference zoro: 36)
+WORLD_VERSION = 2  # bump when generated schemas/content change (cache key)
 
 
 @dataclass(frozen=True)

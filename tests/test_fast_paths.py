@@ -132,3 +132,22 @@ def test_cuckoo_seen_filter_matches_bloom(spark, t1_paths):
     # cuckoo persists across snapshots and supports deletion
     ck = s_ck.read_cuckoo()
     assert ck is not None and ck.count == m_ck["counters"]["urls_seen"]
+
+
+def test_confirm_prune_path_is_semantically_invisible(spark, t1_paths):
+    """The bucket-pruned exact-confirm anti-join (the 10^10-scale path,
+    confirm_prune_threshold=0 forces it) must produce the exact same
+    crawl as the full-key-scan confirm (sandbox default)."""
+    s_full, m_full = _crawl(spark, t1_paths)  # threshold 1e6 -> never prunes
+    s_pruned, m_pruned = _crawl(spark, t1_paths, confirm_prune_threshold=0)
+    fa = sorted(
+        (r["url"], r["status"], r["attempt"]) for r in s_full.read_frontier(spark).collect()
+    )
+    fb = sorted(
+        (r["url"], r["status"], r["attempt"]) for r in s_pruned.read_frontier(spark).collect()
+    )
+    assert fa == fb
+    assert m_full["counters"] == m_pruned["counters"]
+    oa = sorted(map(tuple, s_full.read_crawl_order(spark).collect()))
+    ob = sorted(map(tuple, s_pruned.read_crawl_order(spark).collect()))
+    assert oa == ob

@@ -30,13 +30,16 @@ def _formatted_plan(df) -> str:
 SF = "/root/testdata/sf0.001"
 
 
-def test_claim_topk_is_take_ordered_with_pushdown(spark):
+def test_claim_topk_plan_shape(spark):
+    """The engine claim (schedule_round): salted phase-1 kernel is a
+    FlatMapGroupsInPandas, the global chunk claim compiles to
+    TakeOrderedAndProject (top-k, never a full frontier sort), and the
+    scan reads only the columns the frontier projection needs."""
     plan = _formatted_plan(entry.q_frontier_claim_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan  # top-k, not Sort+Limit
-    assert "EqualTo(o_orderstatus,O)" in plan  # predicate pushed to scan
-    # column pruning: the scan must not read all 9 order columns
+    assert "FlatMapGroupsInPandas" in plan  # salted per-domain budget kernel
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
-    assert "o_totalprice" not in read_schema and "o_comment" not in read_schema
+    assert "text" not in read_schema  # big doc bodies never scanned
 
 
 def test_category_export_pushdown(spark):
