@@ -124,12 +124,16 @@ class CrawlDriver:
         image_caption: DataFrame,
         robots: DataFrame,
         config: CrawlConfig | None = None,
+        endpoints: DataFrame | None = None,
     ):
         self.spark = spark
         self.store = store
         self.pages = pages
         self.image_caption = image_caption
         self.robots = robots
+        # F3 chained sub-endpoint responses (url, endpoint, payload);
+        # None = no chained domains in this world
+        self.endpoints = endpoints
         self.cfg = config or CrawlConfig()
         # robots is static for a session: materialize budgets once, not
         # once per round (was a collect() job every round), and ship
@@ -369,7 +373,12 @@ class CrawlDriver:
 
             parsed = extract_product_fields(
                 ok_t1.select("url", "url_hash", "position", "body"), "url", "body"
-            ).persist()
+            )
+            if self.endpoints is not None:  # F3: multi-endpoint assembly
+                from ..fetchers.chain import resolve_detail_chain
+
+                parsed = resolve_detail_chain(parsed, self.endpoints)
+            parsed = parsed.persist()
             cached.append(parsed)
             parsed_ok = parsed.filter(F.col("parse_ok"))
             products_batch = build_target_rows(parsed_ok, self.cfg.session, round_no)

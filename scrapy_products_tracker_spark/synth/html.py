@@ -94,16 +94,23 @@ def render_detail_html(meta: dict, url: str, variant: int) -> str:
         )
     parts.append(f'<div class={q}brand-row{q}><span>Brand</span><div>{ws}{meta["brand"]}{ws}</div></div>')
     parts.append(f'<img class={q}sku-image{q} src={q}{meta["image_url"]}{q}/>')
-    cur = _fmt_price(meta["current_price_cents"], meta["currency_sym"])
-    price_bits = [f'<span class={q}price-size{q}>{ws}{cur}{ws}</span>']
-    price_bits.append(f'<span class={q}selling-uom{q}>/ {meta["units"]}</span>')
-    if meta["has_discount"]:
-        reg = _fmt_price(meta["regular_price_cents"], meta["currency_sym"])
-        price_bits.append(f'<del class={q}elp-percentage{q}>{ws}{reg}{ws}</del>')
-    parts.append(f'<div class={q}pricing-wrap{q}>{"".join(price_bits)}</div>')
-    parts.append(
-        f'<div class={q}promo-flag{q}>{"In stock" if meta["in_stock"] else "Out of stock"}</div>'
-    )
+    if meta.get("chained"):
+        # F3 costco idiom: the page carries NO price/stock — the chained
+        # AjaxGetInventoryDetail / AjaxGetContractPrice endpoint
+        # responses supply them (costco_detail_page_spider.py:64-177)
+        price_bits = [f'<span class={q}selling-uom{q}>/ {meta["units"]}</span>']
+        parts.append(f'<div class={q}pricing-wrap{q}>{"".join(price_bits)}</div>')
+    else:
+        cur = _fmt_price(meta["current_price_cents"], meta["currency_sym"])
+        price_bits = [f'<span class={q}price-size{q}>{ws}{cur}{ws}</span>']
+        price_bits.append(f'<span class={q}selling-uom{q}>/ {meta["units"]}</span>')
+        if meta["has_discount"]:
+            reg = _fmt_price(meta["regular_price_cents"], meta["currency_sym"])
+            price_bits.append(f'<del class={q}elp-percentage{q}>{ws}{reg}{ws}</del>')
+        parts.append(f'<div class={q}pricing-wrap{q}>{"".join(price_bits)}</div>')
+        parts.append(
+            f'<div class={q}promo-flag{q}>{"In stock" if meta["in_stock"] else "Out of stock"}</div>'
+        )
     if meta["additional_info"]:
         rows = "".join(
             f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in meta["additional_info"].items()

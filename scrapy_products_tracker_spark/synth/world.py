@@ -55,6 +55,9 @@ class WorldSpec:
     budgets: tuple = (4, 8, 16)
     compress_level: int = 1
     latency_ms: tuple = (10, 200)  # simulated fetch latency range per page
+    # F3: first domain's detail pages omit price/stock from the HTML;
+    # chained endpoint responses (inventory/price JSON) carry them
+    chain_endpoints: bool = False
 
 
 def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
@@ -101,6 +104,7 @@ class World:
     image_caption: pd.DataFrame
     robots: pd.DataFrame
     truth: pd.DataFrame = field(default=None)  # ground-truth product fields
+    endpoints: pd.DataFrame = field(default=None)  # F3 chained responses
     spec: WorldSpec = field(default=None)
 
 
@@ -174,8 +178,9 @@ def generate_world(spec: WorldSpec) -> World:
                 )
 
     # detail pages + payload + ground-truth product fields
-    image_rows, seen_imgs, truth_rows = [], set(), []
+    image_rows, seen_imgs, truth_rows, endpoint_rows = [], set(), [], []
     for d in domains:
+        chained_domain = spec.chain_endpoints and d == domains[0]
         for u in detail_urls_by_domain[d]:
             r = _rng_for(spec.seed, "detail", u)
             x = r.random()
@@ -191,7 +196,32 @@ def generate_world(spec: WorldSpec) -> World:
             image_id = "img_" + u.rsplit("/", 1)[1]
             cat = detail_category.get(u, "/cat/0")
             meta = product_meta(_rng_for(spec.seed, "meta", u), u, d, cat)
+            meta["chained"] = chained_domain
             body = render_detail_html(meta, u, variant=int(r.integers(0, 4)))
+            if chained_domain:
+                cur_code = {"$": "USD", "£": "GBP"}[meta["currency_sym"]]
+                endpoint_rows.append(
+                    {
+                        "url": u,
+                        "endpoint": "inventory",
+                        "payload": json.dumps(
+                            {"in_stock": meta["in_stock"], "stock": 1 if meta["in_stock"] else 0}
+                        ),
+                    }
+                )
+                endpoint_rows.append(
+                    {
+                        "url": u,
+                        "endpoint": "price",
+                        "payload": json.dumps(
+                            {
+                                "current_cents": meta["current_price_cents"],
+                                "regular_cents": meta["regular_price_cents"],
+                                "currency": cur_code,
+                            }
+                        ),
+                    }
+                )
             truth_rows.append(
                 {
                     "url": u,
@@ -249,6 +279,7 @@ def generate_world(spec: WorldSpec) -> World:
         image_caption=pd.DataFrame(image_rows),
         robots=pd.DataFrame(robots_rows),
         truth=pd.DataFrame(truth_rows),
+        endpoints=pd.DataFrame(endpoint_rows, columns=["url", "endpoint", "payload"]),
         spec=spec,
     )
 
@@ -277,6 +308,9 @@ def _arrow_schemas():
                 ("category", pa.string()),
                 ("body", pa.string()),
             ]
+        ),
+        "endpoints": pa.schema(
+            [("url", pa.string()), ("endpoint", pa.string()), ("payload", pa.string())]
         ),
         "truth": pa.schema(
             [
@@ -334,6 +368,7 @@ def write_world(world: World, out_dir: str) -> dict[str, str]:
         ("image_caption", world.image_caption),
         ("robots", world.robots),
         ("truth", world.truth),
+        ("endpoints", world.endpoints),
     ]:
         if df is None:  # hand-built worlds (tests) may omit truth
             continue
@@ -384,5 +419,10 @@ SCALING = WorldSpec(
     img_px_max=24,
     budgets=(1 << 20,),
     crawl_delays_ms=(0,),
-    latency_ms=(80, 120),
+    # 160-240 ms/page: realistic e-commerce fetch latency. Round 2 added
+    # real per-URL work to every round (HTML field extraction, product
+    # MERGE + history append); the latency budget must stay the dominant
+    # term for the N->4N efficiency to measure fetch concurrency rather
+    # than per-round fixed costs (BASELINE.md §2 protocol note).
+    latency_ms=(160, 240),
 )
