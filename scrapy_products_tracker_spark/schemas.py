@@ -46,6 +46,17 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("outlinks", T.ArrayType(T.StringType()), False),
         T.StructField("image_id", T.StringType(), True),  # tier-1 payload join key
         T.StructField("latency_ms", T.IntegerType(), False),
+        T.StructField("category", T.StringType(), True),  # breadcrumb/category path
+        T.StructField("body", T.StringType(), True),  # tier-1 raw HTML (E3 family)
+    ]
+)
+
+# --- chained sub-endpoint responses (F3, costco 3-request assembly) ---------
+ENDPOINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("endpoint", T.StringType(), False),  # 'inventory' | 'price'
+        T.StructField("payload", T.StringType(), False),  # JSON body
     ]
 )
 
@@ -106,6 +117,45 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType(), False),
         T.StructField("phash", T.LongType(), False),
         T.StructField("position", T.IntegerType(), False),  # F5 lineage
+    ]
+)
+
+# --- product tables (reference product_targets/product_history,
+# product_result_consumer.py:40-94; prices are exact integer cents,
+# exporters render DECIMAL(20,2)) --------------------------------------------
+PRODUCT_TARGETS_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),  # = product_id
+        T.StructField("url", T.StringType(), False),  # UNIQUE key
+        T.StructField("title", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("image_url", T.StringType(), True),
+        T.StructField("image_file", T.StringType(), True),
+        T.StructField("additional_info", T.StringType(), True),  # JSON map
+        T.StructField("category", T.StringType(), True),
+        T.StructField("session", T.IntegerType(), False),
+        T.StructField("updated_round", T.IntegerType(), False),
+        T.StructField("is_tracked", T.BooleanType(), False),  # O6
+        T.StructField("sent_to_customer", T.StringType(), True),  # K9
+        T.StructField("first_round", T.IntegerType(), False),
+    ]
+)
+
+PRODUCT_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("regular_price_cents", T.LongType(), True),
+        T.StructField("current_price_cents", T.LongType(), True),
+        T.StructField("is_in_stock", T.BooleanType(), True),
+        T.StructField("stock", T.IntegerType(), True),
+        T.StructField("position", T.IntegerType(), True),
+        T.StructField("session", T.IntegerType(), False),
+        T.StructField("currency", T.StringType(), True),
+        T.StructField("units", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
     ]
 )
 

@@ -159,3 +159,24 @@ def test_stop_tracking_excludes_from_rearm(spark, crawled):
     # O6: the stopped URL keeps its terminal status; everything else re-armed
     assert fr.filter(F.col("url") == victim).select("status").first()["status"] == SUCCESS
     assert fr.filter((F.col("status") == SUCCESS)).count() == 1
+
+
+def test_expire_snapshots_keeps_live_bucketized_tables(spark, crawled):
+    """GC must respect per-bucket references: after expiring to the
+    retained window, frontier/products/history/seen reads still work
+    and old unreferenced versions are gone."""
+    store, _, _ = crawled
+    n_fr = store.read_frontier(spark).count()
+    n_pr = store.read_products(spark).count()
+    n_hi = store.read_history(spark).count()
+    store.expire_snapshots(keep_last=2)
+    assert store.read_frontier(spark).count() == n_fr
+    assert store.read_products(spark).count() == n_pr
+    assert store.read_history(spark).count() == n_hi
+    seen = store.read_seen(spark)
+    assert seen is not None and seen.shards_df().count() > 0
+    # and the manifest window shrank to the retained versions
+    import glob as g
+
+    kept = sorted(g.glob(str(store.root / "snapshots" / "v*.json")))
+    assert len(kept) == 2
