@@ -1,13 +1,17 @@
+from .price_stream import expected_price_changes, price_change_stream, stream_history
 from .results_stream import (
-    stream_results,
-    windowed_fetch_counts,
     domain_rate_stream,
     run_to_parquet,
+    stream_results,
+    windowed_fetch_counts,
 )
 
 __all__ = [
+    "domain_rate_stream",
+    "expected_price_changes",
+    "price_change_stream",
+    "run_to_parquet",
+    "stream_history",
     "stream_results",
     "windowed_fetch_counts",
-    "domain_rate_stream",
-    "run_to_parquet",
 ]
