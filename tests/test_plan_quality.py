@@ -48,6 +48,37 @@ def test_category_export_pushdown(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_frontier_claim_scan_pushes_status_filter(spark, t1_paths, tmpdir_path):
+    """The per-round PENDING scan over the bucketized frontier must push
+    the status predicate into the parquet scan and prune to the narrow
+    scheduling columns — at 10^10 rows this is the difference between
+    scanning the claimable slice and scanning the world."""
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots
+    from scrapy_products_tracker_spark.schemas import PENDING
+
+    store = SnapshotParquetStore(tmpdir_path + "/store")
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        CrawlConfig(chunk_size=50),
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    narrow = (
+        store.read_frontier(spark)
+        .filter(F.col("status") == PENDING)
+        .select("url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt")
+    )
+    plan = _formatted_plan(narrow)
+    assert f"EqualTo(status,{PENDING})" in plan  # predicate reaches the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "source" not in read_schema and "session" not in read_schema  # pruned
+
+
 def test_robots_check_is_broadcast_join(spark, t1_paths):
     from scrapy_products_tracker_spark.politeness import load_robots, mark_robots
 
