@@ -112,6 +112,13 @@ class CrawlConfig:
     # round-trip; above it (the 10^10 regime) the pruned read is what
     # keeps the confirm sub-linear in frontier size. 0 = always prune.
     confirm_prune_threshold: int = 1_000_000
+    # skip frontier buckets with zero PENDING rows at claim time, using
+    # per-bucket pending counts maintained exactly in the manifest
+    # (updated from the same stats job that tracks dirty buckets). Late
+    # in a crawl most buckets are fully terminal; at 10^10 rows the
+    # claim scan then touches only the live slice. Provably invisible:
+    # skipped buckets contain no claimable row (equivalence-tested).
+    claim_bucket_pruning: bool = True
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -217,14 +224,25 @@ class CrawlDriver:
         frontier = self._frontier_row_select(
             tagged, status_col=F.col("_st"), source="seed", round_no=0
         )
-        # one job for both tallies (was two separate count() actions)
-        stats = frontier.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("status") == SKIPPED_ROBOTS, 1).otherwise(0)).alias("n_skip"),
-        ).collect()[0]
+        # one job for all tallies, grouped by frontier bucket so the
+        # per-bucket PENDING counts (claim-scan pruning) start exact
+        B = self.store.n_frontier_buckets
+        rows = (
+            frontier.groupBy(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col("status") == SKIPPED_ROBOTS, 1).otherwise(0)).alias(
+                    "n_skip"
+                ),
+            )
+            .collect()
+        )
         counters = dict.fromkeys(COUNTER_KEYS, 0)
-        counters["urls_skipped_robots"] = int(stats["n_skip"] or 0)
-        counters["urls_seen"] = int(stats["n"])
+        counters["urls_skipped_robots"] = int(sum(r["n_skip"] or 0 for r in rows))
+        counters["urls_seen"] = int(sum(r["n"] for r in rows))
+        pending_per_bucket = {
+            str(r["fb"]): int(r["n"] - (r["n_skip"] or 0)) for r in rows
+        }
         return self.store.commit(
             frontier,
             seen_build=self._seen_build_spec(frontier),
@@ -234,6 +252,7 @@ class CrawlDriver:
                 "counters": counters,
                 "lineage": {},
                 "pending_hint": counters["urls_seen"] - counters["urls_skipped_robots"],
+                "pending_per_bucket": pending_per_bucket,
                 **self.cfg.extra_meta,
             },
         )
@@ -260,7 +279,15 @@ class CrawlDriver:
         seen = self.store.read_seen(self.spark)
 
         frontier = self.store.read_frontier(self.spark)
-        pending = frontier.filter(F.col("status") == PENDING)
+        # claim-scan pruning: skip buckets with zero PENDING rows (counts
+        # maintained exactly below; None = unknown -> full scan)
+        ppb = manifest["meta"].get("pending_per_bucket")
+        if self.cfg.claim_bucket_pruning and ppb is not None:
+            live = [int(b) for b, v in ppb.items() if v > 0]
+            claim_scan = self.store.read_frontier_buckets(self.spark, live)
+        else:
+            claim_scan = frontier
+        pending = claim_scan.filter(F.col("status") == PENDING)
         narrow = pending.select(
             "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
         )
@@ -420,6 +447,20 @@ class CrawlDriver:
             stats_df = stats_df.unionAll(
                 _tag(fx, F.concat(F.lit("fb|"), fb(F.col("url_hash"))))
             ).unionAll(_tag(inserts, F.concat(F.lit("fb|"), fb(F.col("url_hash")))))
+            # exact pending-count deltas per bucket: terminal resolutions
+            # decrement, PENDING inserts increment (RETRY rows stay
+            # PENDING -> no change; robots-skipped inserts never pend)
+            stats_df = stats_df.unionAll(
+                _tag(
+                    fx.filter(F.col("outcome") != RETRY),
+                    F.concat(F.lit("fbt|"), fb(F.col("url_hash"))),
+                )
+            ).unionAll(
+                _tag(
+                    inserts.filter(F.col("status") == PENDING),
+                    F.concat(F.lit("fbi|"), fb(F.col("url_hash"))),
+                )
+            )
         if seen is not None:
             stats_df = stats_df.unionAll(
                 _tag(
@@ -456,6 +497,12 @@ class CrawlDriver:
                 frontier_dirty.add(int(k[3:]))
             elif k.startswith("sb|"):
                 seen_dirty.add(int(k[3:]))
+            elif k.startswith("fbt|"):
+                if ppb is not None:
+                    ppb[k[4:]] = max(0, ppb.get(k[4:], 0) - n)
+            elif k.startswith("fbi|"):
+                if ppb is not None:
+                    ppb[k[4:]] = ppb.get(k[4:], 0) + n
         n_claimed = sum(by_outcome.values())
         if n_claimed == 0:
             for df in cached:
@@ -521,6 +568,7 @@ class CrawlDriver:
             "lineage": lineage,
             "claimed": by_outcome,
             "pending_hint": pending_hint,
+            "pending_per_bucket": ppb,
             "products": {"upserted": n_products, "unparseable": n_unparseable},
             **self.cfg.extra_meta,
         }
@@ -603,6 +651,17 @@ class CrawlDriver:
             + counters["urls_failed_logic"]
         )
         prev_hint = manifest["meta"].get("pending_hint") or 0
+        # per-bucket pending counts change wholesale on re-arm: recompute
+        # exactly with one small agg (rare operation; <= B result rows)
+        B = self.store.frontier_n_buckets() or self.store.n_frontier_buckets
+        ppb = {
+            str(r["fb"]): int(r["n"])
+            for r in rearmed.filter(F.col("status") == PENDING)
+            .groupBy(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
         return self.store.commit(
             rearmed,
             meta={
@@ -611,5 +670,6 @@ class CrawlDriver:
                 "counters": counters,
                 "lineage": {},
                 "pending_hint": prev_hint + rearmed_count,
+                "pending_per_bucket": ppb,
             },
         )

@@ -151,3 +151,32 @@ def test_confirm_prune_path_is_semantically_invisible(spark, t1_paths):
     oa = sorted(map(tuple, s_full.read_crawl_order(spark).collect()))
     ob = sorted(map(tuple, s_pruned.read_crawl_order(spark).collect()))
     assert oa == ob
+
+
+def test_claim_bucket_pruning_is_invisible_and_counts_exact(spark, t1_paths):
+    """Pending-per-bucket claim pruning must not change the crawl, and
+    the incrementally maintained counts must equal a recount of the
+    frontier at the end (including after a session re-arm)."""
+    s_on, m_on = _crawl(spark, t1_paths)  # pruning default-on
+    s_off, m_off = _crawl(spark, t1_paths, claim_bucket_pruning=False)
+    oa = sorted(map(tuple, s_on.read_crawl_order(spark).collect()))
+    ob = sorted(map(tuple, s_off.read_crawl_order(spark).collect()))
+    assert oa == ob
+    assert m_on["counters"] == m_off["counters"]
+
+    from scrapy_products_tracker_spark.frontier import frontier_bucket_col
+    from scrapy_products_tracker_spark.schemas import PENDING
+
+    def recount(store):
+        B = store.frontier_n_buckets()
+        rows = (
+            store.read_frontier(spark)
+            .filter(F.col("status") == PENDING)
+            .groupBy(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+            .count()
+            .collect()
+        )
+        return {str(r["fb"]): r["count"] for r in rows}
+
+    ppb = {k: v for k, v in s_on.read_manifest()["meta"]["pending_per_bucket"].items() if v > 0}
+    assert ppb == recount(s_on)  # drained crawl: all zero -> both empty
