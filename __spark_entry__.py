@@ -594,8 +594,10 @@ def q_multimodal_decode_stats(spark, sf):
     """Binary image column -> decode/inspect inside Arrow batches
     (mapInPandas): per-format counts, pixel stats, decode success.
     Exercises the opaque-binary + typed-metadata multimodal path on the
-    deterministic t1 payload table; rows-only check (the codec is not
-    SQL-expressible)."""
+    deterministic t1 payload table. Oracle: expected stats recomputed
+    from the generator's ground-truth source pixels + the documented
+    closed-form lossy quantization (builders.build_multimodal_expected)
+    — the codec's decode path never runs on the oracle side."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -635,6 +637,30 @@ def q_multimodal_decode_stats(spark, sf):
         )
         .orderBy("fmt")
     )
+
+
+def q_phash_image_neardup(spark, sf):
+    """Near-duplicate image pairs by banded perceptual-hash Hamming
+    join (imaging/neardup.py): EXACT for dist<=7 via the pigeonhole
+    band guarantee, equi-join only — the image-payload twin of the
+    MinHash-LSH text path. Input: the T1 payload table's ground-truth
+    phashes plus one planted <=2-bit variant per image, built in-plan
+    from xxhash64-derived bit flips; the oracle rebuilds the identical
+    table with the bit-parity-pinned pure-Python xxhash64 and checks
+    the pair set with an all-pairs SQL join."""
+    from scrapy_products_tracker_spark.imaging import phash_neardup_pairs
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select("image_id", "phash")
+    flip = lambda expr: F.expr(f"shiftleft(1L, cast(pmod(xxhash64({expr}), 64) as int))")
+    variant = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.col("phash")
+        .bitwiseXOR(flip("image_id"))
+        .bitwiseXOR(flip("concat(image_id, 'b')"))
+        .alias("phash"),
+    )
+    return phash_neardup_pairs(base.unionAll(variant)).orderBy("id_a", "id_b")
 
 
 def q_crawl_end_to_end(spark, sf):
@@ -682,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_decode_stats": q_multimodal_decode_stats,
+        "phash_image_neardup": q_phash_image_neardup,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -701,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
     p_sig = OB.build_minhash_signatures()
     p_sim = OB.build_simhash_expected()
     p_ann, qb = OB.build_ann_assignments()
+    p_mm = OB.build_multimodal_expected()
+    p_ph = OB.build_phash_pairs_inputs()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
     return {
@@ -848,6 +877,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_end_to_end": f"""
             SELECT round, url, domain, within_round_rank FROM read_parquet('{p_order}')
+        """,
+        "multimodal_decode_stats": f"""
+            SELECT fmt, n, n_ok, total_px, avg_intensity
+            FROM read_parquet('{p_mm}') ORDER BY fmt
+        """,
+        "phash_image_neardup": f"""
+            WITH t AS (SELECT image_id, phash FROM read_parquet('{p_ph}'))
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 7
         """,
         "json_projection": """
             SELECT event_type,

@@ -1,0 +1,86 @@
+"""Near-duplicate image detection over 64-bit perceptual hashes.
+
+The reference derives image identity from the download filename alone
+(e.g. zoro_products_spider.py:94-96, save_images_pipeline.py:27-41), so
+the same product photo re-hosted under two URLs counts as two images.
+The engine's payload table carries a content ``phash`` (imaging/codec.py
+:phash64) instead; this module finds near-duplicate *pairs* by Hamming
+distance over that column.
+
+Scale shape — banded equi-join, never all-pairs: each 64-bit phash is
+split into ``n_bands`` contiguous bit-bands and exploded to one row per
+band; candidates are pairs agreeing exactly on at least one band
+(equi-join on ``(band, band_value)``), then confirmed with a JVM-side
+``bit_count(xor)``. By pigeonhole, any pair with Hamming distance
+``d <= n_bands - 1`` must agree on some band, so for
+``threshold <= n_bands - 1`` the result is EXACT, not approximate —
+the same guarantee-by-banding idea as the MinHash-LSH text path
+(functions/similarity.py:102), but lossless because the band key is the
+raw bits. Cost is one explode (n_bands rows/image), one shuffle on the
+band key, and a distinct over surviving pairs; a 10^10-image table
+never sees a cartesian product. Skewed bands (e.g. all-zero band from
+flat images) behave like any hot join key and are handled by AQE
+skew-join splitting.
+
+Everything is built-in column algebra (shift/mask/xor/bit_count) —
+whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import hamming64
+
+
+def phash_band_cols(phash, n_bands: int = 8):
+    """List of ``n_bands`` band-value columns (contiguous bit slices)."""
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [
+        F.shiftrightunsigned(phash, i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_bands)
+    ]
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    threshold: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Exact (id_a, id_b, dist) pairs with Hamming(phash) <= threshold.
+
+    Requires ``threshold <= n_bands - 1`` (the pigeonhole bound that
+    makes banding lossless). Returns id_a < id_b, each pair once.
+    """
+    if threshold > n_bands - 1:
+        raise ValueError(
+            f"threshold={threshold} breaks the pigeonhole exactness bound "
+            f"for n_bands={n_bands}; raise n_bands or lower threshold"
+        )
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).alias("_ph"),
+        F.posexplode(F.array(*phash_band_cols(F.col(phash_col), n_bands))).alias(
+            "band", "bv"
+        ),
+    )
+    left = bands.select(
+        F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"), "band", "bv"
+    )
+    right = bands.select(
+        F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b"), "band", "bv"
+    )
+    return (
+        left.join(right, ["band", "bv"])  # equi-join: shuffle-hash/SMJ, no cartesian
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", hamming64(F.col("ph_a"), F.col("ph_b")))
+        .filter(F.col("dist") <= threshold)
+        .select("id_a", "id_b", "dist")
+        .distinct()  # a close pair can agree on several bands
+    )

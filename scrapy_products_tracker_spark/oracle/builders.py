@@ -192,6 +192,85 @@ def build_stop_rearm_expected() -> str:
     return _write(pd.DataFrame(rows), "stop_rearm_expected.parquet", schema)
 
 
+def build_multimodal_expected() -> str:
+    """Expected per-format decode stats for the T1 payload table,
+    computed from the generator's ground-truth source pixels — the
+    codec's decode path is never called here. ``fmt='png'`` is lossless,
+    so expected decoded pixels ARE the source pixels; ``fmt='jpeg'`` is
+    the documented deterministic surrogate (imaging/codec.py docstring):
+    quantization ``min((p // 6) * 6 + 3, 255)``, reproduced from that
+    spec. A decode bug, a stats-kernel bug, or an agg/schema bug in
+    q_multimodal_decode_stats all surface as a hash mismatch."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    per = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt, f"world fmt drift for {image_id}"
+        if fmt == "jpeg":  # surrogate-lossy closed form, Q=6
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        per.append((fmt, pixels.shape[0] * pixels.shape[1], float(pixels.mean())))
+    pdf = pd.DataFrame(per, columns=["fmt", "px", "mean_intensity"])
+    agg = (
+        pdf.groupby("fmt", as_index=False)
+        .agg(
+            n=("px", "size"),
+            total_px=("px", "sum"),
+            avg_intensity=("mean_intensity", "mean"),
+        )
+        .sort_values("fmt")
+    )
+    agg["n_ok"] = agg["n"]  # every generated payload decodes
+    agg["avg_intensity"] = agg["avg_intensity"].round(2)
+    agg = agg[["fmt", "n", "n_ok", "total_px", "avg_intensity"]]
+    schema = pa.schema(
+        [
+            ("fmt", pa.string()),
+            ("n", pa.int64()),
+            ("n_ok", pa.int64()),
+            ("total_px", pa.int64()),
+            ("avg_intensity", pa.float64()),
+        ]
+    )
+    return _write(agg, "multimodal_expected.parquet", schema)
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _signed64(u: int) -> int:
+    u &= _MASK64
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def build_phash_pairs_inputs() -> str:
+    """(image_id, phash) table for the phash near-dup oracle: the T1
+    payload table's ground-truth phashes plus, per image, one planted
+    near-duplicate variant whose phash differs in at most 2 bits. The
+    flipped bit positions come from the pure-Python xxhash64
+    (bit-parity-pinned against Spark's), so the Spark query can rebuild
+    the identical variants with ``F.xxhash64`` and the two sides share
+    no code beyond that pinned kernel."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    rows = []
+    for image_id, ph in zip(world.image_caption["image_id"], world.image_caption["phash"]):
+        ph = int(ph)
+        rows.append((image_id, ph))
+        b1 = xxhash64_str(image_id) % 64
+        b2 = xxhash64_str(image_id + "b") % 64
+        rows.append((image_id + "~v", _signed64((ph & _MASK64) ^ (1 << b1) ^ (1 << b2))))
+    schema = pa.schema([("image_id", pa.string()), ("phash", pa.int64())])
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "phash"]), "phash_inputs.parquet", schema
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash / SimHash / ANN artifacts (independent pure-Python impls)
 # ---------------------------------------------------------------------------

@@ -65,8 +65,13 @@ def _rng_for(spec_seed: int, *parts) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h[:8], "big"))
 
 
-def _image_row(spec: WorldSpec, image_id: str) -> dict:
-    rng = _rng_for(spec.seed, "img", image_id)
+def _source_pixels(rng: np.random.Generator, spec: WorldSpec) -> tuple[np.ndarray, str]:
+    """Ground-truth source pixels + chosen format for one image.
+
+    Consumes the rng draws in the exact order ``_image_row`` always has,
+    so worlds stay byte-identical. Exposed separately so the oracle
+    builders can recompute expected decoded pixels from the generator's
+    ground truth without going through the codec round-trip."""
     w = int(rng.integers(spec.img_px_min, spec.img_px_max + 1))
     h = int(rng.integers(spec.img_px_min, spec.img_px_max + 1))
     # low-frequency content so PNG compresses and phash is non-degenerate
@@ -79,6 +84,13 @@ def _image_row(spec: WorldSpec, image_id: str) -> dict:
     noise = rng.integers(-24, 25, size=(h, w, 3))
     pixels = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
     fmt = "jpeg" if rng.random() < spec.jpeg_frac else "png"
+    return pixels, fmt
+
+
+def _image_row(spec: WorldSpec, image_id: str) -> dict:
+    rng = _rng_for(spec.seed, "img", image_id)
+    pixels, fmt = _source_pixels(rng, spec)
+    h, w = pixels.shape[0], pixels.shape[1]
     data = encode_image(pixels, fmt)
     words = rng.choice(
         ["ridge", "lamp", "copper", "harbor", "granite", "fern", "signal", "meadow", "prism", "atlas"],
