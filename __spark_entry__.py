@@ -21,12 +21,16 @@ Round-2 structure (VERDICT r01 next-round #3/#4/#5/#8):
   pure-Python reference simulator + world ground truth
   (oracle/builders.py) — zero engine code in the expected-data path.
 - **hash-kernel queries**: minhash_lsh_neardup / simhash_neardup /
-  ann_lsh_topk get oracles whose expected artifacts are recomputed by
-  an independent pure-Python xxhash64 implementation (bit-parity with
-  Spark pinned in tests), with the banding/top-k logic expressed in
-  DuckDB SQL.
-
-Only ``multimodal_decode_stats`` (image codec) stays rows-only.
+  ann_lsh_topk / phash_image_neardup get oracles whose expected
+  artifacts are recomputed by an independent pure-Python xxhash64
+  implementation (bit-parity with Spark pinned in tests), with the
+  banding/top-k logic expressed in DuckDB SQL.
+- **pure-SQL additions**: ivf_ann_topk (inverted-file ANN) and
+  winnow_fingerprints (rolling-hash winnowing) are fully relational on
+  both sides — no artifacts.
+- ``multimodal_decode_stats``'s oracle consumes expected stats built
+  from the generator's ground-truth pixels + the closed-form lossy
+  quantization (the codec decode path never runs oracle-side).
 """
 
 from __future__ import annotations
@@ -590,6 +594,32 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.ann_topk_lsh(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=8)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF-Flat ANN (data-adaptive cells; the FAISS-style complement of
+    the hyperplane-LSH path): deterministic coarse quantizer, broadcast
+    argmax-cosine assignment, probe the query's 4 nearest of 16 cells,
+    brute-force inside. Pure SQL oracle — centroid choice, assignment,
+    probe, and top-k are all expressible relationally."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return SIM.ann_topk_ivf(
+        emb.filter(F.col("vec_id") > 0), qvec, k=10, n_cells=16, n_probe=4
+    )
+
+
+def q_winnow_fingerprints(spark, sf):
+    """Rolling-hash document fingerprints (winnowing, SIGMOD'03 MOSS):
+    k-gram hash -> sliding-window min -> distinct; returns per-doc
+    fingerprint count + an order-independent set hash so the oracle
+    pins the exact fingerprint SET per document."""
+    d = _t(spark, sf, "documents")
+    fps = TX.winnow_fingerprints(d, "doc_id", "text", k=5, w=4, prefix=400)
+    return fps.groupBy("doc").agg(
+        F.count("*").alias("n_fps"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("fp")))).alias("set_hash"),
+    )
+
+
 def q_multimodal_decode_stats(spark, sf):
     """Binary image column -> decode/inspect inside Arrow batches
     (mapInPandas): per-format counts, pixel stats, decode success.
@@ -707,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
         "crawl_end_to_end": q_crawl_end_to_end,
@@ -1015,5 +1047,59 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e JOIN read_parquet('{p_ann}') b ON e.vec_id = b.vec_id
             WHERE b.bucket = {qb}
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "ivf_ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+            cent AS (
+              SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id > 0 ORDER BY vec_id LIMIT 16),
+            assign AS (
+              SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                                  c.cell_id) AS rn
+                FROM embeddings e, cent c WHERE e.vec_id > 0)
+              WHERE rn = 1),
+            probed AS (
+              SELECT cell_id FROM (
+                SELECT c.cell_id,
+                       ROW_NUMBER() OVER (
+                         ORDER BY round(list_cosine_similarity((SELECT v FROM q), c.cv), 6) DESC,
+                                  c.cell_id) AS rn
+                FROM cent c)
+              WHERE rn <= 4)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT v FROM q)), 6) AS cosine
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN probed p ON a.cell_id = p.cell_id
+            ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "winnow_fingerprints": """
+            WITH t AS (
+              SELECT doc_id AS doc, lower(substring(text, 1, 400)) AS t,
+                     length(lower(substring(text, 1, 400))) AS n
+              FROM documents),
+            grams AS (
+              SELECT doc, n - 4 AS ng, CAST(i AS INT) AS pos,
+                     md5(substring(t, CAST(i AS INT), 5)) AS h
+              FROM t, unnest(generate_series(1, n - 4)) AS u(i)
+              WHERE n >= 8),
+            sel AS (
+              SELECT DISTINCT doc, fp FROM (
+                SELECT doc, pos, ng,
+                       min(h) OVER (PARTITION BY doc ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM grams)
+              WHERE pos <= ng - 3),
+            fps AS (
+              SELECT * FROM sel
+              UNION ALL
+              SELECT doc, md5(t) AS fp FROM t WHERE n < 8)
+            SELECT doc, count(*) AS n_fps,
+                   md5(string_agg(fp, '' ORDER BY fp)) AS set_hash
+            FROM fps GROUP BY doc
         """,
     }

@@ -243,3 +243,80 @@ def ann_topk_lsh(
     return ann_topk_bruteforce(
         bucketed.filter(F.col("_bucket") == qb), query_vec, k, id_col, vec_col
     )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+
+def ivf_centroids_first(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` lowest-id corpus
+    vectors serve as cell centroids. (A k-means refinement would iterate
+    from exactly this seed set; the IVF *operator contract* — broadcast
+    centroids, argmax-cosine assignment, cell-pruned probe — is
+    identical, and determinism is what the cross-engine oracle needs.)
+    The result is tiny (n_cells × dim doubles) and always broadcast."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id) inverted-file assignment: broadcast-nested-loop the
+    tiny centroid table against the corpus and keep each vector's
+    max-cosine cell (ties → lowest cell_id). All JVM column algebra —
+    the only shuffle is the per-vector window, which at scale is written
+    once into the index table (partitioned BY cell_id) and reused by
+    every query."""
+    from pyspark.sql import Window
+
+    joined = corpus.crossJoin(F.broadcast(centroids))
+    cos = F.round(cosine_sim(F.col(vec_col).cast("array<double>"), F.col("cvec")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.col("cell_id"))
+    return (
+        joined.withColumn("_c", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell_id")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the query's ``n_probe`` nearest
+    cells, brute-force inside them — the classic inverted-file ANN
+    (Sivic/Zisserman'03 video-google vocabularies; FAISS IVF-Flat is the
+    same public structure). Complements ``ann_topk_lsh``: IVF prunes by
+    data-adaptive cells, LSH by data-oblivious hyperplanes. Scales as
+    ~n_probe/n_cells of the corpus scored per query."""
+    centroids = ivf_centroids_first(corpus, n_cells, id_col, vec_col)
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probed = (
+        centroids.select(
+            "cell_id", F.round(cosine_sim(F.col("cvec"), q), 6).alias("_qc")
+        )
+        .orderBy(F.desc("_qc"), "cell_id")
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    cand = corpus.join(assign, id_col).join(F.broadcast(probed), "cell_id")
+    return ann_topk_bruteforce(cand, query_vec, k, id_col, vec_col)

@@ -78,3 +78,56 @@ def fingerprint(text: Column) -> Column:
     """Whitespace-normalized lowercase MD5 content fingerprint (exact
     dedup key; the reference's UNIQUE(url) analog for documents)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    prefix: int | None = None,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the public MOSS algorithm): hash every char k-gram,
+    slide a window of ``w`` consecutive gram hashes, keep each window's
+    minimum, and return the distinct minima per doc. Guarantees any
+    shared substring of length >= k+w-1 yields a shared fingerprint,
+    at ~2/(w+1) selection density — the rolling-hash partial-overlap
+    dedup key that exact ``fingerprint`` can't provide.
+
+    All stages are codegen DataFrame algebra: explode positions, window
+    ``min``, ``distinct`` — one shuffle keyed by doc (the window's hash
+    partitioning is reused by the distinct). The gram hash is the md5
+    hex digest, whose lexicographic order is engine-independent (the
+    DuckDB oracle is a pure SQL twin); at 100 TB swap it for
+    ``xxhash64`` (8-byte longs, same selection algebra).
+
+    Docs shorter than k+w-1 chars emit one fingerprint = hash of the
+    whole normalized text. ``prefix`` caps the scanned chars per doc.
+    Returns distinct ``(doc, fp)`` rows.
+    """
+    from pyspark.sql import Window
+
+    t = F.lower(F.col(text_col)) if prefix is None else F.lower(F.substring(text_col, 1, prefix))
+    base = df.select(F.col(id_col).alias("doc"), t.alias("_t"), F.length(t).alias("_n"))
+    min_len = k + w - 1
+    ng = F.col("_n") - (k - 1)  # number of k-grams
+    grams = (
+        base.filter(F.col("_n") >= min_len)
+        .select("doc", "_t", ng.alias("_ng"))
+        .select("doc", "_ng", "_t", F.explode(F.sequence(F.lit(1), F.col("_ng"))).alias("pos"))
+        .select(
+            "doc", "_ng", "pos",
+            F.md5(F.col("_t").substr(F.col("pos"), F.lit(k))).alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    selected = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("_ng") - (w - 1))  # full windows only
+        .select("doc", "fp")
+        .distinct()
+    )
+    short = base.filter(F.col("_n") < min_len).select("doc", F.md5("_t").alias("fp"))
+    return selected.unionByName(short)

@@ -1,4 +1,14 @@
 from .codec import decode_image, encode_image, phash64, psnr
+from .media import (
+    audio_stats,
+    decode_audio,
+    encode_audio,
+    encode_video,
+    iter_video_frames,
+    resize_images,
+    resize_nearest,
+    sample_frames,
+)
 from .neardup import phash_band_cols, phash_neardup_pairs
 from .png import decode_png, encode_png
 
@@ -11,4 +21,12 @@ __all__ = [
     "encode_png",
     "phash_band_cols",
     "phash_neardup_pairs",
+    "audio_stats",
+    "decode_audio",
+    "encode_audio",
+    "encode_video",
+    "iter_video_frames",
+    "resize_images",
+    "resize_nearest",
+    "sample_frames",
 ]

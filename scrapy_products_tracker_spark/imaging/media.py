@@ -1,0 +1,204 @@
+"""Multimodal media columns: opaque ``binary`` payloads + typed metadata.
+
+The training-data pipeline treats images/audio/video exactly like the
+image rows the crawl already carries (reference stores images as files,
+save_images_pipeline.py:27-41 / file_saver.py:19-66; here every payload
+is a ``BinaryType`` column): decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` kernels so bytes never
+pass through row-at-a-time Python.
+
+What is real vs stubbed in this sandbox (no PIL/libav/cv2 installed):
+
+- **images**: fully real — pure-numpy PNG and the surrogate-lossy codec
+  (``imaging/codec.py``); ``resize_images`` decodes, nearest-neighbor
+  resamples, and re-encodes actual pixels.
+- **audio/video**: the *container plumbing* is real over deterministic
+  synthetic containers (``SAUD`` PCM16 audio, ``SVID`` = length-prefixed
+  encoded frames), so schemas, batch shapes, and the frame fan-out are
+  exercised end-to-end; payloads in real codecs (wav/mp3/h264/...) hit a
+  clearly-marked ``NotImplementedError`` branch that an import-try on
+  the decode libs would replace in production.
+
+Scale notes: kernels are per-row independent (no shuffle); frame
+sampling fans out rows, so callers should repartition by ``media_id``
+*before* the kernel if the downstream stage is per-frame. Payload bytes
+never enter a shuffle here — outputs carry either scalar stats or the
+(re-encoded) bytes straight to a sink.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .codec import decode_image, encode_image
+
+AUDIO_MAGIC = b"SAUD"  # u32 sample_rate, u32 n_samples, int16 PCM mono
+VIDEO_MAGIC = b"SVID"  # u32 n_frames, then per frame: u32 len + encoded image
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+# --- container codecs (driver/executor-side pure functions) ---------------
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    pcm = np.asarray(samples, dtype=np.int16)
+    return AUDIO_MAGIC + struct.pack("<II", int(sample_rate), pcm.size) + pcm.tobytes()
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples). Real audio codecs are not available
+    in this container — only the synthetic SAUD container decodes; the
+    production build replaces this branch via import-try on soundfile/
+    librosa."""
+    if data[:4] != AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio codecs (wav/mp3/flac) need soundfile/librosa, absent here"
+        )
+    sr, n = struct.unpack_from("<II", data, 4)
+    pcm = np.frombuffer(data, dtype=np.int16, count=n, offset=12)
+    return sr, pcm
+
+
+def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        payload = encode_image(fr, fmt)
+        parts.append(struct.pack("<I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def iter_video_frames(data: bytes) -> Iterator[np.ndarray]:
+    """Yield decoded frames of a SVID container. Real video codecs
+    (h264/vp9) need libav/cv2, absent here — same stub contract as
+    ``decode_audio``."""
+    if data[:4] != VIDEO_MAGIC:
+        raise NotImplementedError("real video demux needs av/cv2, absent here")
+    (n,) = struct.unpack_from("<I", data, 4)
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        yield decode_image(data[off : off + ln])
+        off += ln
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy index map)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return px[np.ix_(rows, cols)]
+
+
+# --- mapInPandas kernels ---------------------------------------------------
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, fmt: str = "png") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched.
+    Expects (image_id, bytes[, ...]) rows; emits RESIZED_SCHEMA."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = resize_nearest(decode_image(bytes(data)), out_h, out_w)
+                out.append((mid, out_w, out_h, encode_image(px, fmt)))
+            yield pd.DataFrame(out, columns=["image_id", "w", "h", "bytes"])
+
+    return df.select("image_id", "bytes").mapInPandas(_kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Deterministic frame sampling: keep frame_idx % every == 0 of each
+    video row (kind='video'); non-video rows are passed over. One input
+    row fans out to ceil(n_frames/every) FRAME_SCHEMA rows."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
+                if kind != "video":
+                    continue
+                for idx, px in enumerate(iter_video_frames(bytes(data))):
+                    if idx % every == 0:
+                        out.append(
+                            (mid, idx, int(px.shape[1]), int(px.shape[0]), encode_image(px, "png"))
+                        )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "w", "h", "bytes"])
+
+    return df.select("media_id", "kind", "bytes").mapInPandas(_kernel, FRAME_SCHEMA)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Per-clip feature extraction (duration/RMS/peak) over the audio
+    rows (kind='audio') — the audio twin of multimodal_decode_stats."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
+                if kind != "audio":
+                    continue
+                sr, pcm = decode_audio(bytes(data))
+                x = pcm.astype(np.float64)
+                out.append(
+                    (
+                        mid,
+                        sr,
+                        int(pcm.size),
+                        float(pcm.size / sr) if sr else 0.0,
+                        float(np.sqrt(np.mean(x * x))) if pcm.size else 0.0,
+                        int(np.max(np.abs(x))) if pcm.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return df.select("media_id", "kind", "bytes").mapInPandas(_kernel, AUDIO_STATS_SCHEMA)

@@ -1,0 +1,106 @@
+"""Multimodal media plumbing: resize, frame sampling, audio features.
+
+Pins that the Arrow-batched kernels move real pixels/samples through the
+binary columns (images fully real; audio/video over the deterministic
+synthetic containers), and that foreign codecs fail loudly via the
+documented NotImplementedError stub contract.
+"""
+
+import numpy as np
+import pytest
+
+from scrapy_products_tracker_spark.imaging import (
+    audio_stats,
+    decode_audio,
+    decode_image,
+    encode_audio,
+    encode_image,
+    encode_video,
+    iter_video_frames,
+    resize_images,
+    resize_nearest,
+    sample_frames,
+)
+
+
+def _gradient(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w), dtype=np.uint8)
+
+
+def test_audio_container_roundtrip():
+    pcm = (np.sin(np.linspace(0, 40, 800)) * 20000).astype(np.int16)
+    sr, out = decode_audio(encode_audio(pcm, 8000))
+    assert sr == 8000
+    assert np.array_equal(out, pcm)
+
+
+def test_foreign_codecs_raise_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF....WAVE" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        list(iter_video_frames(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32))
+
+
+def test_video_container_roundtrip():
+    frames = [_gradient(6, 8, s) for s in range(5)]
+    out = list(iter_video_frames(encode_video(frames)))
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_resize_nearest_exact_map():
+    px = _gradient(8, 6)
+    small = resize_nearest(px, 4, 3)
+    assert small.shape == (4, 3)
+    rows = np.arange(4) * 8 // 4
+    cols = np.arange(3) * 6 // 3
+    assert np.array_equal(small, px[np.ix_(rows, cols)])
+
+
+def test_resize_images_spark(spark):
+    imgs = [("img_%d" % i, encode_image(_gradient(16, 12, i), "png")) for i in range(6)]
+    df = spark.createDataFrame(imgs, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in resize_images(df, out_w=6, out_h=8).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out["img_%d" % i]
+        assert (r["w"], r["h"]) == (6, 8)
+        got = decode_image(bytes(r["bytes"]))
+        assert np.array_equal(got, resize_nearest(_gradient(16, 12, i), 8, 6))
+
+
+def test_sample_frames_spark(spark):
+    vids = [
+        ("vid_a", "video", encode_video([_gradient(4, 4, s) for s in range(6)])),
+        ("vid_b", "video", encode_video([_gradient(4, 4, 10 + s) for s in range(4)])),
+        ("aud_x", "audio", encode_audio(np.zeros(10, dtype=np.int16), 8000)),
+    ]
+    df = spark.createDataFrame(vids, "media_id string, kind string, bytes binary")
+    rows = sample_frames(df, every=2).collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in rows}
+    assert got == {("vid_a", 0), ("vid_a", 2), ("vid_a", 4), ("vid_b", 0), ("vid_b", 2)}
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    assert np.array_equal(
+        decode_image(bytes(by_key[("vid_a", 2)]["bytes"])), _gradient(4, 4, 2)
+    )
+
+
+def test_audio_stats_spark(spark):
+    pcm_a = (np.sin(np.linspace(0, 60, 1600)) * 10000).astype(np.int16)
+    pcm_b = np.full(400, 5000, dtype=np.int16)
+    media = [
+        ("a", "audio", encode_audio(pcm_a, 16000)),
+        ("b", "audio", encode_audio(pcm_b, 8000)),
+        ("v", "video", encode_video([_gradient(4, 4)])),
+    ]
+    df = spark.createDataFrame(media, "media_id string, kind string, bytes binary")
+    out = {r["media_id"]: r for r in audio_stats(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["sample_rate"] == 16000 and out["a"]["n_samples"] == 1600
+    assert out["a"]["duration_s"] == pytest.approx(0.1)
+    x = pcm_a.astype(np.float64)
+    assert out["a"]["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+    assert out["b"]["rms"] == pytest.approx(5000.0)
+    assert out["b"]["peak"] == 5000

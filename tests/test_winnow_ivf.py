@@ -1,0 +1,128 @@
+"""Winnowing fingerprints + IVF ANN: exactness vs independent oracles.
+
+- winnow_fingerprints is checked against a from-scratch pure-Python
+  winnower (hashlib md5, no Spark), plus the MOSS guarantee property:
+  docs sharing a substring of length >= k+w-1 share a fingerprint.
+- ann_topk_ivf is checked against numpy argmax assignment + probe, and
+  must equal the brute-force baseline whenever every cell is probed.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ivf_assign,
+    ivf_centroids_first,
+)
+from scrapy_products_tracker_spark.functions.text import winnow_fingerprints
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4) -> set[str]:
+    t = text.lower()
+    if len(t) < k + w - 1:
+        return {hashlib.md5(t.encode()).hexdigest()}
+    hashes = [hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(len(t) - k + 1)]
+    return {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
+
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river bank today."),
+    (1, "A totally different sentence that shares nothing with the first one at all!"),
+    (2, "quick brown fox jumps over the lazy dog"),  # shared substring with 0
+    (3, "tiny"),  # short-doc path
+    (4, ""),  # empty text
+    (5, "aaaaaaaaaaaaaaaa"),  # degenerate repeats -> single fingerprint
+]
+
+
+def test_winnow_matches_pure_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=5, w=4).collect():
+        got.setdefault(r["doc"], set()).add(r["fp"])
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_winnow(text), f"doc {doc_id}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    a = {r["fp"] for r in fps.filter(F.col("doc") == 0).collect()}
+    b = {r["fp"] for r in fps.filter(F.col("doc") == 2).collect()}
+    c = {r["fp"] for r in fps.filter(F.col("doc") == 1).collect()}
+    assert a & b, "docs sharing a >=k+w-1 substring must share a fingerprint"
+    assert not (a & c), "unrelated docs should not collide here"
+
+
+def test_winnow_prefix_cap(spark):
+    df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    capped = winnow_fingerprints(df, "doc_id", "text", k=5, w=4, prefix=20)
+    got = {r["fp"] for r in capped.collect()}
+    assert got == _py_winnow(DOCS[0][1][:20])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 16)).astype(np.float64)
+    rows = [(i, vecs[i].tolist()) for i in range(120)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def _np_cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_ivf_assignment_is_argmax(vectors):
+    df, vecs = vectors
+    corpus = df.filter(F.col("vec_id") > 0)
+    cents = ivf_centroids_first(corpus, 8)
+    got = {r["vec_id"]: r["cell_id"] for r in ivf_assign(corpus, cents).collect()}
+    cent_ids = list(range(1, 9))
+    for vid in range(1, 120):
+        sims = [(round(_np_cos(vecs[vid], vecs[c]), 6), -c) for c in cent_ids]
+        best = -max(sims)[1]
+        assert got[vid] == best, f"vec {vid}"
+
+
+def test_ivf_probe_all_equals_bruteforce(vectors):
+    df, vecs = vectors
+    corpus = df.filter(F.col("vec_id") > 0)
+    q = vecs[0].tolist()
+    bf = [(r["vec_id"], r["cosine"]) for r in ann_topk_bruteforce(corpus, q, k=10).collect()]
+    ivf = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_ivf(corpus, q, k=10, n_cells=8, n_probe=8).collect()
+    ]
+    assert ivf == bf
+
+
+def test_ivf_pruned_probe_matches_numpy(vectors):
+    df, vecs = vectors
+    corpus = df.filter(F.col("vec_id") > 0)
+    q = vecs[0]
+    cent_ids = list(range(1, 9))
+    assign = {
+        vid: -max((round(_np_cos(vecs[vid], vecs[c]), 6), -c) for c in cent_ids)[1]
+        for vid in range(1, 120)
+    }
+    probed = [
+        -c for _, c in sorted(
+            ((round(_np_cos(q, vecs[c]), 6), -c) for c in cent_ids), reverse=True
+        )[:3]
+    ]
+    cand = [v for v, cell in assign.items() if cell in probed]
+    expected = sorted(
+        ((round(_np_cos(q, vecs[v]), 6), -v) for v in cand), reverse=True
+    )[:10]
+    expected = [(-nv, c) for c, nv in expected]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_ivf(corpus, q.tolist(), k=10, n_cells=8, n_probe=3).collect()
+    ]
+    assert got == expected
