@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_neardup",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ivf_ann_topk",
+    "winnow_fingerprints",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
 ]

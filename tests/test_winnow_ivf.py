@@ -59,6 +59,30 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (a & c), "unrelated docs should not collide here"
 
 
+def test_winnow_xxhash64_mode_matches_pure_python(spark):
+    """The at-scale hash mode (signed-long xxhash64 grams) must agree
+    with a from-scratch winnower built on the bit-parity-pinned
+    pure-Python xxhash64."""
+    from scrapy_products_tracker_spark.functions.hashing import xxhash64_str
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def py_winnow_xx(text, k=5, w=4):
+        t = text.lower()
+        if len(t) < k + w - 1:
+            return {signed(xxhash64_str(t))}
+        hs = [signed(xxhash64_str(t[i : i + k])) for i in range(len(t) - k + 1)]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=5, w=4, hash_mode="xxhash64").collect():
+        got.setdefault(r["doc"], set()).add(r["fp"])
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_winnow_xx(text), f"doc {doc_id}"
+
+
 def test_winnow_prefix_cap(spark):
     df = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
     capped = winnow_fingerprints(df, "doc_id", "text", k=5, w=4, prefix=20)
