@@ -594,6 +594,19 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.ann_topk_lsh(emb.filter(F.col("vec_id") > 0), qvec, k=10, n_planes=8)
 
 
+def q_embedding_lsh_neardup(spark, sf):
+    """Embedding near-dup at scale: banded hyperplane-LSH candidate
+    pairs ((band, bucket) equi-join — the structural twin of MinHash
+    banding) verified by exact cosine. This is the 100-TB path the
+    modulo-banded `embedding_neardup_pairs` oracle query approximates;
+    oracle = independent pure-Python bucket assignments (left-fold dot
+    parity) + SQL pair join/verify."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.embedding_neardup_lsh(
+        emb, threshold=0.2, n_bands=4, planes_per_band=8
+    ).orderBy("vec_a", "vec_b")
+
+
 def q_ivf_ann_topk(spark, sf):
     """IVF-Flat ANN (data-adaptive cells; the FAISS-style complement of
     the hyperplane-LSH path): deterministic coarse quantizer, broadcast
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "multimodal_decode_stats": q_multimodal_decode_stats,
@@ -760,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
     p_sig = OB.build_minhash_signatures()
     p_sim = OB.build_simhash_expected()
     p_ann, qb = OB.build_ann_assignments()
+    p_bands = OB.build_band_assignments()
     p_mm = OB.build_multimodal_expected()
     p_ph = OB.build_phash_pairs_inputs()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -1047,6 +1062,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e JOIN read_parquet('{p_ann}') b ON e.vec_id = b.vec_id
             WHERE b.bucket = {qb}
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "embedding_lsh_neardup": f"""
+            WITH bb AS (SELECT vec_id, band, bucket FROM read_parquet('{p_bands}')),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+              FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT c.va AS vec_a, c.vb AS vec_b,
+                   round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.va
+            JOIN embeddings eb ON eb.vec_id = c.vb
+            WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])), 6) >= 0.2
+            ORDER BY vec_a, vec_b
         """,
         "ivf_ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),

@@ -245,6 +245,78 @@ def ann_topk_lsh(
     )
 
 
+def lsh_band_buckets(
+    corpus: DataFrame,
+    dim: int,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: per band, the sign-pattern bucket over
+    that band's hyperplanes — the banded variant of ``lsh_bucket_col``
+    (same AND-OR amplification as MinHash banding: all signs in one
+    band must agree, any band may match). Emitted in ONE pass with
+    ``explode`` so the corpus is scanned once."""
+    planes = random_hyperplanes(n_bands * planes_per_band, dim, seed)
+    structs = []
+    for b in range(n_bands):
+        sub = planes[b * planes_per_band : (b + 1) * planes_per_band]
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket_col(F.col(vec_col), sub).alias("bucket"),
+            )
+        )
+    return corpus.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+
+
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.2,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, the 100-TB path: banded
+    hyperplane-LSH candidates via (band, bucket) equi-join — never an
+    all-pairs or modulo-banded self-join — then exact cosine
+    verification on candidates only. The structural twin of the
+    MinHash-LSH text path (sign-LSH per Charikar'02); candidate volume
+    is governed by n_bands x planes_per_band exactly like (b, r) in
+    MinHash banding."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
+    bb = lsh_band_buckets(corpus, dim, n_bands, planes_per_band, seed, id_col, vec_col)
+    left = bb.select(F.col(id_col).alias("_ida"), "band", "bucket")
+    right = bb.select(F.col(id_col).alias("_idb"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    v = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    a = v.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(a, "_ida")
+        .join(b, "_idb")
+        .select(
+            F.col("_ida").alias("vec_a"),
+            F.col("_idb").alias("vec_b"),
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 

@@ -371,3 +371,28 @@ def build_ann_assignments(sf_dir: str = CORRECTNESS_SF, n_planes: int = 8, seed:
     schema = pa.schema([("vec_id", pa.int64()), ("bucket", pa.int64())])
     path = _write(pd.DataFrame(rows), "ann_buckets.parquet", schema)
     return path, qb
+
+
+def build_band_assignments(
+    sf_dir: str = CORRECTNESS_SF,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> str:
+    """(vec_id, band, bucket) parquet: replicates
+    functions/similarity.lsh_band_buckets without Spark (same
+    random_hyperplanes seed stream, same left-fold projection sign)."""
+    import pyarrow as pa
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(emb["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * planes_per_band, dim)).tolist()
+    rows = []
+    for vec_id, vec in zip(emb["vec_id"], emb["embedding"]):
+        for b in range(n_bands):
+            sub = planes[b * planes_per_band : (b + 1) * planes_per_band]
+            bucket = sum((1 << i) for i, p in enumerate(sub) if _fold_dot(vec, p) >= 0)
+            rows.append({"vec_id": int(vec_id), "band": b, "bucket": int(bucket)})
+    schema = pa.schema([("vec_id", pa.int64()), ("band", pa.int32()), ("bucket", pa.int64())])
+    return _write(pd.DataFrame(rows), "band_buckets.parquet", schema)

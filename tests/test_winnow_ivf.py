@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from scrapy_products_tracker_spark.functions.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
+    embedding_neardup_lsh,
     ivf_assign,
     ivf_centroids_first,
 )
@@ -124,6 +125,22 @@ def test_ivf_probe_all_equals_bruteforce(vectors):
         for r in ann_topk_ivf(corpus, q, k=10, n_cells=8, n_probe=8).collect()
     ]
     assert ivf == bf
+
+
+def test_embedding_lsh_neardup_finds_planted_pairs(spark):
+    """Banded hyperplane-LSH near-dup: planted ~0.999-cosine variants
+    are recovered; unrelated random vectors are not reported at the
+    0.95 threshold; and the plan is equi-join only (no cartesian)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16))
+    planted = [(i, 100 + i) for i in (3, 17, 42)]
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    rows += [(100 + i, (vecs[i] + rng.standard_normal(16) * 0.01).tolist()) for i, _ in planted]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_lsh(df, threshold=0.95, n_bands=4, planes_per_band=8)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert got == set(planted)
 
 
 def test_ivf_pruned_probe_matches_numpy(vectors):
