@@ -1,3 +1,4 @@
+from .dedup_stream import dedup_url_stream
 from .price_stream import expected_price_changes, price_change_stream, stream_history
 from .results_stream import (
     domain_rate_stream,
@@ -7,6 +8,7 @@ from .results_stream import (
 )
 
 __all__ = [
+    "dedup_url_stream",
     "domain_rate_stream",
     "expected_price_changes",
     "price_change_stream",

@@ -92,6 +92,42 @@ def test_robots_check_is_broadcast_join(spark, t1_paths):
     assert "SortMergeJoin" not in plan
 
 
+def test_ivf_ann_plan_shape(spark):
+    """IVF: the centroid pass must be the intended broadcast nested
+    loop over the tiny centroid table (never a shuffled product), and
+    the final top-k must stay TakeOrderedAndProject."""
+    plan = _formatted_plan(entry.q_ivf_ann_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus x 16 centroids
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_single_doc_shuffle(spark):
+    """Winnowing: window-min + distinct must reuse ONE doc-keyed
+    exchange (the distinct's (doc, fp) clustering is satisfied by the
+    window's hashpartitioning(doc)) — at 100 TB a second full shuffle
+    of the gram stream would dominate the operator."""
+    from scrapy_products_tracker_spark.functions.text import winnow_fingerprints
+
+    import re
+
+    d = entry._t(spark, SF, "documents")
+    plan = _formatted_plan(winnow_fingerprints(d, "doc_id", "text", prefix=400))
+    # count operator detail headers "(n) Exchange" (tree lines would
+    # double-count), excluding ReusedExchange
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan
+
+
+def test_embedding_lsh_pairs_equi_join_only(spark):
+    """Banded hyperplane LSH near-dup: candidates come from an
+    equi-join on (band, bucket); no cartesian/broadcast-nested-loop
+    pair enumeration anywhere in the plan."""
+    plan = _formatted_plan(entry.q_embedding_lsh_neardup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_scheduler_input_never_carries_payload_bytes(spark, t1_paths):
     """The frontier rows fed to the politeness scheduler are narrow —
     the binary image payload must never enter that shuffle."""
