@@ -477,6 +477,17 @@ def q_token_count_stats(spark, sf):  # token counting per language
     )
 
 
+def q_bpe_token_stats(spark, sf):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex,
+    lookahead-free so Spark's Java regex and DuckDB's RE2 agree):
+    per-language totals of sub-word merge input units."""
+    d = _t(spark, sf, "documents")
+    n = TX.bpe_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("total_bpe"), F.max(n).alias("max_bpe")
+    )
+
+
 def q_quality_scores(spark, sf):  # quality scoring heuristic per doc
     d = _t(spark, sf, "documents")
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization_hourly": q_sessionization_hourly,
         "dedup_exact_text": q_dedup_exact_text,
         "token_count_stats": q_token_count_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "binary_payload_stats": q_binary_payload_stats,
@@ -966,6 +978,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(sum(nt) AS BIGINT) AS total_tokens,
                    round(CAST(avg(nt) AS DOUBLE), 4) AS avg_tokens
             FROM (SELECT lang, {_NT} AS nt FROM documents) GROUP BY lang
+        """,
+        "bpe_token_stats": f"""
+            SELECT lang, CAST(sum(nb) AS BIGINT) AS total_bpe, CAST(max(nb) AS INT) AS max_bpe
+            FROM (SELECT lang, len(regexp_extract_all(text, '{TX.BPE_TOKEN_RE.replace("'", "''")}')) AS nb
+                  FROM documents)
+            GROUP BY lang
         """,
         "quality_scores": rf"""
             SELECT doc_id, round((len_ok + wl_ok + punct_ok + stop_ok) / 4.0, 6) AS quality FROM (

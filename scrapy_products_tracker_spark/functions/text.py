@@ -26,6 +26,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# GPT-2-style pre-tokenizer shape (public), simplified to the
+# lookahead-free subset so the identical pattern runs on Java regex
+# (Spark) and RE2 (DuckDB oracle): contractions, space-prefixed letter
+# runs, digit runs, punctuation runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-merge input units per doc — the BPE-ish twin of
+    ``token_count`` (whitespace): what a GPT-2-family pre-tokenizer
+    would hand to the merge table (the merge table itself is
+    model-specific and out of scope). Pure column expression."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

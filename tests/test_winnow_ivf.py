@@ -91,6 +91,26 @@ def test_winnow_prefix_cap(spark):
     assert got == _py_winnow(DOCS[0][1][:20])
 
 
+def test_bpe_token_count_hand_cases(spark):
+    from scrapy_products_tracker_spark.functions.text import bpe_token_count
+
+    cases = [
+        # "it's fine" -> [it]["'s"][ fine] = 3
+        (0, "it's fine", 3),
+        # [Hello][,][ world][!] = 4 (punct splits from letters)
+        (1, "Hello, world!", 4),
+        # [abc][123][ x] = 3 (digit run separate from letter run)
+        (2, "abc123 x", 3),
+        (3, "", 0),
+        # [we]["'ll"][ see][ 10][ %] -> ' ?%' punct run = 5
+        (4, "we'll see 10 %", 5),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id long, t string")
+    got = {r["id"]: r["n"] for r in df.select("id", bpe_token_count(F.col("t")).alias("n")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}"
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(7)
