@@ -1,4 +1,4 @@
-from .robots import load_robots
+from .robots import load_robots, parse_robots_body, robots_from_bodies
 from .scheduler import (
     CLAIM_ORDER,
     apply_robots,
@@ -10,6 +10,8 @@ from .scheduler import (
 
 __all__ = [
     "load_robots",
+    "parse_robots_body",
+    "robots_from_bodies",
     "CLAIM_ORDER",
     "apply_robots",
     "mark_robots",

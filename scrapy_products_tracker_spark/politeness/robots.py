@@ -1,16 +1,24 @@
-"""Robots cache table helpers.
+"""Robots cache table: robots.txt parsing + normalization.
 
 The reference never reads robots.txt (``ROBOTSTXT_OBEY`` is never set —
 SURVEY.md §2.5 P5); the north rule requires a robots cache keyed by
 domain with allow/disallow prefixes and crawl-delay. In production the
-cache is itself crawled (one fetch per domain, refreshed on TTL) and
-stored as a small table; in this sandbox it is part of the synthetic
-world. This module only normalizes/validates it — the enforcement
-lives in scheduler.apply_robots (broadcast join, JVM-side prefix test).
+cache is itself crawled (one fetch per domain, refreshed on TTL):
+``robots_from_bodies`` turns the fetched (domain, body) rows into the
+cache table with an Arrow-batched kernel implementing the RFC 9309
+subset the scheduler consumes (user-agent group selection with
+longest-match precedence, Disallow prefixes, the de-facto Crawl-delay
+extension). In this sandbox the table also ships pre-built with the
+synthetic world; ``load_robots`` normalizes/validates either source.
+Enforcement lives in scheduler.apply_robots (broadcast join, JVM-side
+prefix test).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,3 +36,85 @@ def load_robots(spark, path: str) -> DataFrame:
         F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
         F.coalesce("max_per_round", F.lit(8)).alias("max_per_round"),
     )
+
+
+def parse_robots_body(body: str | None, agent: str = "sparkbot") -> tuple[list[str], int]:
+    """(disallow_prefixes, crawl_delay_ms) for ``agent`` from one
+    robots.txt body — the RFC 9309 subset the scheduler enforces.
+
+    Group selection: the group whose ``User-agent`` token is the
+    longest case-insensitive prefix of ``agent`` wins; ``*`` is the
+    fallback group. Consecutive ``User-agent`` lines share one group.
+    ``Disallow:`` with an empty value allows everything (dropped);
+    ``Crawl-delay`` (de-facto extension) is seconds, possibly
+    fractional. Unparseable lines are ignored (robots.txt is untrusted
+    remote content — never an exception path). An absent/empty body
+    means allow-all, delay 0 (RFC 9309 §2.3.1.4 fetch-failure rule).
+    """
+    if not body:
+        return [], 0
+    agent_l = agent.lower()
+    # groups: list of (ua_tokens, disallows, crawl_delay_s)
+    groups: list[tuple[list[str], list[str], float | None]] = []
+    cur_uas: list[str] = []
+    in_group_body = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body or not groups:
+                groups.append(([], [], None))
+                cur_uas = groups[-1][0]
+                in_group_body = False
+            cur_uas.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay"):
+            if not groups:
+                continue  # directive before any user-agent line: ignore
+            in_group_body = True
+            uas, dis, delay = groups[-1]
+            if key == "disallow" and val:
+                dis.append(val)
+            elif key == "crawl-delay":
+                try:
+                    groups[-1] = (uas, dis, float(val))
+                except ValueError:
+                    pass
+    best: tuple[int, list[str], float | None] | None = None
+    for uas, dis, delay in groups:
+        for ua in uas:
+            if ua == "*":
+                score = 0
+            elif agent_l.startswith(ua) and ua:
+                score = len(ua)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, dis, delay)
+    if best is None:
+        return [], 0
+    _, dis, delay = best
+    return dis, int(round((delay or 0.0) * 1000))
+
+
+def robots_from_bodies(
+    bodies: DataFrame, agent: str = "sparkbot", default_max_per_round: int = 8
+) -> DataFrame:
+    """(domain, body) rows -> the ROBOTS_SCHEMA cache table, parsed in
+    Arrow batches (one tiny row per domain; the output is the broadcast
+    side of the scheduler's robots join, never large)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for dom, body in zip(pdf["domain"], pdf["body"]):
+                dis, delay_ms = parse_robots_body(body, agent)
+                rows.append((dom, dis, delay_ms, default_max_per_round))
+            yield pd.DataFrame(
+                rows, columns=["domain", "disallow_prefixes", "crawl_delay_ms", "max_per_round"]
+            )
+
+    return bodies.select("domain", "body").mapInPandas(_kernel, ROBOTS_SCHEMA)

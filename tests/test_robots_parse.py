@@ -1,0 +1,93 @@
+"""robots.txt parsing (RFC 9309 subset) -> the scheduler's cache table.
+
+Pure-function truth table for group selection / directives, plus the
+Arrow-batched (domain, body) -> ROBOTS_SCHEMA kernel, plus end-to-end:
+a parsed table drives apply_robots identically to a hand-built one.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.politeness import (
+    mark_robots,
+    parse_robots_body,
+    robots_from_bodies,
+)
+
+BODY = """
+# comment line
+User-agent: *
+Disallow: /private
+Disallow: /tmp
+Crawl-delay: 1.5
+
+User-agent: sparkbot
+Disallow: /only-for-us
+Crawl-delay: 0.25
+
+User-agent: otherbot
+Disallow: /
+"""
+
+
+def test_specific_agent_group_wins():
+    dis, delay = parse_robots_body(BODY, agent="sparkbot")
+    assert dis == ["/only-for-us"]
+    assert delay == 250
+
+
+def test_wildcard_fallback_group():
+    dis, delay = parse_robots_body(BODY, agent="someone-else")
+    assert dis == ["/private", "/tmp"]
+    assert delay == 1500
+
+
+def test_longest_agent_prefix_precedence():
+    body = "User-agent: spark\nDisallow: /a\n\nUser-agent: sparkbot\nDisallow: /b\n"
+    assert parse_robots_body(body, agent="sparkbot")[0] == ["/b"]
+    assert parse_robots_body(body, agent="sparkly")[0] == ["/a"]
+
+
+def test_shared_group_and_empty_disallow():
+    body = "User-agent: a\nUser-agent: b\nDisallow:\nDisallow: /x\n"
+    assert parse_robots_body(body, agent="a") == (["/x"], 0)
+    assert parse_robots_body(body, agent="b") == (["/x"], 0)
+
+
+def test_untrusted_garbage_never_raises():
+    for body in (None, "", "randomtext", "Disallow: /pre-group", "Crawl-delay: NaNx\n",
+                 "User-agent: *\nCrawl-delay: soon\nDisallow: /ok"):
+        dis, delay = parse_robots_body(body)
+        assert isinstance(dis, list) and isinstance(delay, int)
+    assert parse_robots_body("User-agent: *\nCrawl-delay: soon\nDisallow: /ok") == (["/ok"], 0)
+    assert parse_robots_body(None) == ([], 0)
+
+
+def test_robots_from_bodies_kernel_and_enforcement(spark):
+    bodies = spark.createDataFrame(
+        [
+            ("d0.example.com", BODY),
+            ("d1.example.com", None),  # fetch failure -> allow all
+        ],
+        "domain string, body string",
+    )
+    table = robots_from_bodies(bodies, agent="sparkbot")
+    rows = {r["domain"]: r for r in table.collect()}
+    assert rows["d0.example.com"]["disallow_prefixes"] == ["/only-for-us"]
+    assert rows["d0.example.com"]["crawl_delay_ms"] == 250
+    assert rows["d1.example.com"]["disallow_prefixes"] == []
+
+    cands = spark.createDataFrame(
+        [
+            ("https://d0.example.com/only-for-us/p1", "d0.example.com"),
+            ("https://d0.example.com/ok/p2", "d0.example.com"),
+            ("https://d1.example.com/only-for-us/p3", "d1.example.com"),
+        ],
+        "url string, domain string",
+    )
+    marked = {r["url"]: r["_robots_blocked"] for r in mark_robots(cands, table).collect()}
+    assert marked == {
+        "https://d0.example.com/only-for-us/p1": True,
+        "https://d0.example.com/ok/p2": False,
+        "https://d1.example.com/only-for-us/p3": False,
+    }
