@@ -109,3 +109,38 @@ def path_of_str(url: str) -> str:
     m = _SPLIT.match(url)
     rest = (m.group("rest") or "/") if m else "/"
     return rest.partition("?")[0] or "/"
+
+
+def get_query_param(url: Column, name: str) -> Column:
+    """``?name=`` value as a string column (NULL if absent) — the read
+    half of the reference's furl query manipulation (E12:
+    costco_category_spider.py:78-95, viking_category_spider.py:77-96)."""
+    return F.parse_url(url, F.lit("QUERY"), F.lit(name))
+
+
+def with_query_param(url: Column, name: str, value: Column) -> Column:
+    """Set-or-append ``?name=value`` — the write half of the furl idiom
+    (sequential pagination rebuilds ``page=N`` on the current URL).
+    Pure column algebra (regexp replace / concat), no UDF. Expects
+    canonical URLs (no fragment — the canonicalizer strips them)."""
+    value = value.cast("string")
+    has = get_query_param(url, name).isNotNull()
+    replaced = F.regexp_replace(
+        url, F.lit(f"([?&]{name}=)[^&]*"), F.concat(F.lit("$1"), value)
+    )
+    appended = F.concat(
+        url,
+        F.when(F.instr(url, "?") > 0, F.lit("&")).otherwise(F.lit("?")),
+        F.lit(name + "="),
+        value,
+    )
+    return F.when(has, replaced).otherwise(appended)
+
+
+def next_page_url(url: Column, name: str = "page", first: int = 2) -> Column:
+    """The sequential next-page rebuild (F2/E12): current ``?page`` + 1,
+    or ``first`` when the param is absent (page 1 is implicit on seed
+    category URLs in the reference spiders)."""
+    cur = get_query_param(url, name).cast("int")
+    nxt = F.when(cur.isNotNull(), cur + 1).otherwise(F.lit(first))
+    return with_query_param(url, name, nxt)

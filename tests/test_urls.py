@@ -51,3 +51,37 @@ def test_domain_and_path_helpers():
     assert domain_of_str("https://a.b.c:8080/x/y?q=1") == "a.b.c"
     assert path_of_str("https://a.b.c/x/y?q=1") == "/x/y"
     assert path_of_str("https://a.b.c") == "/"
+
+
+def test_query_param_get_set_next_page(spark):
+    """E12/F2: the furl get/set-query-param idiom as column algebra —
+    read page, rebuild next-page URL, append when absent."""
+    from pyspark.sql import functions as F
+
+    from scrapy_products_tracker_spark.functions.urls import (
+        get_query_param,
+        next_page_url,
+        with_query_param,
+    )
+
+    rows = [
+        ("https://s.com/cat?page=3",),
+        ("https://s.com/cat?a=1&page=9&b=2",),
+        ("https://s.com/cat",),
+        ("https://s.com/cat?a=1",),
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    out = df.select(
+        "url",
+        get_query_param(F.col("url"), "page").alias("cur"),
+        with_query_param(F.col("url"), "page", F.lit(7)).alias("set7"),
+        next_page_url(F.col("url")).alias("nxt"),
+    )
+    got = {r["url"]: r for r in out.collect()}
+    assert got["https://s.com/cat?page=3"]["cur"] == "3"
+    assert got["https://s.com/cat?page=3"]["set7"] == "https://s.com/cat?page=7"
+    assert got["https://s.com/cat?page=3"]["nxt"] == "https://s.com/cat?page=4"
+    assert got["https://s.com/cat?a=1&page=9&b=2"]["nxt"] == "https://s.com/cat?a=1&page=10&b=2"
+    assert got["https://s.com/cat"]["cur"] is None
+    assert got["https://s.com/cat"]["nxt"] == "https://s.com/cat?page=2"
+    assert got["https://s.com/cat?a=1"]["nxt"] == "https://s.com/cat?a=1&page=2"
