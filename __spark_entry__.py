@@ -599,6 +599,31 @@ def q_simhash_neardup(spark, sf):
     return SIM.simhash64(d, "doc_id", "text").orderBy("doc")
 
 
+def q_simhash_neardup_pairs(spark, sf):
+    """SimHash near-dup PAIRS by the banded int64 Hamming join (exact
+    for dist<=7 via pigeonhole; equi-join only) — the text twin of
+    phash_image_neardup. Oracle: independent pure-Python fingerprints
+    (p_sim artifact) + all-pairs SQL bit_count."""
+    d = _t(spark, sf, "documents")
+    return SIM.simhash_neardup_pairs(d, "doc_id", "text", threshold=7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_corpus_survivors(spark, sf):
+    """The composed training-data dedup operator (exact fingerprint
+    first-wins + MinHash-LSH near-dup pruning, dedup/text_corpus.py):
+    returns surviving doc ids. Oracle: DuckDB twin of the exact pass
+    over the independent pure-Python signature artifact's banding +
+    estimate (the same p_sig used by minhash_lsh_neardup)."""
+    from scrapy_products_tracker_spark.dedup import dedup_corpus
+
+    d = _t(spark, sf, "documents")
+    return dedup_corpus(d, "doc_id", "text", threshold=0.5).select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
@@ -761,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "dedup_corpus_survivors": q_dedup_corpus_survivors,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1072,6 +1099,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardup": f"""
             SELECT doc, simhash FROM read_parquet('{p_sim}') ORDER BY doc
+        """,
+        "simhash_neardup_pairs": f"""
+            WITH t AS (SELECT doc, simhash FROM read_parquet('{p_sim}'))
+            SELECT a.doc AS id_a, b.doc AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+            FROM t a JOIN t b ON a.doc < b.doc
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+            ORDER BY id_a, id_b
+        """,
+        "dedup_corpus_survivors": rf"""
+            WITH exact AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM documents)
+              WHERE rn = 1),
+            sig AS (
+              SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
+              JOIN exact e ON s.doc = e.doc_id),
+            bands AS (
+              SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+              FROM sig, unnest(generate_series(0, 7)) AS t(band)),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc),
+            losers AS (
+              SELECT DISTINCT c.doc_b FROM cand c
+              JOIN sig sa ON sa.doc = c.doc_a JOIN sig sb ON sb.doc = c.doc_b
+              WHERE list_sum(list_transform(generate_series(1, 32),
+                      i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) / 32.0 >= 0.5)
+            SELECT e.doc_id FROM exact e
+            LEFT JOIN losers l ON e.doc_id = l.doc_b
+            WHERE l.doc_b IS NULL
+            ORDER BY doc_id
         """,
         "ann_lsh_topk": f"""
             SELECT e.vec_id,

@@ -173,6 +173,25 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, dist) text pairs with Hamming(simhash) <= threshold
+    — SimHash fingerprints paired by the generic banded int64 Hamming
+    join (imaging/neardup.py): EXACT for threshold <= n_bands - 1 by
+    pigeonhole, equi-join only, never all-pairs."""
+    from ..imaging.neardup import phash_neardup_pairs
+
+    sig = simhash64(df, id_col, text_col)
+    return phash_neardup_pairs(
+        sig, id_col="doc", phash_col="simhash", threshold=threshold, n_bands=n_bands
+    )
+
+
 # --- cosine ANN ----------------------------------------------------------
 
 

@@ -104,3 +104,50 @@ def test_ann_lsh_subset_of_bucket_bruteforce(spark):
     }
     for r in approx:
         assert abs(exact_all[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_simhash_pairs_match_bruteforce(spark, corpus):
+    """Banded SimHash pair join == all-pairs brute force at the same
+    threshold (pigeonhole exactness), and planted near-dups appear."""
+    df, rows = corpus
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in SIM.simhash_neardup_pairs(df, "doc_id", "text", threshold=7).collect()
+    }
+    sig = SIM.simhash64(df, "doc_id", "text")
+    a = sig.select(F.col("doc").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", SIM.hamming64(F.col("ha"), F.col("hb")).alias("dist"))
+        .filter(F.col("dist") <= 7)
+        .collect()
+    }
+    assert pairs == brute
+    assert any(a_ == i and b_ == 100 + i for (a_, b_) in pairs for i in range(8))
+
+
+def test_dedup_corpus_drops_exact_and_near_dups(spark, corpus):
+    from scrapy_products_tracker_spark.dedup import dedup_corpus
+
+    df, rows = corpus
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"doc_id": 200, "text": rows[0]["text"]},  # exact dup of 0
+                {"doc_id": 201, "text": "  " + rows[1]["text"].upper() + " "},  # normalized dup of 1
+            ]
+        )
+    )
+    surv = {
+        r["doc_id"]
+        for r in dedup_corpus(df.unionByName(extra), threshold=0.5).select("doc_id").collect()
+    }
+    assert 200 not in surv and 201 not in surv  # exact pass, first-wins
+    assert 0 in surv and 1 in surv
+    for i in range(8):  # near pass drops the higher-id planted variant
+        assert 100 + i not in surv, i
+        assert i in surv
+    # untouched uniques survive
+    assert all(i in surv for i in range(8, 40))
