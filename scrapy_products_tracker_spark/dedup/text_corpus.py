@@ -45,10 +45,17 @@ def dedup_corpus(
 
     Deterministic: ties always resolve to the lowest id, so the result
     is a pure function of the input set regardless of partitioning.
+    NULL-text docs carry no content to compare, so they pass through
+    untouched (a NULL md5 would otherwise collapse them into one
+    "duplicate" group). The loser-id set is materialized eagerly so the
+    expensive signature cache can be released before returning (ids are
+    8 bytes/doc; signatures are n_hashes longs/doc).
     """
+    no_text = df.filter(F.col(text_col).isNull())
+    with_text = df.filter(F.col(text_col).isNotNull())
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     exact = (
-        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        with_text.withColumn("_fp", fingerprint(F.col(text_col)))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
@@ -58,7 +65,9 @@ def dedup_corpus(
     near = minhash_jaccard_estimate(sig, pairs, n_hashes=n_hashes).filter(
         F.col("jaccard_est") >= threshold
     )
-    losers = near.select(F.col("doc_b").alias("_loser")).distinct()
+    losers = near.select(F.col("doc_b").alias("_loser")).distinct().persist()
+    losers.count()  # materialize the (narrow) loser ids, then free the signatures
+    sig.unpersist()
     return exact.join(
         losers, exact[id_col] == losers["_loser"], "left_anti"
-    )
+    ).unionByName(no_text)

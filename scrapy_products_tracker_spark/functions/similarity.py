@@ -309,9 +309,20 @@ def embedding_neardup_lsh(
     verification on candidates only. The structural twin of the
     MinHash-LSH text path (sign-LSH per Charikar'02); candidate volume
     is governed by n_bands x planes_per_band exactly like (b, r) in
-    MinHash banding."""
+    MinHash banding.
+
+    ``dim`` inference runs one tiny job (first non-null vector); pass it
+    explicitly to keep plan construction lazy. An empty/all-null corpus
+    returns an empty pair frame."""
     if dim is None:
-        dim = len(corpus.select(vec_col).head()[0])
+        row = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).head()
+        if row is None:
+            return corpus.select(
+                F.col(id_col).alias("vec_a"),
+                F.col(id_col).alias("vec_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
+        dim = len(row[0])
     bb = lsh_band_buckets(corpus, dim, n_bands, planes_per_band, seed, id_col, vec_col)
     left = bb.select(F.col(id_col).alias("_ida"), "band", "bucket")
     right = bb.select(F.col(id_col).alias("_idb"), "band", "bucket")

@@ -111,10 +111,22 @@ def path_of_str(url: str) -> str:
     return rest.partition("?")[0] or "/"
 
 
+_PARAM_NAME_RE = re.compile(r"[A-Za-z0-9_.\-]+\Z")
+
+
+def _check_param_name(name: str) -> None:
+    """Param names are plain tokens: they are embedded in a regex here
+    AND in parse_url's internal key regex, so metachars ('price[min]')
+    would silently match the wrong thing or throw."""
+    if not _PARAM_NAME_RE.match(name):
+        raise ValueError(f"query param name must be a plain token, got {name!r}")
+
+
 def get_query_param(url: Column, name: str) -> Column:
     """``?name=`` value as a string column (NULL if absent) — the read
     half of the reference's furl query manipulation (E12:
     costco_category_spider.py:78-95, viking_category_spider.py:77-96)."""
+    _check_param_name(name)
     return F.parse_url(url, F.lit("QUERY"), F.lit(name))
 
 
@@ -123,10 +135,15 @@ def with_query_param(url: Column, name: str, value: Column) -> Column:
     (sequential pagination rebuilds ``page=N`` on the current URL).
     Pure column algebra (regexp replace / concat), no UDF. Expects
     canonical URLs (no fragment — the canonicalizer strips them)."""
+    _check_param_name(name)
     value = value.cast("string")
+    # Java replacement-string metachars in the VALUE ($ = group ref,
+    # \ = escape) must themselves be escaped or regexp_replace throws
+    # "illegal group reference" / eats backslashes
+    safe_value = F.regexp_replace(value, F.lit(r"([\\$])"), F.lit(r"\\$1"))
     has = get_query_param(url, name).isNotNull()
     replaced = F.regexp_replace(
-        url, F.lit(f"([?&]{name}=)[^&]*"), F.concat(F.lit("$1"), value)
+        url, F.lit(f"([?&]{re.escape(name)}=)[^&]*"), F.concat(F.lit("$1"), safe_value)
     )
     appended = F.concat(
         url,
@@ -140,7 +157,10 @@ def with_query_param(url: Column, name: str, value: Column) -> Column:
 def next_page_url(url: Column, name: str = "page", first: int = 2) -> Column:
     """The sequential next-page rebuild (F2/E12): current ``?page`` + 1,
     or ``first`` when the param is absent (page 1 is implicit on seed
-    category URLs in the reference spiders)."""
-    cur = get_query_param(url, name).cast("int")
-    nxt = F.when(cur.isNotNull(), cur + 1).otherwise(F.lit(first))
+    category URLs in the reference spiders). The page value comes from a
+    crawled URL (untrusted): non-numeric or overflowing values restart
+    at ``first`` instead of throwing under ANSI mode."""
+    cur = get_query_param(url, name).try_cast("long")
+    sane = cur.isNotNull() & (cur >= 0) & (cur < F.lit(1 << 31))
+    nxt = F.when(sane, cur + 1).otherwise(F.lit(first))
     return with_query_param(url, name, nxt)

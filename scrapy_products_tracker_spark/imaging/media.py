@@ -93,12 +93,17 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
     """(sample_rate, int16 samples). Real audio codecs are not available
     in this container — only the synthetic SAUD container decodes; the
     production build replaces this branch via import-try on soundfile/
-    librosa."""
+    librosa. Truncated/corrupt SAUD payloads raise ValueError (the
+    kernels count-and-skip those rows, X6-style)."""
     if data[:4] != AUDIO_MAGIC:
         raise NotImplementedError(
             "real audio codecs (wav/mp3/flac) need soundfile/librosa, absent here"
         )
+    if len(data) < 12:
+        raise ValueError("truncated SAUD header")
     sr, n = struct.unpack_from("<II", data, 4)
+    if len(data) < 12 + 2 * n:
+        raise ValueError("truncated SAUD payload")
     pcm = np.frombuffer(data, dtype=np.int16, count=n, offset=12)
     return sr, pcm
 
@@ -115,14 +120,20 @@ def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
 def iter_video_frames(data: bytes) -> Iterator[np.ndarray]:
     """Yield decoded frames of a SVID container. Real video codecs
     (h264/vp9) need libav/cv2, absent here — same stub contract as
-    ``decode_audio``."""
+    ``decode_audio``; truncated containers raise ValueError."""
     if data[:4] != VIDEO_MAGIC:
         raise NotImplementedError("real video demux needs av/cv2, absent here")
+    if len(data) < 8:
+        raise ValueError("truncated SVID header")
     (n,) = struct.unpack_from("<I", data, 4)
     off = 8
     for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated SVID frame table")
         (ln,) = struct.unpack_from("<I", data, off)
         off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated SVID frame payload")
         yield decode_image(data[off : off + ln])
         off += ln
 
@@ -164,11 +175,14 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
                 if kind != "video":
                     continue
-                for idx, px in enumerate(iter_video_frames(bytes(data))):
-                    if idx % every == 0:
-                        out.append(
-                            (mid, idx, int(px.shape[1]), int(px.shape[0]), encode_image(px, "png"))
-                        )
+                try:  # corrupt container: skip the ROW, not the task (X6)
+                    for idx, px in enumerate(iter_video_frames(bytes(data))):
+                        if idx % every == 0:
+                            out.append(
+                                (mid, idx, int(px.shape[1]), int(px.shape[0]), encode_image(px, "png"))
+                            )
+                except ValueError:
+                    continue
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "w", "h", "bytes"])
 
     return df.select("media_id", "kind", "bytes").mapInPandas(_kernel, FRAME_SCHEMA)
@@ -184,7 +198,10 @@ def audio_stats(df: DataFrame) -> DataFrame:
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
                 if kind != "audio":
                     continue
-                sr, pcm = decode_audio(bytes(data))
+                try:  # corrupt container: skip the ROW, not the task (X6)
+                    sr, pcm = decode_audio(bytes(data))
+                except ValueError:
+                    continue
                 x = pcm.astype(np.float64)
                 out.append(
                     (

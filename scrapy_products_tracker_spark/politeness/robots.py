@@ -53,6 +53,7 @@ def parse_robots_body(body: str | None, agent: str = "sparkbot") -> tuple[list[s
     """
     if not body:
         return [], 0
+    body = body.lstrip("\ufeff")  # UTF-8 BOM would mask the first User-agent line
     agent_l = agent.lower()
     # groups: list of (ua_tokens, disallows, crawl_delay_s)
     groups: list[tuple[list[str], list[str], float | None]] = []
@@ -80,9 +81,13 @@ def parse_robots_body(body: str | None, agent: str = "sparkbot") -> tuple[list[s
                 dis.append(val)
             elif key == "crawl-delay":
                 try:
-                    groups[-1] = (uas, dis, float(val))
+                    delay = float(val)
                 except ValueError:
-                    pass
+                    continue
+                # hostile/garbage values: inf/nan/negative are ignored,
+                # huge delays clamp to a day (never-raise contract)
+                if delay == delay and 0 <= delay < float("inf"):
+                    groups[-1] = (uas, dis, min(delay, 86_400.0))
     best: tuple[int, list[str], float | None] | None = None
     for uas, dis, delay in groups:
         for ua in uas:

@@ -104,3 +104,36 @@ def test_audio_stats_spark(spark):
     assert out["a"]["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
     assert out["b"]["rms"] == pytest.approx(5000.0)
     assert out["b"]["peak"] == 5000
+
+
+def test_truncated_containers_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_audio(b"SAUD\x01\x00")  # short header
+    import struct
+
+    with pytest.raises(ValueError):
+        decode_audio(b"SAUD" + struct.pack("<II", 8000, 1000) + b"\x00\x00")  # short payload
+    with pytest.raises(ValueError):
+        list(iter_video_frames(b"SVID\x05\x00\x00\x00"))  # missing frame table
+
+
+def test_corrupt_rows_skipped_not_fatal(spark):
+    import struct
+
+    good = encode_audio(np.full(10, 100, dtype=np.int16), 8000)
+    bad = b"SAUD" + struct.pack("<II", 8000, 99999)  # truncated payload
+    df = spark.createDataFrame(
+        [("ok", "audio", good), ("bad", "audio", bad)],
+        "media_id string, kind string, bytes binary",
+    )
+    out = audio_stats(df).collect()
+    assert [r["media_id"] for r in out] == ["ok"]
+    vids = spark.createDataFrame(
+        [
+            ("ok", "video", encode_video([_gradient(4, 4)])),
+            ("bad", "video", b"SVID\x02\x00\x00\x00\xff\xff"),
+        ],
+        "media_id string, kind string, bytes binary",
+    )
+    frames = sample_frames(vids, every=1).collect()
+    assert [r["media_id"] for r in frames] == ["ok"]

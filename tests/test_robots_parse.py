@@ -91,3 +91,16 @@ def test_robots_from_bodies_kernel_and_enforcement(spark):
         "https://d0.example.com/ok/p2": False,
         "https://d1.example.com/only-for-us/p3": False,
     }
+
+
+def test_hostile_crawl_delay_values():
+    for val, want in (("inf", 0), ("nan", 0), ("-5", 0), ("1e300", 86_400_000), ("soon", 0)):
+        body = f"User-agent: *\nCrawl-delay: {val}\nDisallow: /x\n"
+        dis, delay = parse_robots_body(body)
+        assert dis == ["/x"]
+        assert delay == want, val
+
+
+def test_bom_prefixed_body_still_parses():
+    body = "﻿User-agent: *\nDisallow: /private\n"
+    assert parse_robots_body(body) == (["/private"], 0)

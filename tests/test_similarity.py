@@ -151,3 +151,24 @@ def test_dedup_corpus_drops_exact_and_near_dups(spark, corpus):
         assert i in surv
     # untouched uniques survive
     assert all(i in surv for i in range(8, 40))
+
+
+def test_dedup_corpus_null_text_passthrough(spark):
+    """NULL-text docs share no content: they must all survive, not
+    collapse into one 'duplicate' group via a NULL fingerprint."""
+    import pandas as _pd
+
+    from scrapy_products_tracker_spark.dedup import dedup_corpus
+
+    df = spark.createDataFrame(
+        _pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": [None, None, None, "real content here"]}
+        ).astype({"doc_id": "int64"})
+    )
+    surv = {r["doc_id"] for r in dedup_corpus(df).select("doc_id").collect()}
+    assert surv == {1, 2, 3, 4}
+
+
+def test_embedding_lsh_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert SIM.embedding_neardup_lsh(empty).count() == 0

@@ -85,3 +85,40 @@ def test_query_param_get_set_next_page(spark):
     assert got["https://s.com/cat"]["cur"] is None
     assert got["https://s.com/cat"]["nxt"] == "https://s.com/cat?page=2"
     assert got["https://s.com/cat?a=1"]["nxt"] == "https://s.com/cat?a=1&page=2"
+
+
+def test_query_param_hostile_values(spark):
+    """Review regressions: $/backslash in the VALUE must not hit Java's
+    group-reference machinery; metachar NAMES are rejected; an
+    overflowing ?page restarts at `first` instead of throwing (ANSI)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scrapy_products_tracker_spark.functions.urls import (
+        next_page_url,
+        with_query_param,
+    )
+
+    df = spark.createDataFrame(
+        [("https://s.com/cat?q=old",), ("https://s.com/cat",)], ["url"]
+    )
+    got = {
+        r["url"]: r["out"]
+        for r in df.select(
+            "url", with_query_param(F.col("url"), "q", F.lit(r"5$ and \2")).alias("out")
+        ).collect()
+    }
+    assert got["https://s.com/cat?q=old"] == r"https://s.com/cat?q=5$ and \2"
+    assert got["https://s.com/cat"] == r"https://s.com/cat?q=5$ and \2"
+
+    with pytest.raises(ValueError):
+        with_query_param(F.col("url"), "price[min]", F.lit(1))
+
+    big = spark.createDataFrame(
+        [("https://s.com/cat?page=99999999999",), ("https://s.com/cat?page=x",)], ["url"]
+    )
+    nxt = {
+        r["url"]: r["n"] for r in big.select("url", next_page_url(F.col("url")).alias("n")).collect()
+    }
+    assert nxt["https://s.com/cat?page=99999999999"] == "https://s.com/cat?page=2"
+    assert nxt["https://s.com/cat?page=x"] == "https://s.com/cat?page=2"
