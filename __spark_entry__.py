@@ -155,9 +155,12 @@ def _copy_store(spark):
 # ---------------------------------------------------------------------------
 
 def q_frontier_claim_topk(spark, sf):
-    """S5/O1/R3/P3 via the REAL scheduler: salted groupBy.applyInPandas
-    per-domain budget + global top-chunk claim (politeness/scheduler.py
-    schedule_round, pending_hint=None forces the salted phase-1 path)."""
+    """S5/O1/R3/P3 via the REAL scheduler: per-domain budget rank +
+    global top-chunk claim (politeness/scheduler.py schedule_round).
+    With no pending_hint the scheduler derives one with a narrow count
+    and — at this sandbox scale — skips the salted phase 1 (provably
+    result-identical; the salted hot-domain plan is pinned separately
+    in tests/test_plan_quality.py via force_salted=True)."""
     from scrapy_products_tracker_spark.politeness import schedule_round
 
     cand = _frontier_from_docs(_t(spark, sf, "documents"))
@@ -312,36 +315,54 @@ def _units_expr():
 
 
 def q_product_field_extraction(spark, sf):
-    """E3-E12 via the REAL Arrow-batched HTML parse kernel: render
-    product pages from `part` columns with SQL concat (varying quote
-    style + malformed slice), parse them back, and compare against the
-    directly-computed fields — the oracle proves the parser inverts the
-    page format exactly (including the X7 missing-title guard)."""
+    """E3-E12 via the REAL Arrow-batched multi-site HTML parse kernel:
+    render product pages from `part` columns with SQL concat in THREE
+    distinct site shapes (p_partkey % 3 → default / zipspec / jsprice —
+    class-named blocks with symbol prices, data-* attrs with zipped
+    spec lists, inline-JS pricing JSON), dispatch the per-site parsers
+    through the SITE_PARSERS registry, and compare against the
+    directly-computed fields — the oracle proves each parser inverts
+    its page format exactly (including the X7 missing-title guard)."""
     from scrapy_products_tracker_spark.crawl.extract import extract_product_fields
 
     p = _t(spark, sf, "part")
     key = F.col("p_partkey").cast("string")
     cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    m3 = F.col("p_partkey") % 3
+    site = (
+        F.when(m3 == 1, F.lit("zipspec")).when(m3 == 2, F.lit("jsprice")).otherwise(F.lit("default"))
+    )
+    dom = (
+        F.when(m3 == 1, F.lit("zip.example.com"))
+        .when(m3 == 2, F.lit("jsp.example.com"))
+        .otherwise(F.lit("parts.example.com"))
+    )
     sym = F.when(F.col("p_partkey") % 2 == 0, F.lit("$")).otherwise(F.lit("£"))
+    code = F.when(F.col("p_partkey") % 2 == 0, F.lit("USD")).otherwise(F.lit("GBP"))
     disc = F.col("p_partkey") % 5 == 0
     reg_cents = cents + F.when(disc, F.lit(50000)).otherwise(F.lit(0))
     malformed = F.col("p_partkey") % 37 == 0
     in_stock = F.col("p_size") >= 25
+    cat_href = F.concat(F.lit("/cat/"), (F.col("p_partkey") % 7).cast("string"))
+    img_url = F.concat(F.lit("https://"), dom, F.lit("/img/"), key, F.lit(".jpg"))
 
-    def fmt(c):
+    def dec(c):  # plain decimal string, no symbol/separators
         return F.concat(
-            sym, F.floor(c / 100).cast("string"), F.lit("."), F.lpad(F.pmod(c, F.lit(100)).cast("string"), 2, "0")
+            F.floor(c / 100).cast("string"), F.lit("."), F.lpad(F.pmod(c, F.lit(100)).cast("string"), 2, "0")
         )
 
-    body = F.concat(
+    def fmt(c):  # symbol-prefixed price text (default shape)
+        return F.concat(sym, dec(c))
+
+    body_default = F.concat(
         F.lit('<html><head><title>store</title></head><body>'),
-        F.lit('<nav class="breadcrumb"><a href="/cat/'), (F.col("p_partkey") % 7).cast("string"), F.lit('">back</a></nav>'),
+        F.lit('<nav class="breadcrumb"><a href="'), cat_href, F.lit('">back</a></nav>'),
         F.when(malformed, F.lit("")).otherwise(
             F.concat(F.lit('<h1 class="m-sku-title">'), F.col("p_name"), F.lit("</h1>"))
         ),
         F.lit('<div class="skuDescription"><span>Part '), F.col("p_name"), F.lit("</span></div>"),
         F.lit('<div class="brand-row"><span>Brand</span><div>'), F.col("p_brand"), F.lit("</div></div>"),
-        F.lit('<img class="sku-image" src="https://parts.example.com/img/'), key, F.lit('.jpg"/>'),
+        F.lit('<img class="sku-image" src="'), img_url, F.lit('"/>'),
         F.lit('<div class="pricing-wrap"><span class="price-size">'), fmt(cents), F.lit("</span>"),
         F.lit('<span class="selling-uom">/ '), _units_expr(), F.lit("</span>"),
         F.when(disc, F.concat(F.lit('<del class="elp-percentage">'), fmt(reg_cents), F.lit("</del>"))).otherwise(F.lit("")),
@@ -351,10 +372,56 @@ def q_product_field_extraction(spark, sf):
         F.lit("</td></tr><tr><td>Type</td><td>"), F.col("p_type"), F.lit("</td></tr></table>"),
         F.lit("</body></html>"),
     )
-    pages = p.select(
-        F.concat(F.lit("https://parts.example.com/p/"), key).alias("url"), body.alias("body")
+    body_zipspec = F.concat(
+        F.lit("<html><head><title>catalog</title></head><body>"),
+        F.lit('<a class="category-link" href="'), cat_href, F.lit('">up</a>'),
+        F.when(malformed, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<span class="product-title" itemprop="name">'), F.col("p_name"), F.lit("</span>")
+            )
+        ),
+        F.lit('<p class="product-desc">Part '), F.col("p_name"), F.lit("</p>"),
+        F.lit('<a class="brand-link" data-brand="'), F.col("p_brand"), F.lit('">'), F.col("p_brand"), F.lit("</a>"),
+        F.lit('<img itemprop="image" src="'), img_url, F.lit('"/>'),
+        F.lit('<div class="product-price" data-price="'), dec(cents),
+        F.lit('" data-currency="'), code, F.lit('"'),
+        F.when(disc, F.concat(F.lit(' data-original-price="'), dec(reg_cents), F.lit('"'))).otherwise(F.lit("")),
+        F.lit("></div>"),
+        F.lit('<span class="uom">per '), _units_expr(), F.lit("</span>"),
+        F.lit('<span class="availability">'),
+        F.when(in_stock, F.lit("In Stock")).otherwise(F.lit("Out of Stock")), F.lit("</span>"),
+        F.lit('<ul class="spec-keys"><li>Size</li><li>Type</li></ul>'),
+        F.lit('<ul class="spec-vals"><li>'), F.col("p_size").cast("string"),
+        F.lit("</li><li>"), F.col("p_type"), F.lit("</li></ul>"),
+        F.lit("</body></html>"),
     )
-    out = extract_product_fields(pages)
+    body_jsprice = F.concat(
+        F.lit('<html><head><title>shop</title>'),
+        F.lit('<script type="application/ld+json" id="pc-jsonld">{"@type": "Product", "brand": {"name": "'),
+        F.col("p_brand"), F.lit('"}}</script></head><body>'),
+        F.lit('<a rel="category" href="'), cat_href, F.lit('">cat</a>'),
+        F.when(malformed, F.lit("")).otherwise(
+            F.concat(F.lit('<h2 id="product-name">'), F.col("p_name"), F.lit("</h2>"))
+        ),
+        F.lit('<div id="product-desc">Part '), F.col("p_name"), F.lit("</div>"),
+        F.lit('<img id="main-image" src="'), img_url, F.lit('"/>'),
+        F.lit('<script>var productData = {"price": "'), dec(cents),
+        F.lit('", "currency": "'), code,
+        F.lit('", "stock": '), F.when(in_stock, F.lit("1")).otherwise(F.lit("0")),
+        F.lit(', "unit": "'), _units_expr(), F.lit('"'),
+        F.when(disc, F.concat(F.lit(', "listPrice": "'), dec(reg_cents), F.lit('"'))).otherwise(F.lit("")),
+        F.lit("};</script>"),
+        F.lit('<dl class="specs"><dt>Size</dt><dd>'), F.col("p_size").cast("string"),
+        F.lit("</dd><dt>Type</dt><dd>"), F.col("p_type"), F.lit("</dd></dl>"),
+        F.lit("</body></html>"),
+    )
+    body = F.when(m3 == 1, body_zipspec).when(m3 == 2, body_jsprice).otherwise(body_default)
+    pages = p.select(
+        F.concat(F.lit("https://"), dom, F.lit("/p/"), key).alias("url"),
+        site.alias("_site"),
+        body.alias("body"),
+    )
+    out = extract_product_fields(pages, site_col="_site").drop("_site")
     return out.select(
         "url", "title", "description", "brand", "image_url", "image_file",
         "additional_info", "regular_price_cents", "current_price_cents",
@@ -400,10 +467,11 @@ def q_export_bookkeeping(spark, sf):
     out_dir = tempfile.mkdtemp(prefix="entry_export_")
     run_incremental_export(spark, store, out_dir, chunk=40)
     rows = []
-    for d in sorted(_glob.glob(out_dir + "/chunk_*")):
+    for d in _glob.glob(out_dir + "/chunk_id=*"):
+        cid = int(d.rsplit("=", 1)[1])
         n = sum(len(open(f).readlines()) - 1 for f in _glob.glob(d + "/part-*.csv"))
-        rows.append((len(rows), n))
-    return spark.createDataFrame(rows, "chunk int, n_rows bigint")
+        rows.append((cid, n))
+    return spark.createDataFrame(sorted(rows), "chunk int, n_rows bigint")
 
 
 def q_stop_tracking_rearm(spark, sf):
@@ -624,6 +692,61 @@ def q_dedup_corpus_survivors(spark, sf):
     )
 
 
+def _chain_corpus(spark):
+    """The planted-chain corpus (OB.chain_corpus_rows docstring) rebuilt
+    as pure JVM column algebra — the oracle builds the identical texts
+    in Python; the two sides share only the integer constants."""
+    nc, ns = OB.N_CHAINS, OB.N_CHAIN_SINGLETONS
+
+    def words(start, cnt):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(start, start + F.lit(cnt - 1)),
+                lambda x: F.concat(F.lit("w"), x.cast("string")),
+            ),
+        )
+
+    base = spark.range(nc).select((F.col("id") * 1000).alias("b"), F.col("id").alias("c"))
+    x = base.select((F.col("c") * 10).alias("doc_id"), words(F.col("b"), 60).alias("text"))
+    y = base.select(
+        (F.col("c") * 10 + 1).alias("doc_id"), words(F.col("b") + 500, 60).alias("text")
+    )
+    h = base.select(
+        (F.col("c") * 10 + 2).alias("doc_id"),
+        F.concat_ws(" ", words(F.col("b"), 30), words(F.col("b") + 500, 30)).alias("text"),
+    )
+    s = spark.range(ns).select(
+        (F.col("id") + 9000).alias("doc_id"),
+        words(F.col("id") * 1000 + 500_000, 60).alias("text"),
+    )
+    return x.unionByName(y).unionByName(h).unionByName(s)
+
+
+def q_dedup_corpus_clusters(spark, sf):
+    """Cluster-exact corpus dedup (dedup_corpus(transitive=True)): the
+    LSH pair graph's connected components by iterative min-id label
+    propagation keep exactly one doc per CLUSTER — exercised on planted
+    duplicate chains X≈H, H≈Y, X≉Y where the pairwise greedy policy
+    would keep two docs. Oracle: independent pure-Python signatures
+    (p_chain artifact) + a recursive-CTE min-label closure in DuckDB."""
+    from scrapy_products_tracker_spark.dedup import dedup_corpus
+
+    return (
+        dedup_corpus(
+            _chain_corpus(spark),
+            "doc_id",
+            "text",
+            threshold=OB.CHAIN_THRESHOLD,
+            n_hashes=OB.CHAIN_N_HASHES,
+            bands=OB.CHAIN_BANDS,
+            transitive=True,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
@@ -788,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_corpus_survivors": q_dedup_corpus_survivors,
+        "dedup_corpus_clusters": q_dedup_corpus_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -816,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
     p_bands = OB.build_band_assignments()
     p_mm = OB.build_multimodal_expected()
     p_ph = OB.build_phash_pairs_inputs()
+    p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
     return {
@@ -921,12 +1046,12 @@ def oracle_sql() -> dict[str, str]:
             FROM eff GROUP BY 1, 2
         """,
         "product_field_extraction": """
-            SELECT concat('https://parts.example.com/p/', CAST(p_partkey AS VARCHAR)) AS url,
+            SELECT concat('https://', dom, '/p/', CAST(p_partkey AS VARCHAR)) AS url,
                    CASE WHEN bad THEN NULL ELSE p_name END AS title,
                    CASE WHEN bad THEN NULL ELSE concat('Part ', p_name) END AS description,
                    CASE WHEN bad THEN NULL ELSE p_brand END AS brand,
-                   CASE WHEN bad THEN NULL ELSE concat('https://parts.example.com/img/', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_url,
-                   CASE WHEN bad THEN NULL ELSE concat('parts_', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_file,
+                   CASE WHEN bad THEN NULL ELSE concat('https://', dom, '/img/', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_url,
+                   CASE WHEN bad THEN NULL ELSE concat(split_part(dom, '.', 1), '_', CAST(p_partkey AS VARCHAR), '.jpg') END AS image_file,
                    CASE WHEN bad THEN NULL
                         ELSE concat('{"Size": "', CAST(p_size AS VARCHAR), '", "Type": "', p_type, '"}') END AS additional_info,
                    CASE WHEN bad THEN NULL
@@ -938,9 +1063,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bad THEN NULL WHEN p_size >= 25 THEN 1 ELSE 0 END AS stock,
                    CASE WHEN bad THEN NULL ELSE (CASE WHEN p_size % 3 = 0 THEN 'each' WHEN p_size % 3 = 1 THEN 'dozen' ELSE 'case' END) END AS units,
                    CASE WHEN bad THEN NULL
-                        ELSE concat('https://parts.example.com/cat/', CAST(p_partkey % 7 AS VARCHAR)) END AS category,
+                        ELSE concat('https://', dom, '/cat/', CAST(p_partkey % 7 AS VARCHAR)) END AS category,
                    NOT bad AS parse_ok
-            FROM (SELECT *, p_partkey % 37 = 0 AS bad FROM part)
+            FROM (SELECT *, p_partkey % 37 = 0 AS bad,
+                         CASE WHEN p_partkey % 3 = 1 THEN 'zip.example.com'
+                              WHEN p_partkey % 3 = 2 THEN 'jsp.example.com'
+                              ELSE 'parts.example.com' END AS dom
+                  FROM part)
         """,
         "history_export_join": f"""
             SELECT {export_cols} FROM read_parquet('{p_export}')
@@ -1110,12 +1239,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_corpus_survivors": rf"""
             WITH exact AS (
+              -- NULL-text docs carry no content: they pass through
+              -- untouched (engine contract, dedup/text_corpus.py) —
+              -- a NULL md5 would otherwise collapse them into one group
               SELECT doc_id FROM (
                 SELECT doc_id, ROW_NUMBER() OVER (
                   PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                   ORDER BY doc_id) AS rn
-                FROM documents)
-              WHERE rn = 1),
+                FROM documents WHERE text IS NOT NULL)
+              WHERE rn = 1
+              UNION ALL
+              SELECT doc_id FROM documents WHERE text IS NULL),
             sig AS (
               SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
               JOIN exact e ON s.doc = e.doc_id),
@@ -1133,6 +1267,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.doc_id FROM exact e
             LEFT JOIN losers l ON e.doc_id = l.doc_b
             WHERE l.doc_b IS NULL
+            ORDER BY doc_id
+        """,
+        "dedup_corpus_clusters": f"""
+            WITH RECURSIVE sig AS (
+              SELECT doc, sig FROM read_parquet('{p_chain}')),
+            -- 128 bands of 1 row each: band bucket == the signature slot
+            bands AS (
+              SELECT doc, CAST(band AS INT) AS band, sig[CAST(band AS INT) + 1] AS bs
+              FROM sig, unnest(generate_series(0, {OB.CHAIN_BANDS - 1})) AS t(band)),
+            cand AS (
+              SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc),
+            near AS (
+              SELECT c.doc_a, c.doc_b FROM cand c
+              JOIN sig sa ON sa.doc = c.doc_a JOIN sig sb ON sb.doc = c.doc_b
+              WHERE list_sum(list_transform(generate_series(1, {OB.CHAIN_N_HASHES}),
+                      i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END))
+                    / {OB.CHAIN_N_HASHES}.0 >= {OB.CHAIN_THRESHOLD}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM near
+              UNION ALL SELECT doc_b, doc_a FROM near),
+            reach(node, label) AS (
+              SELECT doc, doc FROM sig
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING min(label) = node
             ORDER BY doc_id
         """,
         "ann_lsh_topk": f"""

@@ -46,7 +46,7 @@ from ..fetchers.synthetic import (
 from ..frontier.store import frontier_bucket_col
 from ..functions.hashing import url_hash_col
 from ..functions.urls import canonicalize_udf, domain_of
-from ..politeness.scheduler import CLAIM_ORDER, collect_budgets, mark_robots, schedule_round
+from ..politeness.scheduler import CLAIM_ORDER, mark_robots, max_effective_budget, schedule_round
 from ..schemas import ERROR, HARDWARE_ERROR, PENDING, SKIPPED_ROBOTS, SUCCESS
 from ..synth.world import PAGINATION_SIZE
 from .parse import discover_children, encode_seq, position_of
@@ -142,14 +142,13 @@ class CrawlDriver:
         # None = no chained domains in this world
         self.endpoints = endpoints
         self.cfg = config or CrawlConfig()
-        # robots is static for a session: materialize budgets once, not
-        # once per round (was a collect() job every round), and ship
-        # them to executors as a real broadcast variable — a plain dict
-        # captured in the applyInPandas closure is re-pickled into every
-        # task; at web scale (10^7+ domains) that's a multi-MB closure
-        # per task, a broadcast is shipped once per executor.
-        self._budgets = collect_budgets(robots, self.cfg.round_ms)
-        self._budgets_bc = spark.sparkContext.broadcast(self._budgets)
+        # robots is static for a session: derive the scalar phase-1
+        # budget cap once (ONE one-row agg). No per-domain driver state:
+        # phase 1 of the scheduler only needs an upper bound on any
+        # domain's budget, and phase 2's broadcast join enforces the
+        # exact per-domain cap — so a 10^7-domain robots table never
+        # materializes anywhere off the executors.
+        self._max_budget = max_effective_budget(robots, self.cfg.round_ms)
 
     # ------------------------------------------------------------------
     def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
@@ -303,7 +302,7 @@ class CrawlDriver:
             self.cfg.chunk_size,
             self.cfg.n_salts,
             self.cfg.round_ms,
-            budgets=self._budgets_bc,
+            max_budget=self._max_budget,
             pending_hint=pending_hint,
         )
         # spread the claimed batch back across the cluster: the claim's
@@ -398,8 +397,22 @@ class CrawlDriver:
             from ..products.tables import build_history_rows, build_target_rows
             from .extract import extract_product_fields
 
-            parsed = extract_product_fields(
-                ok_t1.select("url", "url_hash", "position", "body"), "url", "body"
+            # per-domain parser dispatch (multi-site E3): the site key is
+            # broadcast-joined from the domain config table and rides the
+            # row into the kernel — never a driver-side domain->parser map
+            detail = ok_t1.select("url", "url_hash", "domain", "position", "body")
+            site_col = None
+            if "site" in self.robots.columns:
+                detail = detail.join(
+                    F.broadcast(
+                        self.robots.select("domain", F.col("site").alias("_site"))
+                    ),
+                    "domain",
+                    "left",
+                )
+                site_col = "_site"
+            parsed = extract_product_fields(detail, "url", "body", site_col=site_col).drop(
+                "_site", "domain"
             )
             if self.endpoints is not None:  # F3: multi-endpoint assembly
                 from ..fetchers.chain import resolve_detail_chain

@@ -22,6 +22,27 @@ once per fetched page inside a columnar batch (the SURVEY §2.12
 frontier path never shuffles bodies: extraction runs on the already-
 claimed fetch output and emits narrow typed columns.
 
+Multi-site dispatch (the reference ships 5 sites × 2 tiers of distinct
+hand-written spiders — quill/costco/viking/customink/zoro): parsers
+live in the ``SITE_PARSERS`` registry, keyed by a per-domain *site
+key*. The key reaches the kernel as a COLUMN (callers broadcast-join
+it from the per-domain config table — crawl/driver.py joins
+``robots.site``), so dispatch is executor-side row data: no driver-
+resident domain→parser dict at 10^7 domains, and one Arrow batch can
+mix domains. Three site shapes ship:
+
+- ``default``: the quill-like shape (class-named blocks, symbol-priced
+  span, struck-through regular price, <tr><td> attribute table);
+- ``zipspec``: the zoro-like shape (itemprop title, data-* priced div
+  with ISO currency codes, ZIPPED <ul> key/value spec lists — the
+  zoro_products_spider.py:85-139 zip(keys, values) idiom);
+- ``jsprice``: the viking-like shape (price/stock/units present ONLY
+  in an inline <script> JSON object, regex-harvested and json.loads'd
+  — viking_detail_page_spider.py:120-134; brand only via JSON-LD).
+
+All parsers emit the same 14 EXTRACTED_FIELDS and share the X7 guard
+(missing title -> parse_ok=false, all fields NULL).
+
 Prices are parsed to integer cents (exact, order-independent sums);
 exporters render DECIMAL(20,2) like the reference's MySQL schema
 (product_history.py:14-15).
@@ -56,6 +77,31 @@ RX_ATTR_TABLE = re.compile(rf"<table class={_Q}skuSpecification{_Q}>(.*?)</table
 RX_BREADCRUMB = re.compile(rf"<nav class={_Q}breadcrumb{_Q}><a href={_Q}(.*?){_Q}>")
 
 CURRENCY_MAP = {"$": "USD", "£": "GBP"}  # quill_products_spider.py:101-102 idiom
+
+# --- site shape 'zipspec' (zoro-like: data-* attrs, zipped spec lists) -----
+RX_B_TITLE = re.compile(rf"<span class={_Q}product-title{_Q} itemprop={_Q}name{_Q}>\s*(.*?)\s*</span>", re.S)
+RX_B_DESC = re.compile(rf"<p class={_Q}product-desc{_Q}>(.*?)</p>", re.S)
+RX_B_BRAND = re.compile(rf"<a class={_Q}brand-link{_Q} data-brand={_Q}(.*?){_Q}>")
+RX_B_IMG = re.compile(rf"<img itemprop={_Q}image{_Q} src={_Q}(.*?){_Q}\s*/?>")
+RX_B_PRICE = re.compile(
+    rf"<div class={_Q}product-price{_Q} data-price={_Q}(.*?){_Q} data-currency={_Q}(.*?){_Q}"
+    rf"(?: data-original-price={_Q}(.*?){_Q})?>"
+)
+RX_B_UOM = re.compile(rf"<span class={_Q}uom{_Q}>per (.*?)</span>")
+RX_B_STOCK = re.compile(rf"<span class={_Q}availability{_Q}>(.*?)</span>")
+RX_B_KEYS = re.compile(rf"<ul class={_Q}spec-keys{_Q}>(.*?)</ul>", re.S)
+RX_B_VALS = re.compile(rf"<ul class={_Q}spec-vals{_Q}>(.*?)</ul>", re.S)
+RX_B_LI = re.compile(r"<li>(.*?)</li>", re.S)
+RX_B_CAT = re.compile(rf"<a class={_Q}category-link{_Q} href={_Q}(.*?){_Q}>")
+
+# --- site shape 'jsprice' (viking-like: inline-JS pricing object) ----------
+RX_C_TITLE = re.compile(rf"<h2 id={_Q}product-name{_Q}>\s*(.*?)\s*</h2>", re.S)
+RX_C_DESC = re.compile(rf"<div id={_Q}product-desc{_Q}>(.*?)</div>", re.S)
+RX_C_IMG = re.compile(rf"<img id={_Q}main-image{_Q} src={_Q}(.*?){_Q}\s*/?>")
+RX_C_JS = re.compile(r"var productData\s*=\s*(\{.*?\});", re.S)
+RX_C_DT_DD = re.compile(r"<dt>(.*?)</dt>\s*<dd>(.*?)</dd>", re.S)
+RX_C_DL = re.compile(rf"<dl class={_Q}specs{_Q}>(.*?)</dl>", re.S)
+RX_C_CAT = re.compile(rf"<a rel={_Q}category{_Q} href={_Q}(.*?){_Q}>")
 
 EXTRACTED_FIELDS = [
     T.StructField("title", T.StringType()),
@@ -167,20 +213,156 @@ def parse_detail_page(url: str, body: str | None) -> dict:
     return out
 
 
+def _decimal_str_cents(s: str | None) -> int | None:
+    """Exact decimal-string -> integer cents ('1234.56' -> 123456); the
+    data-attribute / JSON-string price form (no float round-trip)."""
+    if not s:
+        return None
+    s = s.strip()
+    if not re.fullmatch(r"\d+(\.\d{1,2})?", s):
+        return None
+    whole, _, frac = s.partition(".")
+    return int(whole) * 100 + int((frac + "00")[:2])
+
+
+def parse_detail_page_zipspec(url: str, body: str | None) -> dict:
+    """'zipspec' site shape: itemprop-tagged title, data-* priced div
+    (ISO currency code, optional data-original-price), zipped <ul>
+    key/value spec lists (zoro_products_spider.py:85-139 zips the two
+    node lists; zip truncates to the shorter — hostile-input safe)."""
+    out: dict = {c: None for c in EXTRACTED_COLS}
+    out["parse_ok"] = False
+    if not body:
+        return out
+    m = RX_B_TITLE.search(body)
+    if not m:  # X7
+        return out
+    out["title"] = m.group(1)
+    out["parse_ok"] = True
+    m = RX_B_DESC.search(body)
+    out["description"] = m.group(1) if m else None
+    m = RX_B_BRAND.search(body)
+    out["brand"] = m.group(1) if m else None
+    m = RX_B_IMG.search(body)
+    out["image_url"] = m.group(1) if m else None
+    out["image_file"] = image_file_of(out["image_url"] or url)
+    m = RX_B_PRICE.search(body)
+    if m:
+        out["current_price_cents"] = _decimal_str_cents(m.group(1))
+        out["currency"] = m.group(2) or None
+        reg = _decimal_str_cents(m.group(3))
+        out["regular_price_cents"] = reg if reg is not None else out["current_price_cents"]
+    m = RX_B_UOM.search(body)
+    out["units"] = m.group(1) if m else None
+    m = RX_B_STOCK.search(body)
+    out["is_in_stock"] = bool(m) and m.group(1).strip() != "Out of Stock"
+    out["stock"] = 1 if out["is_in_stock"] else 0
+    mk, mv = RX_B_KEYS.search(body), RX_B_VALS.search(body)
+    if mk and mv:
+        keys = RX_B_LI.findall(mk.group(1))
+        vals = RX_B_LI.findall(mv.group(1))
+        attrs = dict(zip(keys, vals))  # truncates to shorter list
+        out["additional_info"] = json.dumps(attrs, sort_keys=True) if attrs else None
+    m = RX_B_CAT.search(body)
+    out["category"] = _urljoin(url, m.group(1)) if m else None
+    return out
+
+
+def parse_detail_page_jsprice(url: str, body: str | None) -> dict:
+    """'jsprice' site shape: the page carries NO priced markup — price,
+    stock, currency, and units live only in an inline ``var productData
+    = {...}`` JSON object (viking_detail_page_spider.py:120-134 regex-
+    harvests and json.loads it); brand comes only from the JSON-LD
+    block; attributes are a <dl> list. Prices are JSON STRINGS parsed
+    exactly to integer cents. Corrupt JSON degrades those fields to
+    NULL, never raises (X6)."""
+    out: dict = {c: None for c in EXTRACTED_COLS}
+    out["parse_ok"] = False
+    if not body:
+        return out
+    m = RX_C_TITLE.search(body)
+    if not m:  # X7
+        return out
+    out["title"] = m.group(1)
+    out["parse_ok"] = True
+    m = RX_C_DESC.search(body)
+    out["description"] = m.group(1) if m else None
+    m = RX_JSONLD.search(body)
+    if m:
+        try:
+            ld = json.loads(m.group(1))
+            out["brand"] = (ld.get("brand") or {}).get("name")
+        except (json.JSONDecodeError, AttributeError):
+            out["brand"] = None
+    m = RX_C_IMG.search(body)
+    out["image_url"] = m.group(1) if m else None
+    out["image_file"] = image_file_of(out["image_url"] or url)
+    m = RX_C_JS.search(body)
+    if m:
+        try:
+            js = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            js = {}
+        if isinstance(js, dict):
+            cur = _decimal_str_cents(js.get("price") if isinstance(js.get("price"), str) else None)
+            out["current_price_cents"] = cur
+            lp = js.get("listPrice")
+            reg = _decimal_str_cents(lp if isinstance(lp, str) else None)
+            out["regular_price_cents"] = reg if reg is not None else cur
+            out["currency"] = js.get("currency") if isinstance(js.get("currency"), str) else None
+            stock = js.get("stock")
+            if isinstance(stock, int) and not isinstance(stock, bool) and stock >= 0:
+                out["stock"] = stock
+                out["is_in_stock"] = stock > 0
+            out["units"] = js.get("unit") if isinstance(js.get("unit"), str) else None
+    m = RX_C_DL.search(body)
+    if m:
+        attrs = dict(RX_C_DT_DD.findall(m.group(1)))
+        out["additional_info"] = json.dumps(attrs, sort_keys=True) if attrs else None
+    m = RX_C_CAT.search(body)
+    out["category"] = _urljoin(url, m.group(1)) if m else None
+    return out
+
+
+# per-domain dispatch registry: site key -> parser. The key is carried
+# as row data (broadcast-joined from the domain config table), so an
+# Arrow batch can mix sites and no domain map ever lives on the driver.
+SITE_PARSERS = {
+    "default": parse_detail_page,
+    "zipspec": parse_detail_page_zipspec,
+    "jsprice": parse_detail_page_jsprice,
+}
+
+
 def extract_product_fields(
-    df: DataFrame, url_col: str = "url", body_col: str = "body"
+    df: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    site_col: str | None = None,
 ) -> DataFrame:
     """df + the 14 extracted columns; drops the body (items are narrow
-    past this point — bodies never enter a shuffle again)."""
+    past this point — bodies never enter a shuffle again).
+
+    ``site_col``: optional column holding each row's site key (see
+    SITE_PARSERS); rows with a NULL/unknown key fall back to the
+    'default' parser — an unknown site parses like the reference would
+    with no spider registered for it: usually X7 (parse_ok=false),
+    counted, never fatal. Omitted -> every row uses 'default'."""
     passthrough = [f for f in df.schema.fields if f.name != body_col]
     schema = T.StructType(passthrough + EXTRACTED_FIELDS)
     pass_names = [f.name for f in passthrough]
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [
-                parse_detail_page(u, b) for u, b in zip(pdf[url_col], pdf[body_col])
-            ]
+            if site_col is not None:
+                parsed = [
+                    SITE_PARSERS.get(s, parse_detail_page)(u, b)
+                    for u, b, s in zip(pdf[url_col], pdf[body_col], pdf[site_col])
+                ]
+            else:
+                parsed = [
+                    parse_detail_page(u, b) for u, b in zip(pdf[url_col], pdf[body_col])
+                ]
             out = pdf[pass_names].copy()
             for c in EXTRACTED_COLS:
                 out[c] = [p[c] for p in parsed]

@@ -6,17 +6,25 @@ training-data pipeline actually calls, built from the tested pieces:
    group survives (first-discovery-wins, the same policy as the URL
    frontier's in-batch dedup D2).
 2. **Near pass**: MinHash signatures -> LSH band candidates ->
-   signature Jaccard estimate >= ``threshold``; the higher id of each
-   surviving pair is dropped (greedy-by-id, the standard practical
-   near-dedup policy — pairwise, no transitive closure, so borderline
-   chains keep one doc per *pair* rather than one per cluster; a
-   cluster-exact variant would iterate min-id propagation over the
-   pair graph).
+   signature Jaccard estimate >= ``threshold``; then one of two loser
+   policies:
+   - ``transitive=False`` (default): the higher id of each surviving
+     pair is dropped (greedy-by-id, the standard practical near-dedup
+     policy — pairwise, so a doc that only appears as the LOWER id of
+     its pairs survives even when its cluster has a smaller member);
+   - ``transitive=True``: cluster-exact — connected components of the
+     pair graph by iterative min-id label propagation
+     (``min_label_components``); exactly the lowest-id doc of each
+     component survives. This is what a duplicate CHAIN (A≈H, H≈B,
+     A≉B) needs to keep one doc per cluster.
 
 Scale shape: one window per fingerprint group (shuffle on fp), the
 MinHash/LSH path's one signature shuffle + band equi-join (never
-all-pairs), and a final left-anti join on the 8-byte id. Nothing is
-collected to the driver.
+all-pairs), and a final left-anti join on the 8-byte id. The
+transitive pass adds O(component diameter) join+agg rounds over the
+(node, label) table — near-dup components are shallow (duplicates of
+a common source), so this is a handful of rounds, each shuffling only
+8-byte ids, never text. Nothing is collected to the driver.
 """
 
 from __future__ import annotations
@@ -32,6 +40,66 @@ from ..functions.similarity import (
 from ..functions.text import fingerprint
 
 
+def min_label_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, label) connected-component labels of an undirected edge
+    list: label = the component's minimum node id, computed by
+    iterative min-label propagation (each round every node takes the
+    min of its own label and its neighbors'; converges in O(diameter)
+    rounds — the classic large-graph CC, e.g. GraphX/Pregel's
+    ConnectedComponents, here as plain DataFrame joins).
+
+    Deterministic and partitioning-independent. Each round shuffles
+    only (8-byte id, 8-byte label) rows. Raises if ``max_iters`` rounds
+    don't converge (a duplicate graph with diameter 50 means the
+    threshold is far too loose, not that more rounds would help).
+
+    Lineage discipline: every iterative DataFrame is cut with
+    ``localCheckpoint`` — without it each round's plan embeds the whole
+    upstream operator tree (here: the MinHash/LSH pipeline) one level
+    deeper, and Catalyst re-analyzes that growing plan every round
+    (measured ~20x the actual execution time by round 3). Local (non-
+    reliable) checkpoints are the right tradeoff for an iterative op
+    whose input is recomputable; a reliable ``checkpoint()`` dir swaps
+    in transparently where executor loss must be survivable."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        n_changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"min_label_components did not converge in {max_iters} rounds")
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -40,6 +108,7 @@ def dedup_corpus(
     n_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    transitive: bool = False,
 ) -> DataFrame:
     """Survivors of exact + MinHash-LSH near dedup (original columns).
 
@@ -65,7 +134,17 @@ def dedup_corpus(
     near = minhash_jaccard_estimate(sig, pairs, n_hashes=n_hashes).filter(
         F.col("jaccard_est") >= threshold
     )
-    losers = near.select(F.col("doc_b").alias("_loser")).distinct().persist()
+    if transitive:
+        # cluster-exact: every non-minimum member of each connected
+        # component loses (min-id propagation over the pair graph)
+        comp = min_label_components(near, "doc_a", "doc_b")
+        losers = (
+            comp.filter(F.col("node") != F.col("label"))
+            .select(F.col("node").alias("_loser"))
+            .persist()
+        )
+    else:
+        losers = near.select(F.col("doc_b").alias("_loser")).distinct().persist()
     losers.count()  # materialize the (narrow) loser ids, then free the signatures
     sig.unpersist()
     return exact.join(

@@ -375,23 +375,41 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell_id) inverted-file assignment: broadcast-nested-loop the
-    tiny centroid table against the corpus and keep each vector's
-    max-cosine cell (ties → lowest cell_id). All JVM column algebra —
-    the only shuffle is the per-vector window, which at scale is written
-    once into the index table (partitioned BY cell_id) and reused by
-    every query."""
-    from pyspark.sql import Window
+    """(id, cell_id) inverted-file assignment, shuffle-free: the tiny
+    centroid table (n_cells × dim doubles, well under a megabyte by
+    contract — see ivf_centroids_first) is collected into literal column
+    expressions, and each vector's max-cosine cell (ties → lowest
+    cell_id) is a row-local fold over n_cells CASE branches. The argmax
+    over ≤n_cells candidates needs no join and no window, so the
+    assignment subtree contains NO Exchange at any corpus size (plan-
+    tested) — at scale it is written once into the index table
+    (partitioned BY cell_id) and reused by every query."""
+    rows = centroids.select("cell_id", "cvec").collect()
+    return corpus.select(F.col(id_col), _ivf_cell_expr(rows, vec_col).alias("cell_id"))
 
-    joined = corpus.crossJoin(F.broadcast(centroids))
-    cos = F.round(cosine_sim(F.col(vec_col).cast("array<double>"), F.col("cvec")), 6)
-    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.col("cell_id"))
-    return (
-        joined.withColumn("_c", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell_id")
-    )
+
+def _ivf_cell_expr(centroid_rows, vec_col: str):
+    """Row-local argmax-cosine cell id as a pure column expression (the
+    form shared by ivf_assign and ann_topk_ivf): ``array_min`` over
+    structs of (-cosine, cell_id) — max cosine, ties to the LOWEST
+    cell_id, in ONE linear-size expression. (A CASE-WHEN fold here is a
+    trap: each step embeds the accumulator ~4x, an exponentially-sized
+    tree that OOMs the driver while *constructing* the plan at 16
+    cells.) NaN cosines (zero-norm vectors) sort last, so a degenerate
+    vector lands in its lowest-id cell."""
+    if not centroid_rows:
+        raise ValueError("empty centroid table")
+    vec = F.col(vec_col).cast("array<double>")
+    cands = [
+        F.struct(
+            (-F.round(cosine_sim(vec, F.array(*[F.lit(float(x)) for x in r["cvec"]])), 6)).alias(
+                "nc"
+            ),
+            F.lit(r["cell_id"]).alias("cell"),
+        )
+        for r in centroid_rows
+    ]
+    return F.array_min(F.array(*cands))["cell"]
 
 
 def ann_topk_ivf(
@@ -408,9 +426,14 @@ def ann_topk_ivf(
     (Sivic/Zisserman'03 video-google vocabularies; FAISS IVF-Flat is the
     same public structure). Complements ``ann_topk_lsh``: IVF prunes by
     data-adaptive cells, LSH by data-oblivious hyperplanes. Scales as
-    ~n_probe/n_cells of the corpus scored per query."""
+    ~n_probe/n_cells of the corpus scored per query.
+
+    Plan shape: cell assignment is the row-local ``_ivf_cell_expr``
+    fold (no self-join of the corpus on id, no window — zero Exchange),
+    the probe set is a broadcast semi-side, and the tail is
+    TakeOrderedAndProject."""
     centroids = ivf_centroids_first(corpus, n_cells, id_col, vec_col)
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    rows = centroids.select("cell_id", "cvec").collect()
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     probed = (
         centroids.select(
@@ -420,5 +443,6 @@ def ann_topk_ivf(
         .limit(n_probe)
         .select("cell_id")
     )
-    cand = corpus.join(assign, id_col).join(F.broadcast(probed), "cell_id")
+    assigned = corpus.withColumn("cell_id", _ivf_cell_expr(rows, vec_col))
+    cand = assigned.join(F.broadcast(probed), "cell_id")
     return ann_topk_bruteforce(cand, query_vec, k, id_col, vec_col)

@@ -134,7 +134,14 @@ def with_query_param(url: Column, name: str, value: Column) -> Column:
     """Set-or-append ``?name=value`` — the write half of the furl idiom
     (sequential pagination rebuilds ``page=N`` on the current URL).
     Pure column algebra (regexp replace / concat), no UDF. Expects
-    canonical URLs (no fragment — the canonicalizer strips them)."""
+    canonical URLs (no fragment — the canonicalizer strips them).
+
+    Contract: the value is spliced VERBATIM — no percent-encoding (and
+    ``get_query_param`` does no decoding). A value containing the
+    reserved characters ``& # = ?`` or whitespace would corrupt the
+    query string / bleed into the next parameter. All engine callers
+    pass integers (page numbers, the reference's furl idiom); callers
+    with arbitrary values must url-encode before splicing."""
     _check_param_name(name)
     value = value.cast("string")
     # Java replacement-string metachars in the VALUE ($ = group ref,

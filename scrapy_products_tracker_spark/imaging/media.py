@@ -15,9 +15,13 @@ What is real vs stubbed in this sandbox (no PIL/libav/cv2 installed):
 - **audio/video**: the *container plumbing* is real over deterministic
   synthetic containers (``SAUD`` PCM16 audio, ``SVID`` = length-prefixed
   encoded frames), so schemas, batch shapes, and the frame fan-out are
-  exercised end-to-end; payloads in real codecs (wav/mp3/h264/...) hit a
-  clearly-marked ``NotImplementedError`` branch that an import-try on
-  the decode libs would replace in production.
+  exercised end-to-end; payloads in real codecs (wav/mp3/h264/...) route
+  through soundfile / PyAV when importable (the ``_real_audio_decoder``
+  / ``_real_video_demuxer`` import-try seams below) and otherwise hit a
+  clearly-marked ``NotImplementedError`` that the kernels count-and-skip
+  per row. Every kernel treats payload bytes as hostile crawled content:
+  NULL bytes, wrong magic, truncation, or unknown codecs skip the ROW,
+  never the task (X6).
 
 Scale notes: kernels are per-row independent (no shuffle); frame
 sampling fans out rows, so callers should repartition by ``media_id``
@@ -40,6 +44,37 @@ from .codec import decode_image, encode_image
 
 AUDIO_MAGIC = b"SAUD"  # u32 sample_rate, u32 n_samples, int16 PCM mono
 VIDEO_MAGIC = b"SVID"  # u32 n_frames, then per frame: u32 len + encoded image
+
+# Real-codec seam: when soundfile / av are importable (production image),
+# payloads that are NOT the synthetic containers route through them instead
+# of raising NotImplementedError. The sandbox has neither, so the hooks stay
+# None here — tests exercise the seam by monkeypatching a fake decoder.
+try:  # pragma: no cover - absent in sandbox
+    import soundfile as _soundfile
+
+    def _real_audio_decoder(data: bytes):
+        import io as _io
+
+        x, sr = _soundfile.read(_io.BytesIO(data), dtype="int16")
+        if x.ndim > 1:
+            x = x[:, 0]
+        return int(sr), np.ascontiguousarray(x, dtype=np.int16)
+
+except ImportError:
+    _real_audio_decoder = None
+
+try:  # pragma: no cover - absent in sandbox
+    import av as _av
+
+    def _real_video_demuxer(data: bytes):
+        import io as _io
+
+        with _av.open(_io.BytesIO(data)) as container:
+            for frame in container.decode(video=0):
+                yield frame.to_ndarray(format="rgb24")
+
+except ImportError:
+    _real_video_demuxer = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -90,12 +125,14 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """(sample_rate, int16 samples). Real audio codecs are not available
-    in this container — only the synthetic SAUD container decodes; the
-    production build replaces this branch via import-try on soundfile/
-    librosa. Truncated/corrupt SAUD payloads raise ValueError (the
-    kernels count-and-skip those rows, X6-style)."""
+    """(sample_rate, int16 samples). Payloads that are not the synthetic
+    SAUD container route through soundfile when importable (the
+    ``_real_audio_decoder`` seam above); without it they raise
+    NotImplementedError. Truncated/corrupt payloads raise ValueError.
+    Either way the kernels count-and-skip the ROW, never the task (X6)."""
     if data[:4] != AUDIO_MAGIC:
+        if _real_audio_decoder is not None:
+            return _real_audio_decoder(data)
         raise NotImplementedError(
             "real audio codecs (wav/mp3/flac) need soundfile/librosa, absent here"
         )
@@ -118,10 +155,14 @@ def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
 
 
 def iter_video_frames(data: bytes) -> Iterator[np.ndarray]:
-    """Yield decoded frames of a SVID container. Real video codecs
-    (h264/vp9) need libav/cv2, absent here — same stub contract as
-    ``decode_audio``; truncated containers raise ValueError."""
+    """Yield decoded frames of a SVID container. Non-SVID payloads route
+    through PyAV when importable (the ``_real_video_demuxer`` seam) —
+    same contract as ``decode_audio``; truncated containers raise
+    ValueError."""
     if data[:4] != VIDEO_MAGIC:
+        if _real_video_demuxer is not None:
+            yield from _real_video_demuxer(data)
+            return
         raise NotImplementedError("real video demux needs av/cv2, absent here")
     if len(data) < 8:
         raise ValueError("truncated SVID header")
@@ -151,13 +192,21 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def resize_images(df: DataFrame, out_w: int, out_h: int, fmt: str = "png") -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode, Arrow-batched.
-    Expects (image_id, bytes[, ...]) rows; emits RESIZED_SCHEMA."""
+    Expects (image_id, bytes[, ...]) rows; emits RESIZED_SCHEMA.
+    NULL/undecodable payloads are crawled, untrusted bytes — those rows
+    are skipped, never fatal (X6), so the output may be narrower than
+    the input."""
 
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["image_id"], pdf["bytes"]):
-                px = resize_nearest(decode_image(bytes(data)), out_h, out_w)
+                if data is None:
+                    continue
+                try:  # hostile payload: skip the ROW, not the task (X6)
+                    px = resize_nearest(decode_image(bytes(data)), out_h, out_w)
+                except (ValueError, NotImplementedError, TypeError, struct.error):
+                    continue
                 out.append((mid, out_w, out_h, encode_image(px, fmt)))
             yield pd.DataFrame(out, columns=["image_id", "w", "h", "bytes"])
 
@@ -173,15 +222,15 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
-                if kind != "video":
+                if kind != "video" or data is None:
                     continue
-                try:  # corrupt container: skip the ROW, not the task (X6)
+                try:  # hostile/corrupt/unknown-codec row: skip it, not the task (X6)
                     for idx, px in enumerate(iter_video_frames(bytes(data))):
                         if idx % every == 0:
                             out.append(
                                 (mid, idx, int(px.shape[1]), int(px.shape[0]), encode_image(px, "png"))
                             )
-                except ValueError:
+                except (ValueError, NotImplementedError, TypeError, struct.error):
                     continue
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "w", "h", "bytes"])
 
@@ -196,11 +245,11 @@ def audio_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["bytes"]):
-                if kind != "audio":
+                if kind != "audio" or data is None:
                     continue
-                try:  # corrupt container: skip the ROW, not the task (X6)
+                try:  # hostile/corrupt/unknown-codec row: skip it, not the task (X6)
                     sr, pcm = decode_audio(bytes(data))
-                except ValueError:
+                except (ValueError, NotImplementedError, TypeError, struct.error):
                     continue
                 x = pcm.astype(np.float64)
                 out.append(

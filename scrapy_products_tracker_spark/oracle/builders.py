@@ -280,20 +280,19 @@ def _documents(sf_dir: str) -> pd.DataFrame:
     return pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
-def build_minhash_signatures(sf_dir: str = CORRECTNESS_SF, n_hashes: int = 32, k: int = 3, seed: int = 42) -> str:
+def _minhash_sig_rows(docs, n_hashes: int, k: int, seed: int) -> list[dict]:
     """Independent MinHash: same shingle/permutation definitions as
     functions/similarity.minhash_signature, computed with pure Python
-    xxhash64 + integer arithmetic (no Spark)."""
-    import pyarrow as pa
+    xxhash64 + integer arithmetic (no Spark). ``docs`` iterates
+    (doc_id, text)."""
     import re
 
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE31, n_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE31, n_hashes, dtype=np.int64)
     coefs = [pow(1315423911, j + 1, _MERSENNE31) for j in range(k)]
-    docs = _documents(sf_dir)
     out = []
-    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+    for doc_id, text in docs:
         t = text.strip()
         toks = re.split(r"\s+", t)
         if len(toks) >= k:
@@ -309,8 +308,63 @@ def build_minhash_signatures(sf_dir: str = CORRECTNESS_SF, n_hashes: int = 32, k
             xs = np.array([xxhash64_str(t) % _MERSENNE31], dtype=np.int64)
         sig = [int(((xs * int(a[i]) + int(b[i])) % _MERSENNE31).min()) for i in range(n_hashes)]
         out.append({"doc": int(doc_id), "sig": sig})
+    return out
+
+
+def build_minhash_signatures(sf_dir: str = CORRECTNESS_SF, n_hashes: int = 32, k: int = 3, seed: int = 42) -> str:
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+    out = _minhash_sig_rows(zip(docs["doc_id"], docs["text"]), n_hashes, k, seed)
     schema = pa.schema([("doc", pa.int64()), ("sig", pa.list_(pa.int64()))])
     return _write(pd.DataFrame(out), "minhash_sig.parquet", schema)
+
+
+# --- planted-chain corpus for cluster-exact (transitive) dedup -------------
+
+N_CHAINS = 30
+N_CHAIN_SINGLETONS = 10
+CHAIN_THRESHOLD = 0.15
+# 32 hashes / 32 single-row bands: with the fixed seed every planted
+# edge estimates >= 0.23 (checked), no X~Y false pair, no band miss —
+# and 32-wide signatures keep whole-stage codegen compile time sane
+# (128-wide ran the same 40-row answer 20x slower, all Janino)
+CHAIN_N_HASHES = 32
+CHAIN_BANDS = 32
+
+
+def chain_corpus_rows() -> list[tuple[int, str]]:
+    """Deterministic planted duplicate chains, one per component:
+    X (id c*10) = words c*1000..+59, Y (id c*10+1) = words c*1000+500..
+    +559 (vocabulary disjoint from X), hub H (id c*10+2) = first 30
+    words of X + first 30 words of Y. True J(X,H) = J(Y,H) = 28/88 ~
+    0.318 >= threshold 0.15 (est noise at 128 hashes can't cross it);
+    J(X,Y) = 0 — the component {X, Y, H} exists only transitively.
+    Pairwise greedy-by-id drops only H (the higher id of BOTH pairs);
+    cluster-exact must keep exactly the min id X. Plus singletons with
+    their own vocabulary. The Spark side rebuilds the identical texts
+    with JVM column algebra (no shared code with this builder)."""
+
+    def words(start: int, cnt: int) -> str:
+        return " ".join(f"w{j}" for j in range(start, start + cnt))
+
+    rows = []
+    for c in range(N_CHAINS):
+        base = c * 1000
+        rows.append((c * 10, words(base, 60)))
+        rows.append((c * 10 + 1, words(base + 500, 60)))
+        rows.append((c * 10 + 2, words(base, 30) + " " + words(base + 500, 30)))
+    for s in range(N_CHAIN_SINGLETONS):
+        rows.append((9000 + s, words(500_000 + s * 1000, 60)))
+    return rows
+
+
+def build_chain_signatures() -> str:
+    import pyarrow as pa
+
+    out = _minhash_sig_rows(chain_corpus_rows(), CHAIN_N_HASHES, k=3, seed=42)
+    schema = pa.schema([("doc", pa.int64()), ("sig", pa.list_(pa.int64()))])
+    return _write(pd.DataFrame(out), "chain_minhash_sig.parquet", schema)
 
 
 def build_simhash_expected(sf_dir: str = CORRECTNESS_SF) -> str:

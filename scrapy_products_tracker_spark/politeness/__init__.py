@@ -2,7 +2,7 @@ from .robots import load_robots, parse_robots_body, robots_from_bodies
 from .scheduler import (
     CLAIM_ORDER,
     apply_robots,
-    collect_budgets,
+    max_effective_budget,
     effective_budget_col,
     mark_robots,
     schedule_round,
@@ -15,7 +15,7 @@ __all__ = [
     "CLAIM_ORDER",
     "apply_robots",
     "mark_robots",
-    "collect_budgets",
+    "max_effective_budget",
     "effective_budget_col",
     "schedule_round",
 ]

@@ -16,6 +16,7 @@ prefix test).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -27,32 +28,69 @@ from ..schemas import ROBOTS_SCHEMA
 
 def load_robots(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
-    missing = {f.name for f in ROBOTS_SCHEMA.fields} - set(df.columns)
+    required = {f.name for f in ROBOTS_SCHEMA.fields} - {"disallow_regexes", "site"}
+    missing = required - set(df.columns)
     if missing:
         raise ValueError(f"robots table missing columns: {missing}")
+    # disallow_regexes / site are optional in stored tables (pre-wildcard
+    # and single-site worlds); absent -> empty / 'default'
+    rx = (
+        F.coalesce("disallow_regexes", F.array())
+        if "disallow_regexes" in df.columns
+        else F.array().cast("array<string>")
+    )
+    site = (
+        F.coalesce("site", F.lit("default")) if "site" in df.columns else F.lit("default")
+    )
     return df.select(
         "domain",
         F.coalesce("disallow_prefixes", F.array()).alias("disallow_prefixes"),
+        rx.alias("disallow_regexes"),
         F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
         F.coalesce("max_per_round", F.lit(8)).alias("max_per_round"),
+        site.alias("site"),
     )
 
 
-def parse_robots_body(body: str | None, agent: str = "sparkbot") -> tuple[list[str], int]:
-    """(disallow_prefixes, crawl_delay_ms) for ``agent`` from one
-    robots.txt body — the RFC 9309 subset the scheduler enforces.
+def rule_to_regex(rule: str) -> str:
+    """RFC 9309 §2.2.3 match pattern -> anchored-at-start Java regex:
+    ``*`` matches any character sequence, a *trailing* ``$`` anchors the
+    end (a ``$`` anywhere else is literal). The result is used with a
+    find-style matcher (regexp_like), so no trailing ``$`` == prefix
+    match."""
+    anchored = rule.endswith("$")
+    core = rule[:-1] if anchored else rule
+    return "^" + ".*".join(re.escape(p) for p in core.split("*")) + ("$" if anchored else "")
 
-    Group selection: the group whose ``User-agent`` token is the
-    longest case-insensitive prefix of ``agent`` wins; ``*`` is the
-    fallback group. Consecutive ``User-agent`` lines share one group.
-    ``Disallow:`` with an empty value allows everything (dropped);
-    ``Crawl-delay`` (de-facto extension) is seconds, possibly
-    fractional. Unparseable lines are ignored (robots.txt is untrusted
-    remote content — never an exception path). An absent/empty body
-    means allow-all, delay 0 (RFC 9309 §2.3.1.4 fetch-failure rule).
+
+def parse_robots_body(
+    body: str | None, agent: str = "sparkbot"
+) -> tuple[list[str], list[str], int]:
+    """(disallow_prefixes, disallow_regexes, crawl_delay_ms) for
+    ``agent`` from one robots.txt body — the RFC 9309 subset the
+    scheduler enforces.
+
+    Group selection: groups whose ``User-agent`` token is the longest
+    case-insensitive prefix of ``agent`` win; ``*`` is the fallback.
+    ALL groups tied at the winning specificity contribute (RFC 9309
+    §2.2.1 merges repeated groups for the same agent): their Disallow
+    lists concatenate in document order and the largest Crawl-delay
+    applies. Consecutive ``User-agent`` lines share one group.
+
+    Rule values: plain values are literal path prefixes
+    (``disallow_prefixes``); values using the §2.2.3 special characters
+    ``*`` (any sequence) or a trailing ``$`` (end anchor) become
+    anchored regexes (``disallow_regexes``) so ``/*.php``-style rules
+    actually block. ``Disallow:`` with an empty value allows everything
+    (dropped); ``Allow:`` is dropped — strictly conservative
+    (over-blocking only, never under-blocking). ``Crawl-delay``
+    (de-facto extension) is seconds, possibly fractional. Unparseable
+    lines are ignored (robots.txt is untrusted remote content — never
+    an exception path). An absent/empty body means allow-all, delay 0
+    (RFC 9309 §2.3.1.4 fetch-failure rule).
     """
     if not body:
-        return [], 0
+        return [], [], 0
     body = body.lstrip("\ufeff")  # UTF-8 BOM would mask the first User-agent line
     agent_l = agent.lower()
     # groups: list of (ua_tokens, disallows, crawl_delay_s)
@@ -88,21 +126,29 @@ def parse_robots_body(body: str | None, agent: str = "sparkbot") -> tuple[list[s
                 # huge delays clamp to a day (never-raise contract)
                 if delay == delay and 0 <= delay < float("inf"):
                     groups[-1] = (uas, dis, min(delay, 86_400.0))
-    best: tuple[int, list[str], float | None] | None = None
-    for uas, dis, delay in groups:
+    def group_score(uas: list[str]) -> int:
+        score = -1
         for ua in uas:
             if ua == "*":
-                score = 0
-            elif agent_l.startswith(ua) and ua:
-                score = len(ua)
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, dis, delay)
-    if best is None:
-        return [], 0
-    _, dis, delay = best
-    return dis, int(round((delay or 0.0) * 1000))
+                score = max(score, 0)
+            elif ua and agent_l.startswith(ua):
+                score = max(score, len(ua))
+        return score
+
+    best = max((group_score(uas) for uas, _, _ in groups), default=-1)
+    if best < 0:
+        return [], [], 0
+    # merge every group tied at the winning specificity, document order
+    rules: list[str] = []
+    delay_s = 0.0
+    for uas, dis, delay in groups:
+        if group_score(uas) == best:
+            rules.extend(dis)
+            if delay is not None:
+                delay_s = max(delay_s, delay)
+    prefixes = [r for r in rules if "*" not in r and not r.endswith("$")]
+    regexes = [rule_to_regex(r) for r in rules if "*" in r or r.endswith("$")]
+    return prefixes, regexes, int(round(delay_s * 1000))
 
 
 def robots_from_bodies(
@@ -116,10 +162,18 @@ def robots_from_bodies(
         for pdf in batches:
             rows = []
             for dom, body in zip(pdf["domain"], pdf["body"]):
-                dis, delay_ms = parse_robots_body(body, agent)
-                rows.append((dom, dis, delay_ms, default_max_per_round))
+                dis, rx, delay_ms = parse_robots_body(body, agent)
+                rows.append((dom, dis, rx, delay_ms, default_max_per_round, "default"))
             yield pd.DataFrame(
-                rows, columns=["domain", "disallow_prefixes", "crawl_delay_ms", "max_per_round"]
+                rows,
+                columns=[
+                    "domain",
+                    "disallow_prefixes",
+                    "disallow_regexes",
+                    "crawl_delay_ms",
+                    "max_per_round",
+                    "site",
+                ],
             )
 
     return bodies.select("domain", "body").mapInPandas(_kernel, ROBOTS_SCHEMA)

@@ -136,42 +136,54 @@ def write_csv(df: DataFrame, out_path: str) -> None:
 def run_incremental_export(
     spark: SparkSession, store, out_dir: str, chunk: int = 1000
 ) -> int:
-    """K9/O4: chunked unsent-only export with mark-sent MERGE.
+    """K9/O4: chunked unsent-only export with mark-sent MERGE — ONE pass.
 
-    Loop: claim up to ``chunk`` unsent targets (deterministic order),
-    write them as a CSV chunk, commit ``sent_to_customer`` back through
-    the store's dirty-bucket MERGE; repeat until no unsent rows. Sent
-    state is snapshot-durable, so re-running exports nothing twice and
-    a crash between write and commit re-exports only the in-flight
-    chunk (the reference has the same at-least-once window between
-    DictWriter append and the UPDATE, base_csv_exporter.py:82-117)."""
-    n_chunks = 0
-    while True:
-        targets = store.read_products(spark)
-        if targets is None:
-            break
-        batch = (
-            targets.filter(F.col("sent_to_customer").isNull())
-            .orderBy("url")  # deterministic claim order (UNIQUE url key)
-            .limit(chunk)
-            .persist()
-        )
-        if batch.isEmpty():
-            batch.unpersist()
-            break
-        write_csv(
-            batch.select(
-                "url", "title", "brand", "category", "session"
-            ),
-            f"{out_dir}/chunk_{store.latest_version()}_{n_chunks}",
-        )
-        marks = batch.select(
-            "url_hash", "url", F.current_date().cast("string").alias("sent_to_customer")
-        )
-        store.commit(products_set=marks, meta={"export_chunk": n_chunks})
-        batch.unpersist()
-        n_chunks += 1
-    return n_chunks
+    The reference loops ``SELECT ... WHERE sent IS NULL LIMIT chunk`` /
+    write / ``UPDATE`` per chunk (base_csv_exporter.py:42-117); at 10^8
+    unsent rows that is O(n²/chunk) scan work and O(n/chunk) snapshot
+    commits. Here chunk membership is assigned in one pass — a
+    row_number over the deterministic url order, computed on the NARROW
+    (url) projection and joined back on the UNIQUE url key — every
+    chunk file is written by ONE distributed job
+    (``partitionBy(chunk_id)``), and the sent-markers commit in ONE
+    MERGE. (The global row_number is the one single-partition step; it
+    carries only url strings. The at-10^8 production swap is a
+    range-partitioned two-phase rank — chunk semantics unchanged.)
+
+    Exactly-once across completed runs is unchanged: re-running exports
+    nothing. The crash window widens from one chunk to one run — the
+    same at-least-once re-export contract the reference has per chunk,
+    traded for O(n) total scan work and a single snapshot commit."""
+    from pyspark.sql import Window
+
+    targets = store.read_products(spark)
+    if targets is None:
+        return 0
+    unsent = targets.filter(F.col("sent_to_customer").isNull())
+    w = Window.orderBy("url")  # deterministic chunk membership (UNIQUE url key)
+    chunk_map = unsent.select("url").withColumn(
+        "chunk_id", ((F.row_number().over(w) - 1) / F.lit(chunk)).cast("int")
+    )
+    chunked = unsent.join(chunk_map, "url").persist()
+    max_chunk = chunked.agg(F.max("chunk_id").alias("m")).first()["m"]
+    if max_chunk is None:
+        chunked.unpersist()
+        return 0
+    (
+        chunked.repartition("chunk_id")
+        .sortWithinPartitions("url")
+        .select("chunk_id", "url", "title", "brand", "category", "session")
+        .write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("chunk_id")
+        .csv(out_dir)
+    )
+    marks = chunked.select(
+        "url_hash", "url", F.current_date().cast("string").alias("sent_to_customer")
+    )
+    store.commit(products_set=marks, meta={"export_chunks": int(max_chunk) + 1})
+    chunked.unpersist()
+    return int(max_chunk) + 1
 
 
 def stop_tracking(spark: SparkSession, store, urls: DataFrame) -> int:

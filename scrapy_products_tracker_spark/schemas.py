@@ -79,8 +79,15 @@ ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("domain", T.StringType(), False),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        # RFC 9309 §2.2.3 '*'/'$' rules, pre-translated to anchored Java
+        # regexes at parse time; optional in stored tables (older worlds)
+        T.StructField("disallow_regexes", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay_ms", T.LongType(), False),
         T.StructField("max_per_round", T.IntegerType(), False),
+        # per-domain extraction parser key (crawl/extract.py SITE_PARSERS)
+        # — the Spark form of the reference's per-site spider classes;
+        # optional in stored tables (older worlds -> 'default')
+        T.StructField("site", T.StringType(), True),
     ]
 )
 

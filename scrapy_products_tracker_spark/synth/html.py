@@ -71,6 +71,27 @@ def _fmt_price(cents: int, sym: str) -> str:
     return f"{sym}{cents // 100:,}.{cents % 100:02d}"
 
 
+SITE_KEYS = ["default", "zipspec", "jsprice"]
+
+
+def site_for_domain(domain: str) -> str:
+    """Deterministic per-domain site shape (the synthetic analog of the
+    reference's five distinct real sites): a stable hash of the domain
+    picks one of the three shipped shapes. The crawler's per-domain
+    config table (robots.site) carries this key — the parser registry
+    never imports this module."""
+    return SITE_KEYS[sum(domain.encode()) % len(SITE_KEYS)]
+
+
+def render_detail_html_site(meta: dict, url: str, variant: int, site: str) -> str:
+    """Dispatch ground-truth rendering to the site shape's renderer."""
+    if site == "zipspec":
+        return render_detail_html_zipspec(meta, url, variant)
+    if site == "jsprice":
+        return render_detail_html_jsprice(meta, url, variant)
+    return render_detail_html(meta, url, variant)
+
+
 def render_detail_html(meta: dict, url: str, variant: int) -> str:
     """Render the ground truth into HTML; variant varies formatting the
     way different sites / site revisions do."""
@@ -118,5 +139,99 @@ def render_detail_html(meta: dict, url: str, variant: int) -> str:
         parts.append(f'<table class={q}skuSpecification{q}>{rows}</table>')
     js = json.dumps({"itemPrice": meta["current_price_cents"] / 100.0})
     parts.append(f"<script>var pricingData = {js};</script>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def _dec(cents: int) -> str:
+    """Plain decimal price string for data-* attributes / JSON strings
+    (no thousands separators, no symbol): 123456 -> '1234.56'."""
+    return f"{cents // 100}.{cents % 100:02d}"
+
+
+_CODE = {"$": "USD", "£": "GBP"}
+
+
+def render_detail_html_zipspec(meta: dict, url: str, variant: int) -> str:
+    """'zipspec' site shape (zoro-like): itemprop-tagged title, data-*
+    priced div carrying ISO currency codes and an optional
+    data-original-price, availability span, and the spec table as TWO
+    zipped <ul> lists (the zoro_products_spider zip(keys, values)
+    idiom). The extraction kernel's parse_detail_page_zipspec must
+    invert this rendering; no code is shared."""
+    ws = ["", " ", "\n  ", "\n\t"][variant % 4]
+    q = '"' if variant % 2 == 0 else "'"
+    parts = [f"<html><head><title>{meta['brand']} catalog</title></head><body>"]
+    parts.append(f'<a class={q}category-link{q} href={q}{meta["category"]}{q}>up</a>')
+    if not meta["malformed"]:
+        parts.append(
+            f'<span class={q}product-title{q} itemprop={q}name{q}>{ws}{meta["title"]}{ws}</span>'
+        )
+    if meta["description"] is not None:
+        parts.append(f'<p class={q}product-desc{q}>{meta["description"]}</p>')
+    parts.append(f'<a class={q}brand-link{q} data-brand={q}{meta["brand"]}{q}>{meta["brand"]}</a>')
+    parts.append(f'<img itemprop={q}image{q} src={q}{meta["image_url"]}{q}/>')
+    if meta.get("chained"):
+        # F3: the page carries NO price/stock — chained endpoints do
+        parts.append(f'<span class={q}uom{q}>per {meta["units"]}</span>')
+    else:
+        orig = (
+            f' data-original-price={q}{_dec(meta["regular_price_cents"])}{q}'
+            if meta["has_discount"]
+            else ""
+        )
+        parts.append(
+            f'<div class={q}product-price{q} data-price={q}{_dec(meta["current_price_cents"])}{q}'
+            f' data-currency={q}{_CODE[meta["currency_sym"]]}{q}{orig}></div>'
+        )
+        parts.append(f'<span class={q}uom{q}>per {meta["units"]}</span>')
+        parts.append(
+            f'<span class={q}availability{q}>{"In Stock" if meta["in_stock"] else "Out of Stock"}</span>'
+        )
+    if meta["additional_info"]:
+        keys = "".join(f"<li>{k}</li>" for k in meta["additional_info"])
+        vals = "".join(f"<li>{v}</li>" for v in meta["additional_info"].values())
+        parts.append(f'<ul class={q}spec-keys{q}>{keys}</ul><ul class={q}spec-vals{q}>{vals}</ul>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def render_detail_html_jsprice(meta: dict, url: str, variant: int) -> str:
+    """'jsprice' site shape (viking-like): price/stock/currency/units
+    exist ONLY inside an inline ``var productData = {...}`` JSON object
+    (prices as exact decimal strings); brand only via the JSON-LD
+    block; attributes as a <dl>. parse_detail_page_jsprice inverts."""
+    ws = ["", " ", "\n  ", "\n\t"][variant % 4]
+    q = '"' if variant % 2 == 0 else "'"
+    jsonld = json.dumps(
+        {"@type": "Product", "name": meta["title"], "brand": {"name": meta["brand"]}}
+    )
+    parts = [f"<html><head><title>shop</title>"]
+    parts.append(
+        f'<script type={q}application/ld+json{q} id={q}pc-jsonld{q}>{jsonld}</script></head><body>'
+    )
+    parts.append(f'<a rel={q}category{q} href={q}{meta["category"]}{q}>cat</a>')
+    if not meta["malformed"]:
+        parts.append(f'<h2 id={q}product-name{q}>{ws}{meta["title"]}{ws}</h2>')
+    if meta["description"] is not None:
+        parts.append(f'<div id={q}product-desc{q}>{meta["description"]}</div>')
+    parts.append(f'<img id={q}main-image{q} src={q}{meta["image_url"]}{q}/>')
+    if meta.get("chained"):
+        pd_obj = {"unit": meta["units"]}
+    else:
+        pd_obj = {
+            "price": _dec(meta["current_price_cents"]),
+            "currency": _CODE[meta["currency_sym"]],
+            "stock": 1 if meta["in_stock"] else 0,
+            "unit": meta["units"],
+        }
+        if meta["has_discount"]:
+            pd_obj["listPrice"] = _dec(meta["regular_price_cents"])
+    parts.append(f"<script>var productData = {json.dumps(pd_obj)};</script>")
+    if meta["additional_info"]:
+        rows = "".join(
+            f"<dt>{k}</dt><dd>{v}</dd>" for k, v in meta["additional_info"].items()
+        )
+        parts.append(f'<dl class={q}specs{q}>{rows}</dl>')
     parts.append("</body></html>")
     return "".join(parts)

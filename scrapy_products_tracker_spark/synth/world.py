@@ -28,10 +28,12 @@ import numpy as np
 import pandas as pd
 
 from ..imaging import encode_image, phash64
-from .html import product_meta, render_detail_html
+from .html import product_meta, render_detail_html_site, site_for_domain
 
 PAGINATION_SIZE = 12  # detail links per listing page (reference zoro: 36)
-WORLD_VERSION = 2  # bump when generated schemas/content change (cache key)
+WORLD_VERSION = 3  # bump when generated schemas/content change (cache key)
+# v3: multi-site detail rendering (per-domain site shapes, html.py) +
+#     robots table carries the per-domain parser `site` key
 
 
 @dataclass(frozen=True)
@@ -133,6 +135,10 @@ def generate_world(spec: WorldSpec) -> World:
                 "disallow_prefixes": ["/private"],
                 "crawl_delay_ms": int(r.choice(spec.crawl_delays_ms)),
                 "max_per_round": int(r.choice(spec.budgets)),
+                # per-domain parser key (the reference's per-site spider
+                # classes): rides the domain config table so the crawl
+                # driver can broadcast-join it onto fetched rows
+                "site": site_for_domain(d),
             }
         )
 
@@ -209,7 +215,9 @@ def generate_world(spec: WorldSpec) -> World:
             cat = detail_category.get(u, "/cat/0")
             meta = product_meta(_rng_for(spec.seed, "meta", u), u, d, cat)
             meta["chained"] = chained_domain
-            body = render_detail_html(meta, u, variant=int(r.integers(0, 4)))
+            body = render_detail_html_site(
+                meta, u, variant=int(r.integers(0, 4)), site=site_for_domain(d)
+            )
             if chained_domain:
                 cur_code = {"$": "USD", "£": "GBP"}[meta["currency_sym"]]
                 endpoint_rows.append(
@@ -359,6 +367,8 @@ def _arrow_schemas():
                 ("disallow_prefixes", pa.list_(pa.string())),
                 ("crawl_delay_ms", pa.int64()),
                 ("max_per_round", pa.int32()),
+                # per-domain extraction parser key (multi-site E3)
+                ("site", pa.string()),
             ]
         ),
     }

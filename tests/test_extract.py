@@ -10,9 +10,12 @@ from pyspark.sql import functions as F
 
 from scrapy_products_tracker_spark.crawl.extract import (
     EXTRACTED_COLS,
+    SITE_PARSERS,
     extract_product_fields,
     image_file_of,
     parse_detail_page,
+    parse_detail_page_jsprice,
+    parse_detail_page_zipspec,
     parse_price_cents,
 )
 
@@ -58,20 +61,138 @@ def test_jsonld_brand_fallback():
 
 
 def test_extraction_matches_world_truth(spark, t1_paths):
-    """Every fetchable detail page parses back to the generator's
-    ground-truth fields, bit-exact, through the distributed kernel."""
+    """Every fetchable detail page of the MULTI-SITE world parses back
+    to the generator's ground-truth fields, bit-exact, through the
+    distributed kernel with per-domain parser dispatch (site key
+    broadcast-joined from the domain config table)."""
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    robots = load_robots(spark, t1_paths["robots"])
+    assert {r["site"] for r in robots.select("site").distinct().collect()} >= {
+        "default",
+        "zipspec",
+        "jsprice",
+    }  # the world genuinely exercises all three shapes
     pages = (
         spark.read.parquet(t1_paths["pages"])
         .filter((F.col("tier") == 1) & (F.col("status_code") != 404))
-        .select("url", "body")
+        .select("url", "domain", "body")
+        .join(F.broadcast(robots.select("domain", F.col("site").alias("_site"))), "domain", "left")
     )
-    got = extract_product_fields(pages)
+    got = extract_product_fields(pages, site_col="_site")
     truth = spark.read.parquet(t1_paths["truth"])
     cmp_cols = [c for c in EXTRACTED_COLS if c not in ("image_file",)]
     g = {r["url"]: tuple(r[c] for c in cmp_cols) for r in got.collect()}
     t = {r["url"]: tuple(r[c] for c in cmp_cols) for r in truth.collect() if r["url"] in g}
     assert g == t
     assert any(not r[-1] for r in g.values())  # some malformed pages exist
+
+
+@pytest.mark.parametrize("site", ["default", "zipspec", "jsprice"])
+def test_site_parsers_invert_their_renderers(site):
+    """Each registered parser inverts its own synthetic site shape for
+    a grid of metas (discount on/off, stock on/off, attrs, quote/ws
+    variants) — renderer and parser share no code."""
+    import json as _json
+
+    from scrapy_products_tracker_spark.synth.html import render_detail_html_site
+
+    parser = SITE_PARSERS[site]
+    cases = []
+    for disc in (False, True):
+        for stock in (False, True):
+            for attrs in ({}, {"Color": "blue", "Weight": "1.2kg"}):
+                for variant in range(4):
+                    cases.append((disc, stock, attrs, variant))
+    for disc, stock, attrs, variant in cases:
+        meta = {
+            "title": "Ergonomic stapler 123",
+            "description": "A fine stapler.",
+            "brand": "Acme",
+            "image_url": "https://d0.example.com/img/img_p1.jpg",
+            "current_price_cents": 123456,
+            "regular_price_cents": 123456 + (5000 if disc else 0),
+            "has_discount": disc,
+            "currency_sym": "$",
+            "in_stock": stock,
+            "units": "dozen",
+            "additional_info": attrs,
+            "category": "https://d0.example.com/cat/3",
+            "malformed": False,
+        }
+        url = "https://d0.example.com/p/1"
+        out = parser(url, render_detail_html_site(meta, url, variant, site))
+        assert out["parse_ok"], (site, variant)
+        assert out["title"] == meta["title"]
+        assert out["description"] == meta["description"]
+        assert out["brand"] == "Acme"
+        assert out["image_url"] == meta["image_url"]
+        assert out["current_price_cents"] == 123456
+        assert out["regular_price_cents"] == meta["regular_price_cents"]
+        assert out["currency"] == "USD"
+        assert out["is_in_stock"] is stock and out["stock"] == (1 if stock else 0)
+        assert out["units"] == "dozen"
+        expect_info = _json.dumps(attrs, sort_keys=True) if attrs else None
+        assert out["additional_info"] == expect_info
+        assert out["category"] == meta["category"]
+
+
+@pytest.mark.parametrize("site", ["default", "zipspec", "jsprice"])
+def test_site_parsers_x7_guard(site):
+    """X7 for every site shape: a missing title (malformed render) and
+    hostile bodies all yield parse_ok=False, never an exception."""
+    from scrapy_products_tracker_spark.synth.html import render_detail_html_site
+
+    parser = SITE_PARSERS[site]
+    meta = {
+        "title": "T",
+        "description": None,
+        "brand": "Acme",
+        "image_url": "https://d/img/i.jpg",
+        "current_price_cents": 100,
+        "regular_price_cents": 100,
+        "has_discount": False,
+        "currency_sym": "$",
+        "in_stock": True,
+        "units": "each",
+        "additional_info": {},
+        "category": "/cat/0",
+        "malformed": True,  # renderer omits the title node
+    }
+    out = parser("https://d/p/1", render_detail_html_site(meta, "https://d/p/1", 0, site))
+    assert out["parse_ok"] is False and all(out[c] is None for c in EXTRACTED_COLS[:-1])
+    for hostile in (None, "", "<html>", "\x00\x01garbage", "<h1>almost</h1>"):
+        out = parser("https://d/p/1", hostile)
+        assert out["parse_ok"] is False
+
+
+def test_zipspec_hostile_details():
+    """zipspec-specific hostile inputs: mismatched zip lists truncate,
+    garbage data-price degrades to NULL (never raises)."""
+    body = (
+        '<span class="product-title" itemprop="name">T</span>'
+        '<div class="product-price" data-price="12x.34" data-currency="USD"></div>'
+        '<ul class="spec-keys"><li>A</li><li>B</li><li>C</li></ul>'
+        '<ul class="spec-vals"><li>1</li></ul>'
+    )
+    out = parse_detail_page_zipspec("https://d/p/1", body)
+    assert out["parse_ok"] and out["current_price_cents"] is None
+    assert out["additional_info"] == '{"A": "1"}'  # zip truncates, no crash
+
+
+def test_jsprice_hostile_details():
+    """jsprice-specific hostile inputs: corrupt / non-dict / wrong-typed
+    productData degrades those fields to NULL (E4/X6 guard)."""
+    t = '<h2 id="product-name">T</h2>'
+    for js in (
+        "var productData = {oops};",
+        "var productData = [1,2];",
+        'var productData = {"price": 12.34, "stock": "many", "unit": 7};',
+    ):
+        out = parse_detail_page_jsprice("https://d/p/1", t + f"<script>{js}</script>")
+        assert out["parse_ok"], js
+        assert out["current_price_cents"] is None
+        assert out["stock"] is None and out["units"] is None
 
 
 def test_extraction_plan_is_arrow_batched(spark, t1_paths):

@@ -1,8 +1,9 @@
 """Equivalence tests for the performance fast paths.
 
 Each fast path must be *semantically invisible*:
-- ``schedule_round(pending_hint=small)`` skips the salted phase-1 scan
-  but must claim exactly the same rows in the same order,
+- ``schedule_round`` below ``salt_threshold`` pending rows skips the
+  salted phase-1 scan but must claim exactly the same rows in the same
+  order as the forced-salted plan,
 - ``inline_retries=True`` resolves transient failures inside the fetch
   call instead of re-claiming across rounds; the terminal frontier
   state (seen set, per-URL status, fetch/failure counters) must match
@@ -102,19 +103,26 @@ def _uses_salted_phase1(df) -> bool:
     return "FlatMapGroupsInPandas" in df._jdf.queryExecution().optimizedPlan().toString()
 
 
-@pytest.mark.parametrize(
-    "chunk_size", [25, 50]
-)  # 350 rows vs threshold 8*chunk: 25 -> 200 (salted), 50 -> 400 (phase-1 skipped)
+@pytest.mark.parametrize("chunk_size", [25, 50])
 def test_schedule_round_pending_hint_branches_agree(spark, chunk_size):
     cands, robots, n_rows = _hint_fixture(spark)
-    salted = schedule_round(cands, robots, chunk_size=chunk_size, n_salts=4, pending_hint=None)
+    salted = schedule_round(
+        cands, robots, chunk_size=chunk_size, n_salts=4, force_salted=True
+    )
     hinted = schedule_round(cands, robots, chunk_size=chunk_size, n_salts=4, pending_hint=n_rows)
-    # the hint must actually flip the branch where the threshold says so
-    assert _uses_salted_phase1(salted)  # hint=None always takes phase 1
-    assert _uses_salted_phase1(hinted) == (n_rows > 8 * chunk_size)
+    # the threshold is an absolute row bound: 350 rows always skips
+    # phase 1 unless forced; a hint above the bound takes it
+    assert _uses_salted_phase1(salted)  # force_salted pins phase 1
+    assert not _uses_salted_phase1(hinted)
+    big_hint = schedule_round(
+        cands, robots, chunk_size=chunk_size, n_salts=4,
+        pending_hint=n_rows, salt_threshold=100,
+    )
+    assert _uses_salted_phase1(big_hint)  # hint above threshold -> salted
     ka = [tuple(r) for r in salted.orderBy("within_round_rank").collect()]
     kb = [tuple(r) for r in hinted.orderBy("within_round_rank").collect()]
-    assert ka == kb
+    kc = [tuple(r) for r in big_hint.orderBy("within_round_rank").collect()]
+    assert ka == kb == kc
     assert len(ka) == min(chunk_size, 6 * 7)  # 6 domains x budget 7 caps the claim
 
 

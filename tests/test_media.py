@@ -137,3 +137,65 @@ def test_corrupt_rows_skipped_not_fatal(spark):
     )
     frames = sample_frames(vids, every=1).collect()
     assert [r["media_id"] for r in frames] == ["ok"]
+
+
+def test_hostile_rows_null_bytes_and_wrong_magic_skipped(spark):
+    """ADVICE r02: a crawled payload with non-SAUD/SVID magic (raises
+    NotImplementedError) or a NULL bytes column must skip the ROW, not
+    kill the task — in all three kernels including resize_images."""
+    good_a = encode_audio(np.full(10, 100, dtype=np.int16), 8000)
+    rows = [
+        ("ok", "audio", good_a),
+        ("wrong_magic", "audio", b"RIFF....WAVE" + b"\x00" * 32),
+        ("null_bytes", "audio", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, kind string, bytes binary")
+    assert [r["media_id"] for r in audio_stats(df).collect()] == ["ok"]
+
+    vids = spark.createDataFrame(
+        [
+            ("ok", "video", encode_video([_gradient(4, 4)])),
+            ("wrong_magic", "video", b"\x00\x00mp4h264garbage"),
+            ("null_bytes", "video", None),
+        ],
+        "media_id string, kind string, bytes binary",
+    )
+    assert [r["media_id"] for r in sample_frames(vids, every=1).collect()] == ["ok"]
+
+    imgs = spark.createDataFrame(
+        [
+            ("ok", encode_image(_gradient(4, 4), "png")),
+            ("garbage", b"JFIFnotdecodable"),
+            ("null_bytes", None),
+        ],
+        "image_id string, bytes binary",
+    )
+    out = resize_images(imgs, 2, 2).collect()
+    assert [r["image_id"] for r in out] == ["ok"]
+
+
+def test_real_codec_import_try_seam(monkeypatch):
+    """The production import-try seam: when a real decoder is present
+    (monkeypatched here — the sandbox has none), non-synthetic payloads
+    route through it instead of NotImplementedError."""
+    from scrapy_products_tracker_spark.imaging import media as media_mod
+
+    def fake_audio_decoder(data: bytes):
+        assert data.startswith(b"RIFF")
+        return 4000, np.full(8, 1000, dtype=np.int16)
+
+    monkeypatch.setattr(media_mod, "_real_audio_decoder", fake_audio_decoder)
+    sr, pcm = media_mod.decode_audio(b"RIFF....WAVE" + b"\x00" * 8)
+    assert sr == 4000 and pcm.size == 8
+
+    def fake_video_demuxer(data: bytes):
+        yield _gradient(4, 4)
+        yield _gradient(4, 4, seed=1)
+
+    monkeypatch.setattr(media_mod, "_real_video_demuxer", fake_video_demuxer)
+    frames = list(media_mod.iter_video_frames(b"\x00\x00\x00 ftypisom...."))
+    assert len(frames) == 2 and frames[0].shape == (4, 4)
+    # and back to the honest stub contract when the lib is absent
+    monkeypatch.setattr(media_mod, "_real_audio_decoder", None)
+    with pytest.raises(NotImplementedError):
+        media_mod.decode_audio(b"RIFF....WAVE")

@@ -31,15 +31,32 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_claim_topk_plan_shape(spark):
-    """The engine claim (schedule_round): salted phase-1 kernel is a
-    FlatMapGroupsInPandas, the global chunk claim compiles to
-    TakeOrderedAndProject (top-k, never a full frontier sort), and the
-    scan reads only the columns the frontier projection needs."""
+    """The engine claim (schedule_round): the global chunk claim
+    compiles to TakeOrderedAndProject (top-k, never a full frontier
+    sort) and the scan reads only the columns the frontier projection
+    needs. The default plan at sandbox scale skips the salted phase 1
+    (auto pending_hint); force_salted pins the at-scale salted plan:
+    phase-1 kernel is a FlatMapGroupsInPandas."""
+    from scrapy_products_tracker_spark.politeness import schedule_round
+
     plan = _formatted_plan(entry.q_frontier_claim_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan  # top-k, not Sort+Limit
-    assert "FlatMapGroupsInPandas" in plan  # salted per-domain budget kernel
+    assert "FlatMapGroupsInPandas" not in plan  # fast path: no Python stage
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema  # big doc bodies never scanned
+
+    cand = entry._frontier_from_docs(entry._t(spark, SF, "documents"))
+    robots = (
+        cand.select("domain").distinct()
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .withColumn("crawl_delay_ms", F.lit(0).cast("long"))
+        .withColumn("max_per_round", F.lit(8))
+    )
+    salted_plan = _formatted_plan(
+        schedule_round(cand, robots, chunk_size=100, n_salts=4, force_salted=True)
+    )
+    assert "FlatMapGroupsInPandas" in salted_plan  # salted per-domain kernel
+    assert "TakeOrderedAndProject" in salted_plan
 
 
 def test_category_export_pushdown(spark):
@@ -93,13 +110,32 @@ def test_robots_check_is_broadcast_join(spark, t1_paths):
 
 
 def test_ivf_ann_plan_shape(spark):
-    """IVF: the centroid pass must be the intended broadcast nested
-    loop over the tiny centroid table (never a shuffled product), and
-    the final top-k must stay TakeOrderedAndProject."""
+    """IVF: cell assignment is a row-local literal-centroid fold (no
+    join, no window), so the probe query's only join is the broadcast
+    of the tiny probed-cell set and the final top-k stays
+    TakeOrderedAndProject."""
     plan = _formatted_plan(entry.q_ivf_ann_topk(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan  # corpus x 16 centroids
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # assignment needs no join at all
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_assignment_subtree_has_no_exchange(spark):
+    """VERDICT r02 #2: ivf_assign must be shuffle-free — the argmax
+    over <=n_cells literal centroids is row-local, so the assignment
+    plan contains no Exchange beyond the parquet scan."""
+    import re
+
+    from scrapy_products_tracker_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids_first,
+    )
+
+    e = entry._t(spark, SF, "embeddings")
+    cents = ivf_centroids_first(e, 8)
+    plan = _formatted_plan(ivf_assign(e, cents))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+    assert "Window" not in plan and "Join" not in plan
 
 
 def test_winnow_single_doc_shuffle(spark):
@@ -153,6 +189,6 @@ def test_scheduler_input_never_carries_payload_bytes(spark, t1_paths):
     narrow = frontier.select(
         "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
     )
-    claimed = schedule_round(narrow, drv.robots, 50, budgets=drv._budgets)
+    claimed = schedule_round(narrow, drv.robots, 50, max_budget=drv._max_budget, force_salted=True)
     plan = _formatted_plan(claimed)
     assert "bytes" not in plan

@@ -27,20 +27,27 @@ def _robots(spark):
 
 def test_budget_never_exceeded(spark):
     cands, robots = _candidates(spark), _robots(spark)
-    claimed = schedule_round(cands, robots, chunk_size=10_000, n_salts=4)
-    got = {r["domain"]: r["count"] for r in claimed.groupBy("domain").count().collect()}
-    assert got["hot.com"] <= 8
-    assert got["cold0.com"] <= 4
-    assert got.get("cold1.com", 0) <= 2  # crawl_delay 500ms in a 1000ms round -> 2
-    for d in ("cold2.com", "cold3.com", "cold4.com"):
-        assert got.get(d, 0) <= 8  # unmapped default
+    for force in (False, True):  # fast path and salted path both enforce
+        claimed = schedule_round(
+            cands, robots, chunk_size=10_000, n_salts=4, force_salted=force
+        )
+        got = {r["domain"]: r["count"] for r in claimed.groupBy("domain").count().collect()}
+        assert got["hot.com"] <= 8
+        assert got["cold0.com"] <= 4
+        assert got.get("cold1.com", 0) <= 2  # crawl_delay 500ms in a 1000ms round -> 2
+        for d in ("cold2.com", "cold3.com", "cold4.com"):
+            assert got.get(d, 0) <= 8  # unmapped default
 
 
 def test_salted_equals_unsalted_window(spark):
-    """Phase-1 salting must not change the selected set (exactness)."""
+    """Phase-1 salting must not change the selected set (exactness).
+    force_salted pins the salted plan (1000 rows would otherwise skip
+    phase 1 under the absolute salt_threshold)."""
     cands, robots = _candidates(spark), _robots(spark)
     for n_salts in (1, 4, 16):
-        claimed = schedule_round(cands, robots, chunk_size=25, n_salts=n_salts)
+        claimed = schedule_round(
+            cands, robots, chunk_size=25, n_salts=n_salts, force_salted=True
+        )
         got = sorted(
             (r["priority"], r["depth"], r["discovered_seq"], r["url"]) for r in claimed.collect()
         )

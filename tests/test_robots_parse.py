@@ -1,8 +1,10 @@
 """robots.txt parsing (RFC 9309 subset) -> the scheduler's cache table.
 
-Pure-function truth table for group selection / directives, plus the
-Arrow-batched (domain, body) -> ROBOTS_SCHEMA kernel, plus end-to-end:
-a parsed table drives apply_robots identically to a hand-built one.
+Pure-function truth table for group selection / directives / the
+'*'/'$' special characters (§2.2.3) / tied-group merging (§2.2.1),
+plus the Arrow-batched (domain, body) -> ROBOTS_SCHEMA kernel, plus
+end-to-end: a parsed table drives mark_robots identically to a
+hand-built one, including wildcard rules.
 """
 
 import pytest
@@ -13,6 +15,7 @@ from scrapy_products_tracker_spark.politeness import (
     parse_robots_body,
     robots_from_bodies,
 )
+from scrapy_products_tracker_spark.politeness.robots import rule_to_regex
 
 BODY = """
 # comment line
@@ -31,13 +34,14 @@ Disallow: /
 
 
 def test_specific_agent_group_wins():
-    dis, delay = parse_robots_body(BODY, agent="sparkbot")
+    dis, rx, delay = parse_robots_body(BODY, agent="sparkbot")
     assert dis == ["/only-for-us"]
+    assert rx == []
     assert delay == 250
 
 
 def test_wildcard_fallback_group():
-    dis, delay = parse_robots_body(BODY, agent="someone-else")
+    dis, rx, delay = parse_robots_body(BODY, agent="someone-else")
     assert dis == ["/private", "/tmp"]
     assert delay == 1500
 
@@ -50,17 +54,57 @@ def test_longest_agent_prefix_precedence():
 
 def test_shared_group_and_empty_disallow():
     body = "User-agent: a\nUser-agent: b\nDisallow:\nDisallow: /x\n"
-    assert parse_robots_body(body, agent="a") == (["/x"], 0)
-    assert parse_robots_body(body, agent="b") == (["/x"], 0)
+    assert parse_robots_body(body, agent="a") == (["/x"], [], 0)
+    assert parse_robots_body(body, agent="b") == (["/x"], [], 0)
 
 
 def test_untrusted_garbage_never_raises():
     for body in (None, "", "randomtext", "Disallow: /pre-group", "Crawl-delay: NaNx\n",
                  "User-agent: *\nCrawl-delay: soon\nDisallow: /ok"):
-        dis, delay = parse_robots_body(body)
-        assert isinstance(dis, list) and isinstance(delay, int)
-    assert parse_robots_body("User-agent: *\nCrawl-delay: soon\nDisallow: /ok") == (["/ok"], 0)
-    assert parse_robots_body(None) == ([], 0)
+        dis, rx, delay = parse_robots_body(body)
+        assert isinstance(dis, list) and isinstance(rx, list) and isinstance(delay, int)
+    assert parse_robots_body("User-agent: *\nCrawl-delay: soon\nDisallow: /ok") == (["/ok"], [], 0)
+    assert parse_robots_body(None) == ([], [], 0)
+
+
+def test_tied_groups_merge_rules_and_max_delay():
+    """RFC 9309 §2.2.1: a robots file that repeats a group for the same
+    agent contributes ALL its rules, not first-wins; the largest
+    crawl-delay applies."""
+    body = (
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /b\nCrawl-delay: 3\n"
+    )
+    dis, rx, delay = parse_robots_body(body)
+    assert dis == ["/a", "/b"]
+    assert delay == 3000
+    # a more specific group still shadows the merged '*' groups
+    body2 = body + "\nUser-agent: sparkbot\nDisallow: /c\n"
+    assert parse_robots_body(body2, agent="sparkbot")[0] == ["/c"]
+
+
+def test_wildcard_and_dollar_rules_become_regexes():
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.php\n"
+        "Disallow: /private*$\n"
+        "Disallow: /exact$\n"
+        "Disallow: /plain\n"
+        "Disallow: /lit$eral\n"  # $ not at end: literal char, stays a prefix
+    )
+    dis, rx, delay = parse_robots_body(body)
+    assert dis == ["/plain", "/lit$eral"]
+    assert rx == [
+        rule_to_regex("/*.php"),
+        rule_to_regex("/private*$"),
+        rule_to_regex("/exact$"),
+    ]
+    import re as _re
+
+    assert _re.search(rx[0], "/cgi/index.php")
+    assert not _re.search(rx[0], "/cgi/index.html")
+    assert _re.search(rx[1], "/private/anything")
+    assert _re.search(rx[2], "/exact") and not _re.search(rx[2], "/exact/sub")
 
 
 def test_robots_from_bodies_kernel_and_enforcement(spark):
@@ -68,6 +112,7 @@ def test_robots_from_bodies_kernel_and_enforcement(spark):
         [
             ("d0.example.com", BODY),
             ("d1.example.com", None),  # fetch failure -> allow all
+            ("d2.example.com", "User-agent: *\nDisallow: /*.php\n"),
         ],
         "domain string, body string",
     )
@@ -76,12 +121,15 @@ def test_robots_from_bodies_kernel_and_enforcement(spark):
     assert rows["d0.example.com"]["disallow_prefixes"] == ["/only-for-us"]
     assert rows["d0.example.com"]["crawl_delay_ms"] == 250
     assert rows["d1.example.com"]["disallow_prefixes"] == []
+    assert rows["d2.example.com"]["disallow_regexes"] == [rule_to_regex("/*.php")]
 
     cands = spark.createDataFrame(
         [
             ("https://d0.example.com/only-for-us/p1", "d0.example.com"),
             ("https://d0.example.com/ok/p2", "d0.example.com"),
             ("https://d1.example.com/only-for-us/p3", "d1.example.com"),
+            ("https://d2.example.com/x/page.php", "d2.example.com"),
+            ("https://d2.example.com/x/page.html", "d2.example.com"),
         ],
         "url string, domain string",
     )
@@ -90,17 +138,34 @@ def test_robots_from_bodies_kernel_and_enforcement(spark):
         "https://d0.example.com/only-for-us/p1": True,
         "https://d0.example.com/ok/p2": False,
         "https://d1.example.com/only-for-us/p3": False,
+        "https://d2.example.com/x/page.php": True,
+        "https://d2.example.com/x/page.html": False,
     }
+
+
+def test_mark_robots_accepts_tables_without_regex_column(spark):
+    """Pre-wildcard robots tables (no disallow_regexes column) still
+    enforce their literal prefixes."""
+    cands = spark.createDataFrame(
+        [("https://a.com/private/x", "a.com"), ("https://a.com/ok", "a.com")],
+        ["url", "domain"],
+    )
+    robots = spark.createDataFrame(
+        [("a.com", ["/private"], 0, 8)],
+        ["domain", "disallow_prefixes", "crawl_delay_ms", "max_per_round"],
+    )
+    marked = {r["url"]: r["_robots_blocked"] for r in mark_robots(cands, robots).collect()}
+    assert marked == {"https://a.com/private/x": True, "https://a.com/ok": False}
 
 
 def test_hostile_crawl_delay_values():
     for val, want in (("inf", 0), ("nan", 0), ("-5", 0), ("1e300", 86_400_000), ("soon", 0)):
         body = f"User-agent: *\nCrawl-delay: {val}\nDisallow: /x\n"
-        dis, delay = parse_robots_body(body)
+        dis, rx, delay = parse_robots_body(body)
         assert dis == ["/x"]
         assert delay == want, val
 
 
 def test_bom_prefixed_body_still_parses():
     body = "﻿User-agent: *\nDisallow: /private\n"
-    assert parse_robots_body(body) == (["/private"], 0)
+    assert parse_robots_body(body) == (["/private"], [], 0)
