@@ -31,13 +31,26 @@ def chain_world_paths():
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _with_site(spark, chain_world_paths, pages):
+    """Dispatch like the driver: site key broadcast-joined from the
+    domain config table (the chained domain's shape is whatever
+    site_for_domain assigns — the chained-page contract must hold in
+    every shape)."""
+    robots = load_robots(spark, chain_world_paths["robots"])
+    return pages.join(
+        F.broadcast(robots.select("domain", F.col("site").alias("_site"))), "domain", "left"
+    )
+
+
 def test_chained_pages_have_no_inline_price(spark, chain_world_paths):
     pages = (
         spark.read.parquet(chain_world_paths["pages"])
         .filter((F.col("tier") == 1) & (F.col("domain") == "d0.example.com"))
-        .select("url", "body")
+        .select("url", "domain", "body")
     )
-    parsed = extract_product_fields(pages)
+    parsed = extract_product_fields(
+        _with_site(spark, chain_world_paths, pages), site_col="_site"
+    )
     ok = parsed.filter(F.col("parse_ok"))
     assert ok.count() > 0
     # the page alone yields no price/currency (costco idiom)
@@ -49,10 +62,13 @@ def test_chain_resolution_restores_truth(spark, chain_world_paths):
     pages = (
         spark.read.parquet(chain_world_paths["pages"])
         .filter((F.col("tier") == 1) & (F.col("status_code") != 404))
-        .select("url", "body")
+        .select("url", "domain", "body")
     )
     endpoints = spark.read.parquet(chain_world_paths["endpoints"])
-    assembled = resolve_detail_chain(extract_product_fields(pages), endpoints)
+    parsed = extract_product_fields(
+        _with_site(spark, chain_world_paths, pages), site_col="_site"
+    ).drop("_site", "domain")
+    assembled = resolve_detail_chain(parsed, endpoints)
     truth = spark.read.parquet(chain_world_paths["truth"]).filter(F.col("parse_ok"))
     j = assembled.filter(F.col("parse_ok")).join(
         truth.select(
