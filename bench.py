@@ -73,7 +73,10 @@ def _cpu_jiffies() -> list[int] | None:
 
 
 def _host_delta(before: list[int] | None, after: list[int] | None) -> dict | None:
-    """user nice system idle iowait irq softirq steal deltas -> fracs."""
+    """user nice system idle iowait irq softirq steal deltas -> fracs.
+    iowait is reported separately from idle: a wall-time regression
+    with high iowait_frac (or a low disk_probe_mb_s) is the host's
+    storage, not the engine."""
     if before is None or after is None:
         return None
     d = [max(0, a - b) for a, b in zip(after, before)]
@@ -82,9 +85,39 @@ def _host_delta(before: list[int] | None, after: list[int] | None) -> dict | Non
         return None
     return {
         "steal_frac": round(d[7] / total, 4),
-        "idle_frac": round((d[3] + d[4]) / total, 4),
+        "idle_frac": round(d[3] / total, 4),
+        "iowait_frac": round(d[4] / total, 4),
         "busy_frac": round((d[0] + d[1] + d[2] + d[5] + d[6]) / total, 4),
     }
+
+
+def disk_probe(mb: int = 256) -> dict:
+    """Sequential write+fsync+read of ``mb`` MB in the bench tempdir —
+    a one-number disk-health baseline recorded next to the timings
+    (snapshot commits are fsync-heavy parquet writes, so a degraded
+    /tmp shows up here before it muddies cross-round URL/s deltas)."""
+    buf = os.urandom(1 << 20)
+    d = tempfile.mkdtemp(prefix="bench_diskprobe_")
+    path = os.path.join(d, "probe.bin")
+    try:
+        t0 = time.monotonic()
+        with open(path, "wb") as f:
+            for _ in range(mb):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        w = time.monotonic() - t0
+        t0 = time.monotonic()
+        with open(path, "rb") as f:
+            while f.read(1 << 22):
+                pass
+        r = time.monotonic() - t0
+        return {
+            "write_mb_s": round(mb / max(w, 1e-9), 1),
+            "read_mb_s": round(mb / max(r, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 class _HostMeter:
@@ -259,6 +292,7 @@ def main():
     # warm the JVM/readers so per-query timings measure the queries
     spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
+    disk = disk_probe()
     with _HostMeter() as hq:
         queries = bench_queries(spark, sf_dir)
     crawl = bench_crawl(spark)
@@ -280,8 +314,9 @@ def main():
         "commit_scaling": commit_scaling,
         "cpus": int(cpus),
         # per-section /proc/stat deltas: crawl.host covers the crawl
-        # loop; a steal_frac near 0 certifies a clean-host measurement
-        "host": {"queries": hq.host, "commit_scaling": hc.host},
+        # loop; steal_frac ~0 AND iowait_frac ~0 AND a healthy
+        # disk_probe certify a clean-host measurement
+        "host": {"queries": hq.host, "commit_scaling": hc.host, "disk_probe": disk},
     }
     print(json.dumps(result))
 
