@@ -316,10 +316,12 @@ def _units_expr():
 
 def q_product_field_extraction(spark, sf):
     """E3-E12 via the REAL Arrow-batched multi-site HTML parse kernel:
-    render product pages from `part` columns with SQL concat in THREE
-    distinct site shapes (p_partkey % 3 → default / zipspec / jsprice —
-    class-named blocks with symbol prices, data-* attrs with zipped
-    spec lists, inline-JS pricing JSON), dispatch the per-site parsers
+    render product pages from `part` columns with SQL concat in FIVE
+    distinct site shapes (p_partkey % 5 → default / zipspec / jsprice /
+    ldjson / kvtable — class-named blocks with symbol prices, data-*
+    attrs with zipped spec lists, inline-JS pricing JSON, a schema.org
+    JSON-LD-only app shell, and automation-id markup with th/td spec
+    rows + an out-of-stock overlay), dispatch the per-site parsers
     through the SITE_PARSERS registry, and compare against the
     directly-computed fields — the oracle proves each parser inverts
     its page format exactly (including the X7 missing-title guard)."""
@@ -328,18 +330,26 @@ def q_product_field_extraction(spark, sf):
     p = _t(spark, sf, "part")
     key = F.col("p_partkey").cast("string")
     cents = F.round(F.col("p_retailprice") * 100).cast("long")
-    m3 = F.col("p_partkey") % 3
+    m3 = F.col("p_partkey") % 5
     site = (
-        F.when(m3 == 1, F.lit("zipspec")).when(m3 == 2, F.lit("jsprice")).otherwise(F.lit("default"))
+        F.when(m3 == 1, F.lit("zipspec"))
+        .when(m3 == 2, F.lit("jsprice"))
+        .when(m3 == 3, F.lit("ldjson"))
+        .when(m3 == 4, F.lit("kvtable"))
+        .otherwise(F.lit("default"))
     )
     dom = (
         F.when(m3 == 1, F.lit("zip.example.com"))
         .when(m3 == 2, F.lit("jsp.example.com"))
+        .when(m3 == 3, F.lit("ld.example.com"))
+        .when(m3 == 4, F.lit("kv.example.com"))
         .otherwise(F.lit("parts.example.com"))
     )
     sym = F.when(F.col("p_partkey") % 2 == 0, F.lit("$")).otherwise(F.lit("£"))
     code = F.when(F.col("p_partkey") % 2 == 0, F.lit("USD")).otherwise(F.lit("GBP"))
-    disc = F.col("p_partkey") % 5 == 0
+    # NOT mod 5: the shape split is mod 5, so a mod-5 discount flag would
+    # light up only one shape — mod 4 exercises discounts in every shape
+    disc = F.col("p_partkey") % 4 == 0
     reg_cents = cents + F.when(disc, F.lit(50000)).otherwise(F.lit(0))
     malformed = F.col("p_partkey") % 37 == 0
     in_stock = F.col("p_size") >= 25
@@ -415,7 +425,51 @@ def q_product_field_extraction(spark, sf):
         F.lit("</dd><dt>Type</dt><dd>"), F.col("p_type"), F.lit("</dd></dl>"),
         F.lit("</body></html>"),
     )
-    body = F.when(m3 == 1, body_zipspec).when(m3 == 2, body_jsprice).otherwise(body_default)
+    body_ldjson = F.concat(
+        F.lit('<html><head><script type="application/ld+json" id="pc-jsonld">'),
+        F.lit('{"@context": "https://schema.org", "@type": "Product"'),
+        F.when(malformed, F.lit("")).otherwise(
+            F.concat(F.lit(', "name": "'), F.col("p_name"), F.lit('"'))
+        ),
+        F.lit(', "description": "Part '), F.col("p_name"),
+        F.lit('", "brand": {"@type": "Brand", "name": "'), F.col("p_brand"),
+        F.lit('"}, "image": "'), img_url,
+        F.lit('", "category": "'), cat_href,
+        F.lit('", "offers": {"@type": "Offer", "price": "'), dec(cents),
+        F.lit('", "priceCurrency": "'), code,
+        F.lit('", "availability": "https://schema.org/'),
+        F.when(in_stock, F.lit("InStock")).otherwise(F.lit("OutOfStock")),
+        F.lit('", "eligibleQuantity": {"unitText": "'), _units_expr(), F.lit('"}'),
+        F.when(disc, F.concat(F.lit(', "listPrice": "'), dec(reg_cents), F.lit('"'))).otherwise(F.lit("")),
+        F.lit('}, "additionalProperty": ['),
+        F.lit('{"@type": "PropertyValue", "name": "Size", "value": "'), F.col("p_size").cast("string"),
+        F.lit('"}, {"@type": "PropertyValue", "name": "Type", "value": "'), F.col("p_type"),
+        F.lit('"}]}</script></head><body><div id="app">Loading</div></body></html>'),
+    )
+    body_kvtable = F.concat(
+        F.lit("<html><head><title>wholesale</title></head><body>"),
+        F.lit('<a class="crumb" itemprop="breadcrumb" href="'), cat_href, F.lit('">category</a>'),
+        F.when(malformed, F.lit("")).otherwise(
+            F.concat(F.lit('<h1 automation-id="productName">'), F.col("p_name"), F.lit("</h1>"))
+        ),
+        F.lit('<p automation-id="productDescription">Part '), F.col("p_name"), F.lit("</p>"),
+        F.lit('<div automation-id="productBrand">Brand: '), F.col("p_brand"), F.lit("</div>"),
+        F.lit('<img class="img-responsive" src="'), img_url, F.lit('"/>'),
+        F.lit('<span automation-id="productPriceOutput">'), fmt(cents), F.lit("</span>"),
+        F.lit('<span class="unit-price">/ '), _units_expr(), F.lit("</span>"),
+        F.when(disc, F.concat(F.lit('<s automation-id="was-price">was '), fmt(reg_cents), F.lit("</s>"))).otherwise(F.lit("")),
+        F.when(in_stock, F.lit("")).otherwise(F.lit('<div class="oos-overlay">Out of Stock</div>')),
+        F.lit('<table automation-id="productInfoTable"><tr><th>Size</th><td>'), F.col("p_size").cast("string"),
+        F.lit("</td></tr><tr><th>Type</th><td>"), F.col("p_type"), F.lit("</td></tr></table>"),
+        F.lit("</body></html>"),
+    )
+    body = (
+        F.when(m3 == 1, body_zipspec)
+        .when(m3 == 2, body_jsprice)
+        .when(m3 == 3, body_ldjson)
+        .when(m3 == 4, body_kvtable)
+        .otherwise(body_default)
+    )
     pages = p.select(
         F.concat(F.lit("https://"), dom, F.lit("/p/"), key).alias("url"),
         site.alias("_site"),
@@ -1056,7 +1110,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE concat('{"Size": "', CAST(p_size AS VARCHAR), '", "Type": "', p_type, '"}') END AS additional_info,
                    CASE WHEN bad THEN NULL
                         ELSE CAST(round(p_retailprice * 100) AS BIGINT)
-                             + CASE WHEN p_partkey % 5 = 0 THEN 50000 ELSE 0 END END AS regular_price_cents,
+                             + CASE WHEN p_partkey % 4 = 0 THEN 50000 ELSE 0 END END AS regular_price_cents,
                    CASE WHEN bad THEN NULL ELSE CAST(round(p_retailprice * 100) AS BIGINT) END AS current_price_cents,
                    CASE WHEN bad THEN NULL WHEN p_partkey % 2 = 0 THEN 'USD' ELSE 'GBP' END AS currency,
                    CASE WHEN bad THEN NULL ELSE CAST(p_size >= 25 AS INT) END AS is_in_stock,
@@ -1066,8 +1120,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE concat('https://', dom, '/cat/', CAST(p_partkey % 7 AS VARCHAR)) END AS category,
                    NOT bad AS parse_ok
             FROM (SELECT *, p_partkey % 37 = 0 AS bad,
-                         CASE WHEN p_partkey % 3 = 1 THEN 'zip.example.com'
-                              WHEN p_partkey % 3 = 2 THEN 'jsp.example.com'
+                         CASE WHEN p_partkey % 5 = 1 THEN 'zip.example.com'
+                              WHEN p_partkey % 5 = 2 THEN 'jsp.example.com'
+                              WHEN p_partkey % 5 = 3 THEN 'ld.example.com'
+                              WHEN p_partkey % 5 = 4 THEN 'kv.example.com'
                               ELSE 'parts.example.com' END AS dom
                   FROM part)
         """,

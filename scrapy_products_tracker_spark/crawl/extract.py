@@ -29,7 +29,7 @@ key*. The key reaches the kernel as a COLUMN (callers broadcast-join
 it from the per-domain config table — crawl/driver.py joins
 ``robots.site``), so dispatch is executor-side row data: no driver-
 resident domain→parser dict at 10^7 domains, and one Arrow batch can
-mix domains. Three site shapes ship:
+mix domains. Five site shapes ship (one per reference site):
 
 - ``default``: the quill-like shape (class-named blocks, symbol-priced
   span, struck-through regular price, <tr><td> attribute table);
@@ -38,7 +38,14 @@ mix domains. Three site shapes ship:
   zoro_products_spider.py:85-139 zip(keys, values) idiom);
 - ``jsprice``: the viking-like shape (price/stock/units present ONLY
   in an inline <script> JSON object, regex-harvested and json.loads'd
-  — viking_detail_page_spider.py:120-134; brand only via JSON-LD).
+  — viking_detail_page_spider.py:120-134; brand only via JSON-LD);
+- ``ldjson``: the customink-like shape (EVERY field inside one
+  schema.org Product JSON-LD block with offers/additionalProperty —
+  customink_products_spider.py:82-98; the body is a JS-app shell);
+- ``kvtable``: the costco-like shape (automation-id selectors,
+  'Brand:'-prefixed line, 'was $X' struck price, out-of-stock OVERLAY
+  whose absence means in-stock, <th>/<td> spec rows —
+  costco_detail_page_spider.py:77-96).
 
 All parsers emit the same 14 EXTRACTED_FIELDS and share the X7 guard
 (missing title -> parse_ok=false, all fields NULL).
@@ -93,6 +100,24 @@ RX_B_KEYS = re.compile(rf"<ul class={_Q}spec-keys{_Q}>(.*?)</ul>", re.S)
 RX_B_VALS = re.compile(rf"<ul class={_Q}spec-vals{_Q}>(.*?)</ul>", re.S)
 RX_B_LI = re.compile(r"<li>(.*?)</li>", re.S)
 RX_B_CAT = re.compile(rf"<a class={_Q}category-link{_Q} href={_Q}(.*?){_Q}>")
+
+# --- site shape 'kvtable' (costco-like: automation-ids, th/td spec rows) ---
+RX_D_TITLE = re.compile(rf"<h1 automation-id={_Q}productName{_Q}>\s*(.*?)\s*</h1>", re.S)
+RX_D_DESC = re.compile(rf"<p automation-id={_Q}productDescription{_Q}>(.*?)</p>", re.S)
+RX_D_BRAND = re.compile(
+    rf"<div automation-id={_Q}productBrand{_Q}>Brand:\s*(.*?)\s*</div>", re.S
+)
+RX_D_IMG = re.compile(rf"<img class={_Q}img-responsive{_Q} src={_Q}(.*?){_Q}\s*/?>")
+RX_D_PRICE = re.compile(
+    rf"<span automation-id={_Q}productPriceOutput{_Q}>\s*(.*?)\s*</span>", re.S
+)
+RX_D_WAS = re.compile(rf"<s automation-id={_Q}was-price{_Q}>was (.*?)</s>", re.S)
+RX_D_UOM = re.compile(rf"<span class={_Q}unit-price{_Q}>/ (.*?)</span>")
+RX_D_OOS = re.compile(rf"<div class={_Q}oos-overlay{_Q}>")
+RX_D_TABLE = re.compile(rf"<table automation-id={_Q}productInfoTable{_Q}>(.*?)</table>", re.S)
+# [^<]* (not .*?) so a mangled row can't splice into its neighbor
+RX_D_ROW = re.compile(r"<tr><th>([^<]*)</th><td>([^<]*)</td></tr>")
+RX_D_CAT = re.compile(rf"<a class={_Q}crumb{_Q} itemprop={_Q}breadcrumb{_Q} href={_Q}(.*?){_Q}>")
 
 # --- site shape 'jsprice' (viking-like: inline-JS pricing object) ----------
 RX_C_TITLE = re.compile(rf"<h2 id={_Q}product-name{_Q}>\s*(.*?)\s*</h2>", re.S)
@@ -324,6 +349,116 @@ def parse_detail_page_jsprice(url: str, body: str | None) -> dict:
     return out
 
 
+def parse_detail_page_ldjson(url: str, body: str | None) -> dict:
+    """'ldjson' site shape (customink_products_spider.py:82-98 idiom):
+    EVERY field comes from one schema.org Product JSON-LD block — the
+    page body is a JS-app shell with no scrapeable markup. Offers carry
+    price/currency/availability/listPrice (exact decimal strings) and
+    the unit; attributes are an additionalProperty PropertyValue list.
+    Corrupt JSON, a non-dict payload, or a missing ``name`` are all the
+    X7 guard (parse_ok=False); wrong-typed members degrade their field
+    to NULL, never raise (X6)."""
+    out: dict = {c: None for c in EXTRACTED_COLS}
+    out["parse_ok"] = False
+    if not body:
+        return out
+    m = RX_JSONLD.search(body)
+    if not m:
+        return out
+    try:
+        ld = json.loads(m.group(1))
+    except json.JSONDecodeError:
+        return out
+    if not isinstance(ld, dict):
+        return out
+    name = ld.get("name")
+    if not isinstance(name, str) or not name:  # X7: no title, no item
+        return out
+    out["title"] = name
+    out["parse_ok"] = True
+    desc = ld.get("description")
+    out["description"] = desc if isinstance(desc, str) else None
+    brand = ld.get("brand")
+    if isinstance(brand, dict) and isinstance(brand.get("name"), str):
+        out["brand"] = brand["name"]
+    img = ld.get("image")
+    out["image_url"] = img if isinstance(img, str) else None
+    out["image_file"] = image_file_of(out["image_url"] or url)
+    offers = ld.get("offers")
+    offers = offers if isinstance(offers, dict) else {}
+    cur = _decimal_str_cents(offers.get("price") if isinstance(offers.get("price"), str) else None)
+    out["current_price_cents"] = cur
+    lp = offers.get("listPrice")
+    reg = _decimal_str_cents(lp if isinstance(lp, str) else None)
+    out["regular_price_cents"] = reg if reg is not None else cur
+    pc = offers.get("priceCurrency")
+    out["currency"] = pc if isinstance(pc, str) else None
+    av = offers.get("availability")
+    if isinstance(av, str) and av:
+        out["is_in_stock"] = av.rsplit("/", 1)[-1] == "InStock"
+        out["stock"] = 1 if out["is_in_stock"] else 0
+    eq = offers.get("eligibleQuantity")
+    if isinstance(eq, dict) and isinstance(eq.get("unitText"), str):
+        out["units"] = eq["unitText"]
+    ap = ld.get("additionalProperty")
+    if isinstance(ap, list):
+        attrs = {
+            p["name"]: p["value"]
+            for p in ap
+            if isinstance(p, dict)
+            and isinstance(p.get("name"), str)
+            and isinstance(p.get("value"), str)
+        }
+        out["additional_info"] = json.dumps(attrs, sort_keys=True) if attrs else None
+    cat = ld.get("category")
+    out["category"] = _urljoin(url, cat) if isinstance(cat, str) else None
+    return out
+
+
+def parse_detail_page_kvtable(url: str, body: str | None) -> dict:
+    """'kvtable' site shape (costco_detail_page_spider.py:77-96 idioms):
+    automation-id selectors, a 'Brand:'-prefixed brand line, a symbol-
+    priced span plus a struck 'was $X' former price, stock keyed off the
+    ABSENCE of an out-of-stock overlay, and the spec table as <th>/<td>
+    K/V rows. Missing title -> X7 guard."""
+    out: dict = {c: None for c in EXTRACTED_COLS}
+    out["parse_ok"] = False
+    if not body:
+        return out
+    m = RX_D_TITLE.search(body)
+    if not m:  # X7
+        return out
+    out["title"] = m.group(1)
+    out["parse_ok"] = True
+    m = RX_D_DESC.search(body)
+    out["description"] = m.group(1) if m else None
+    m = RX_D_BRAND.search(body)
+    out["brand"] = m.group(1) if m else None
+    m = RX_D_IMG.search(body)
+    out["image_url"] = m.group(1) if m else None
+    out["image_file"] = image_file_of(out["image_url"] or url)
+    m = RX_D_PRICE.search(body)
+    cur_cents, currency = parse_price_cents(m.group(1) if m else None)
+    out["current_price_cents"] = cur_cents
+    out["currency"] = currency
+    m = RX_D_WAS.search(body)
+    if m:
+        out["regular_price_cents"] = parse_price_cents(m.group(1))[0]
+    else:  # no struck former price -> regular = current
+        out["regular_price_cents"] = cur_cents
+    m = RX_D_UOM.search(body)
+    out["units"] = m.group(1) if m else None
+    out["is_in_stock"] = RX_D_OOS.search(body) is None
+    out["stock"] = 1 if out["is_in_stock"] else 0
+    m = RX_D_TABLE.search(body)
+    if m:
+        attrs = dict(RX_D_ROW.findall(m.group(1)))
+        out["additional_info"] = json.dumps(attrs, sort_keys=True) if attrs else None
+    m = RX_D_CAT.search(body)
+    out["category"] = _urljoin(url, m.group(1)) if m else None
+    return out
+
+
 # per-domain dispatch registry: site key -> parser. The key is carried
 # as row data (broadcast-joined from the domain config table), so an
 # Arrow batch can mix sites and no domain map ever lives on the driver.
@@ -331,7 +466,30 @@ SITE_PARSERS = {
     "default": parse_detail_page,
     "zipspec": parse_detail_page_zipspec,
     "jsprice": parse_detail_page_jsprice,
+    "ldjson": parse_detail_page_ldjson,
+    "kvtable": parse_detail_page_kvtable,
 }
+
+
+def register_site_parser(site: str, parser) -> None:
+    """Add a custom site parser (the extension point a new target site
+    needs — the reference adds a spider class per site). ``parser`` is
+    ``(url: str, body: str | None) -> dict`` and must honor the shared
+    contract: emit every EXTRACTED_COLS key, parse_ok=False + all-None
+    on an unusable page (X7), and never raise on hostile bytes (X6).
+    Registration is driver-side module state: call it before building
+    the extraction plan (the kernel closure captures the registry when
+    the plan is serialized to executors)."""
+    if not callable(parser):
+        raise TypeError("parser must be callable (url, body) -> dict")
+    probe = parser("https://example.com/p/1", None)
+    missing = set(EXTRACTED_COLS) - set(probe)
+    if probe.get("parse_ok") is not False or missing:
+        raise ValueError(
+            f"parser contract: parse_ok must be False for empty body and all "
+            f"EXTRACTED_COLS emitted (missing: {sorted(missing)})"
+        )
+    SITE_PARSERS[site] = parser
 
 
 def extract_product_fields(

@@ -71,15 +71,15 @@ def _fmt_price(cents: int, sym: str) -> str:
     return f"{sym}{cents // 100:,}.{cents % 100:02d}"
 
 
-SITE_KEYS = ["default", "zipspec", "jsprice"]
+SITE_KEYS = ["default", "zipspec", "jsprice", "ldjson", "kvtable"]
 
 
 def site_for_domain(domain: str) -> str:
     """Deterministic per-domain site shape (the synthetic analog of the
-    reference's five distinct real sites): a stable hash of the domain
-    picks one of the three shipped shapes. The crawler's per-domain
-    config table (robots.site) carries this key — the parser registry
-    never imports this module."""
+    reference's five distinct real sites — quill/zoro/viking/customink/
+    costco idioms): a stable hash of the domain picks one of the five
+    shipped shapes. The crawler's per-domain config table (robots.site)
+    carries this key — the parser registry never imports this module."""
     return SITE_KEYS[sum(domain.encode()) % len(SITE_KEYS)]
 
 
@@ -89,6 +89,10 @@ def render_detail_html_site(meta: dict, url: str, variant: int, site: str) -> st
         return render_detail_html_zipspec(meta, url, variant)
     if site == "jsprice":
         return render_detail_html_jsprice(meta, url, variant)
+    if site == "ldjson":
+        return render_detail_html_ldjson(meta, url, variant)
+    if site == "kvtable":
+        return render_detail_html_kvtable(meta, url, variant)
     return render_detail_html(meta, url, variant)
 
 
@@ -233,5 +237,95 @@ def render_detail_html_jsprice(meta: dict, url: str, variant: int) -> str:
             f"<dt>{k}</dt><dd>{v}</dd>" for k, v in meta["additional_info"].items()
         )
         parts.append(f'<dl class={q}specs{q}>{rows}</dl>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def render_detail_html_ldjson(meta: dict, url: str, variant: int) -> str:
+    """'ldjson' site shape (customink-like): the page body is a JS-app
+    shell — EVERY product field lives in one schema.org Product JSON-LD
+    block (customink_products_spider.py:82-98 parses exactly such a
+    block): name/description/brand/image/category at the top level,
+    price/currency/availability/listPrice/unitText in ``offers``,
+    attributes as an ``additionalProperty`` PropertyValue list. A
+    malformed page omits ``name`` (X7). parse_detail_page_ldjson
+    inverts; no code shared."""
+    q = '"' if variant % 2 == 0 else "'"
+    ld: dict = {"@context": "https://schema.org", "@type": "Product"}
+    if not meta["malformed"]:
+        ld["name"] = meta["title"]
+    if meta["description"] is not None:
+        ld["description"] = meta["description"]
+    ld["brand"] = {"@type": "Brand", "name": meta["brand"]}
+    ld["image"] = meta["image_url"]
+    ld["category"] = meta["category"]
+    if meta.get("chained"):
+        # F3: no price/stock on the page — chained endpoints supply them
+        offers: dict = {"@type": "Offer", "eligibleQuantity": {"unitText": meta["units"]}}
+    else:
+        offers = {
+            "@type": "Offer",
+            "price": _dec(meta["current_price_cents"]),
+            "priceCurrency": _CODE[meta["currency_sym"]],
+            "availability": "https://schema.org/"
+            + ("InStock" if meta["in_stock"] else "OutOfStock"),
+            "eligibleQuantity": {"unitText": meta["units"]},
+        }
+        if meta["has_discount"]:
+            offers["listPrice"] = _dec(meta["regular_price_cents"])
+    ld["offers"] = offers
+    if meta["additional_info"]:
+        ld["additionalProperty"] = [
+            {"@type": "PropertyValue", "name": k, "value": v}
+            for k, v in meta["additional_info"].items()
+        ]
+    blob = json.dumps(ld, indent=2 if variant % 4 == 3 else None)
+    return (
+        f"<html><head><title>designs</title>"
+        f'<script type={q}application/ld+json{q} id={q}pc-jsonld{q}>{blob}</script>'
+        f'</head><body><div id={q}app{q}>Loading…</div></body></html>'
+    )
+
+
+def render_detail_html_kvtable(meta: dict, url: str, variant: int) -> str:
+    """'kvtable' site shape (costco-like): automation-id attributes, a
+    'Brand:'-prefixed brand line, symbol-priced span with a 'was $X'
+    struck former price, an out-of-stock OVERLAY div (absence == in
+    stock — costco_detail_page_spider.py:77-96 keys off such markers),
+    and the spec table as <th>/<td> K/V ROWS (vs default's <td>/<td>
+    and zipspec's zipped lists). parse_detail_page_kvtable inverts."""
+    ws = ["", " ", "\n  ", "\n\t"][variant % 4]
+    q = '"' if variant % 2 == 0 else "'"
+    parts = [f"<html><head><title>wholesale</title></head><body>"]
+    parts.append(
+        f'<a class={q}crumb{q} itemprop={q}breadcrumb{q} href={q}{meta["category"]}{q}>category</a>'
+    )
+    if not meta["malformed"]:
+        parts.append(f'<h1 automation-id={q}productName{q}>{ws}{meta["title"]}{ws}</h1>')
+    if meta["description"] is not None:
+        parts.append(f'<p automation-id={q}productDescription{q}>{meta["description"]}</p>')
+    parts.append(
+        f'<div automation-id={q}productBrand{q}>Brand:{ws} {meta["brand"]}{ws}</div>'
+    )
+    parts.append(f'<img class={q}img-responsive{q} src={q}{meta["image_url"]}{q}/>')
+    if meta.get("chained"):
+        # F3: no price/stock markup — chained endpoints supply them
+        parts.append(f'<span class={q}unit-price{q}>/ {meta["units"]}</span>')
+    else:
+        cur = _fmt_price(meta["current_price_cents"], meta["currency_sym"])
+        parts.append(
+            f'<span automation-id={q}productPriceOutput{q}>{ws}{cur}{ws}</span>'
+        )
+        parts.append(f'<span class={q}unit-price{q}>/ {meta["units"]}</span>')
+        if meta["has_discount"]:
+            was = _fmt_price(meta["regular_price_cents"], meta["currency_sym"])
+            parts.append(f'<s automation-id={q}was-price{q}>was {was}</s>')
+        if not meta["in_stock"]:
+            parts.append(f'<div class={q}oos-overlay{q}>Out of Stock</div>')
+    if meta["additional_info"]:
+        rows = "".join(
+            f"<tr><th>{k}</th><td>{v}</td></tr>" for k, v in meta["additional_info"].items()
+        )
+        parts.append(f'<table automation-id={q}productInfoTable{q}>{rows}</table>')
     parts.append("</body></html>")
     return "".join(parts)

@@ -68,11 +68,9 @@ def test_extraction_matches_world_truth(spark, t1_paths):
     from scrapy_products_tracker_spark.politeness import load_robots
 
     robots = load_robots(spark, t1_paths["robots"])
-    assert {r["site"] for r in robots.select("site").distinct().collect()} >= {
-        "default",
-        "zipspec",
-        "jsprice",
-    }  # the world genuinely exercises all three shapes
+    # the world genuinely exercises several distinct shapes (T1's domain
+    # set is small; the full 5-shape registry is grid-tested below)
+    assert len({r["site"] for r in robots.select("site").distinct().collect()}) >= 3
     pages = (
         spark.read.parquet(t1_paths["pages"])
         .filter((F.col("tier") == 1) & (F.col("status_code") != 404))
@@ -88,7 +86,7 @@ def test_extraction_matches_world_truth(spark, t1_paths):
     assert any(not r[-1] for r in g.values())  # some malformed pages exist
 
 
-@pytest.mark.parametrize("site", ["default", "zipspec", "jsprice"])
+@pytest.mark.parametrize("site", sorted(SITE_PARSERS))
 def test_site_parsers_invert_their_renderers(site):
     """Each registered parser inverts its own synthetic site shape for
     a grid of metas (discount on/off, stock on/off, attrs, quote/ws
@@ -137,7 +135,7 @@ def test_site_parsers_invert_their_renderers(site):
         assert out["category"] == meta["category"]
 
 
-@pytest.mark.parametrize("site", ["default", "zipspec", "jsprice"])
+@pytest.mark.parametrize("site", sorted(SITE_PARSERS))
 def test_site_parsers_x7_guard(site):
     """X7 for every site shape: a missing title (malformed render) and
     hostile bodies all yield parse_ok=False, never an exception."""
@@ -164,6 +162,37 @@ def test_site_parsers_x7_guard(site):
     for hostile in (None, "", "<html>", "\x00\x01garbage", "<h1>almost</h1>"):
         out = parser("https://d/p/1", hostile)
         assert out["parse_ok"] is False
+
+
+def test_register_site_parser_contract(spark):
+    """The public extension point: a registered custom parser is
+    dispatched by its site key through the distributed kernel; contract
+    violations are rejected at registration time."""
+    from scrapy_products_tracker_spark.crawl.extract import register_site_parser
+
+    def myparser(url, body):
+        out = {c: None for c in EXTRACTED_COLS}
+        out["parse_ok"] = False
+        if body and "MYTITLE:" in body:
+            out["title"] = body.split("MYTITLE:", 1)[1]
+            out["parse_ok"] = True
+        return out
+
+    register_site_parser("mysite", myparser)
+    try:
+        df = spark.createDataFrame(
+            [("https://m/p/1", "mysite", "MYTITLE:hello"), ("https://m/p/2", "mysite", "junk")],
+            "url string, _site string, body string",
+        )
+        rows = {r["url"]: (r["title"], r["parse_ok"])
+                for r in extract_product_fields(df, site_col="_site").collect()}
+        assert rows == {"https://m/p/1": ("hello", True), "https://m/p/2": (None, False)}
+    finally:
+        SITE_PARSERS.pop("mysite", None)
+    with pytest.raises(ValueError):
+        register_site_parser("bad", lambda url, body: {"parse_ok": False})
+    with pytest.raises(TypeError):
+        register_site_parser("bad", "not-callable")
 
 
 def test_zipspec_hostile_details():
@@ -193,6 +222,52 @@ def test_jsprice_hostile_details():
         assert out["parse_ok"], js
         assert out["current_price_cents"] is None
         assert out["stock"] is None and out["units"] is None
+
+
+def test_ldjson_hostile_details():
+    """ldjson-specific hostile inputs: corrupt JSON / non-dict payload /
+    missing name are the X7 guard; wrong-typed members degrade their
+    field to NULL (X6), never raise."""
+    from scrapy_products_tracker_spark.crawl.extract import parse_detail_page_ldjson
+
+    def page(blob):
+        return f'<script type="application/ld+json" id="pc-jsonld">{blob}</script>'
+
+    for blob in ("{oops}", "[1,2]", '{"@type":"Product"}', '{"name": 7}'):
+        out = parse_detail_page_ldjson("https://d/p/1", page(blob))
+        assert out["parse_ok"] is False, blob
+    # wrong-typed members: title ok, everything else NULL-degrades
+    out = parse_detail_page_ldjson(
+        "https://d/p/1",
+        page(
+            '{"name":"T","brand":"flat-string","image":7,"category":[],'
+            '"offers":{"price":12.34,"priceCurrency":9,"availability":4,'
+            '"eligibleQuantity":"each"},"additionalProperty":[{"name":"A"},"x"]}'
+        ),
+    )
+    assert out["parse_ok"] and out["title"] == "T"
+    for c in ("brand", "image_url", "current_price_cents", "currency",
+              "is_in_stock", "stock", "units", "additional_info", "category"):
+        assert out[c] is None, c
+
+
+def test_kvtable_hostile_details():
+    """kvtable-specific hostile inputs: garbage price text degrades to
+    NULL; a lone out-of-stock overlay flips stock; mangled spec rows
+    are skipped by the row regex, never raise."""
+    from scrapy_products_tracker_spark.crawl.extract import parse_detail_page_kvtable
+
+    body = (
+        '<h1 automation-id="productName">T</h1>'
+        '<span automation-id="productPriceOutput">call for price</span>'
+        '<div class="oos-overlay">Out of Stock</div>'
+        '<table automation-id="productInfoTable"><tr><th>A</th></tr>'
+        "<tr><th>B</th><td>2</td></tr></table>"
+    )
+    out = parse_detail_page_kvtable("https://d/p/1", body)
+    assert out["parse_ok"] and out["current_price_cents"] is None
+    assert out["is_in_stock"] is False and out["stock"] == 0
+    assert out["additional_info"] == '{"B": "2"}'  # mangled row skipped
 
 
 def test_extraction_plan_is_arrow_batched(spark, t1_paths):
