@@ -620,6 +620,45 @@ def q_lang_id_heuristic(spark, sf):  # stopword-density language ID
     return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_gopher_repetition(spark, sf):
+    """Within-doc repetition filters (Gopher/MassiveText repo rules):
+    duplicate bigram/trigram fractions + top-bigram share per document,
+    entirely row-local column algebra (zero shuffles — the stats
+    pipeline inside the scan stage)."""
+    d = _t(spark, sf, "documents")
+    r = TX.ngram_repetition_stats(d)
+    return r.select(
+        "doc_id", "n_words", "dup_bigram_frac", "dup_trigram_frac",
+        "top_bigram_frac", F.col("repetitive").cast("int").alias("repetitive"),
+    )
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide exact paragraph dedup (CCNet/RefinedWeb idiom) over
+    deterministic 12-word chunks of each document: global first-wins by
+    (doc, position) through ONE fp-keyed exchange, rolled up per doc."""
+    d = _t(spark, sf, "documents")
+    w = TX.tokens_col(F.lower(F.col("text")))
+    paras = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w), F.lit(12)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 12)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = d.select("doc_id", paras.alias("paras"))
+    return TX.paragraph_dedup_stats(chunked, id_col="doc_id", paras_col="paras")
+
+
+def q_corpus_split_counts(spark, sf):
+    """Deterministic stratified train/valid/test split: md5-bucket mod
+    10000 per doc (salted, engine-independent), counted per
+    (lang, split) — zero shuffles before the final tiny aggregate."""
+    d = _t(spark, sf, "documents")
+    s = TX.hash_split(d, "doc_id")
+    return s.groupBy("lang", "split").agg(F.count("*").alias("n"))
+
+
 def q_binary_payload_stats(spark, sf):  # opaque-binary column plumbing
     d = _t(spark, sf, "documents")
     return d.groupBy("source").agg(
@@ -956,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
         "binary_payload_stats": q_binary_payload_stats,
+        "gopher_repetition": q_gopher_repetition,
+        "paragraph_dedup_stats": q_paragraph_dedup,
+        "corpus_split_counts": q_corpus_split_counts,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "currency_inference": q_currency_inference,
@@ -1220,6 +1262,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
             FROM documents GROUP BY source
+        """,
+        "gopher_repetition": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            b AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+                  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i) WHERE w IS NOT NULL),
+            t3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                   FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i) WHERE w IS NOT NULL),
+            bs AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dist, max(c) AS topc
+                   FROM (SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id, g) AS c FROM b)
+                   GROUP BY doc_id),
+            ts AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dist FROM t3 GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(COALESCE(len(w.w), 0) AS INT) AS n_words,
+                   round(1.0 - bs.dist * 1.0 / bs.tot, 6) AS dup_bigram_frac,
+                   round(1.0 - ts.dist * 1.0 / ts.tot, 6) AS dup_trigram_frac,
+                   round(bs.topc * 1.0 / bs.tot, 6) AS top_bigram_frac,
+                   CASE WHEN COALESCE(round(1.0 - bs.dist * 1.0 / bs.tot, 6), 0) > 0.4
+                          OR COALESCE(round(bs.topc * 1.0 / bs.tot, 6), 0) > 0.2
+                        THEN 1 ELSE 0 END AS repetitive
+            FROM w LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+        """,
+        "paragraph_dedup_stats": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            p AS (SELECT doc_id, CAST((i - 1) // 12 AS INT) AS pos,
+                         md5(array_to_string(w[i:i+11], ' ')) AS fp
+                  FROM w, unnest(generate_series(1, len(w), 12)) AS t(i) WHERE w IS NOT NULL),
+            r AS (SELECT doc_id,
+                         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) > 1
+                              THEN 1 ELSE 0 END AS d
+                  FROM p),
+            s AS (SELECT doc_id, count(*) AS n_paras, sum(d) AS n_dup FROM r GROUP BY doc_id)
+            SELECT w.doc_id, CAST(COALESCE(s.n_paras, 0) AS INT) AS n_paras,
+                   CAST(COALESCE(s.n_dup, 0) AS INT) AS n_dup_paras,
+                   CASE WHEN s.n_paras IS NOT NULL
+                        THEN round(s.n_dup * 1.0 / s.n_paras, 6) END AS dup_para_frac
+            FROM w LEFT JOIN s USING (doc_id)
+        """,
+        "corpus_split_counts": """
+            SELECT lang,
+                   CASE WHEN b < 9800 THEN 'train'
+                        WHEN b < 9900 THEN 'valid' ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM (SELECT lang,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))::BIGINT % 10000 AS b
+                  FROM documents)
+            GROUP BY 1, 2
         """,
         "currency_inference": """
             SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'USD' ELSE 'GBP' END AS currency,

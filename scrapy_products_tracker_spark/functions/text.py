@@ -95,6 +95,179 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def _ngrams_col(words: Column, n: int) -> Column:
+    """Word n-grams as a row-local array expression (no explode, no
+    shuffle): slice a sliding window out of the token array."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run_len(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the count of the most frequent element — as one linear
+    ``F.aggregate`` fold (constant expression size; see the IVF
+    CASE-WHEN-fold trap note in functions/similarity.py)."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, merge, lambda acc: acc["best"])
+
+
+def ngram_repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_bigram_max: float = 0.4,
+    top_bigram_max: float = 0.2,
+):
+    """Within-document repetition filters (the Gopher/MassiveText repo
+    rules, Rae et al. 2021 §A1.1, public): fraction of duplicate word
+    bigrams/trigrams and the share of the single most frequent bigram.
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) are the classic LLM-training-data rejects.
+
+    Everything is ROW-LOCAL column algebra — token split, sliding-window
+    n-grams, ``array_distinct`` for the duplicate fraction, and a sorted
+    linear fold for the mode count — so the operator adds ZERO shuffles
+    at any corpus size: it pipelines inside the scan's codegen stage.
+
+    Emits per doc: n_words, dup_bigram_frac, dup_trigram_frac,
+    top_bigram_frac (NULL when the doc has no such n-grams), and a
+    ``repetitive`` verdict vs the two thresholds."""
+    words = tokens_col(F.lower(F.col(text_col)))
+    out = df.select(F.col(id_col), words.alias("_w"))
+    for n, name in ((2, "bigram"), (3, "trigram")):
+        g = _ngrams_col(F.col("_w"), n)
+        total = F.size(g)
+        frac = F.when(
+            total > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+                6,
+            ),
+        )
+        out = out.withColumn(f"dup_{name}_frac", frac)
+    bi = _ngrams_col(F.col("_w"), 2)
+    top = F.when(
+        F.size(bi) > 0,
+        F.round(_max_run_len(F.array_sort(bi)).cast("double") / F.size(bi).cast("double"), 6),
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.size("_w"), F.lit(0)).alias("n_words"),
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        top.alias("top_bigram_frac"),
+        (
+            (F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0)) > dup_bigram_max)
+            | (F.coalesce(top, F.lit(0.0)) > top_bigram_max)
+        ).alias("repetitive"),
+    )
+
+
+def paragraph_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    paras_col: str | None = None,
+    sep: str = r"\n{2,}",
+):
+    """Corpus-wide exact PARAGRAPH dedup (the CCNet / RefinedWeb idiom:
+    boilerplate repeats across pages at paragraph granularity long
+    before whole documents collide). Splits each doc on ``sep`` (or
+    takes a pre-split ``paras_col`` array), fingerprints each trimmed
+    lowercased paragraph, and keeps only the globally FIRST occurrence
+    — first-wins by (doc, position), deterministic.
+
+    Returns (doc, pos, fp, is_dup) — one row per non-empty paragraph.
+    Plan shape at 100 TB: one explode (no shuffle), ONE exchange keyed
+    by the paragraph fingerprint for the first-wins window — the same
+    shape as exact document dedup, just more rows; no driver state."""
+    from pyspark.sql import Window
+
+    if paras_col is not None:
+        paras = F.col(paras_col)
+    else:
+        paras = F.split(F.col(text_col), sep)
+    exploded = (
+        df.select(F.col(id_col).alias("doc"), F.posexplode(paras).alias("pos", "_p"))
+        .select("doc", "pos", F.trim(F.lower(F.col("_p"))).alias("_p"))
+        .filter(F.col("_p") != "")
+        .select("doc", "pos", F.md5("_p").alias("fp"))
+    )
+    w = Window.partitionBy("fp").orderBy("doc", "pos")
+    return exploded.withColumn("is_dup", F.row_number().over(w) > 1)
+
+
+def paragraph_dedup_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    paras_col: str | None = None,
+    sep: str = r"\n{2,}",
+):
+    """Per-document rollup of ``paragraph_dedup``: paragraph count,
+    duplicate count, duplicate fraction (NULL for docs with no
+    paragraphs — those still appear, with n_paras=0). Adds one
+    doc-keyed aggregation after the fp-keyed window."""
+    marked = paragraph_dedup(df, id_col, text_col, paras_col, sep)
+    agg = marked.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("is_dup").cast("int")).alias("n_dup_paras"),
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
+        F.coalesce("n_dup_paras", F.lit(0)).cast("int").alias("n_dup_paras"),
+        F.when(
+            F.col("n_paras").isNotNull(),
+            F.round(F.col("n_dup_paras").cast("double") / F.col("n_paras").cast("double"), 6),
+        ).alias("dup_para_frac"),
+    )
+
+
+def hash_split(
+    df,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    buckets: int = 10_000,
+):
+    """Deterministic stratified corpus split (train/valid/test): bucket
+    = integer of the first 15 hex chars of md5(id || salt) mod
+    ``buckets``, mapped to splits by cumulative weight. Pure row-local
+    column algebra — zero shuffles, reproducible across engines and
+    runs (the property a training pipeline needs so no document ever
+    migrates between train and eval when the corpus grows; salting
+    re-rolls the assignment). md5 (not xxhash64) so the DuckDB oracle
+    computes the identical bucket."""
+    weights = weights or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        hi = int(round(acc * buckets))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
 def winnow_fingerprints(
     df,
     id_col: str = "doc_id",

@@ -1,0 +1,125 @@
+"""Training-data corpus operators: Gopher repetition filters,
+paragraph-level exact dedup, and the deterministic stratified split.
+Correctness is pinned against tiny hand-computable fixtures and a
+pure-Python reference; plan tests pin the at-scale shuffle shape
+(repetition and split are ZERO-exchange row-local algebra; paragraph
+dedup pays exactly one fp-keyed exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions.text import (
+    hash_split,
+    ngram_repetition_stats,
+    paragraph_dedup,
+    paragraph_dedup_stats,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_exact(spark):
+    rows = [
+        (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "x y z w"),              # all distinct
+        (3, "q"),                    # no bigrams -> NULL fracs
+        (4, None),                   # NULL text -> 0 words, NULL fracs
+        (5, "  "),                   # whitespace-only -> 0 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1["n_words"] == 6
+    assert r1["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+    assert r1["dup_trigram_frac"] == round(1 - 2 / 4, 6)  # aba bab aba bab
+    assert r1["top_bigram_frac"] == round(3 / 5, 6)  # 'a b' x3
+    assert r1["repetitive"] is True
+    r2 = got[2]
+    assert r2["dup_bigram_frac"] == 0.0 and r2["top_bigram_frac"] == round(1 / 3, 6)
+    assert r2["repetitive"] is True  # top bigram 1/3 > 0.2 on a tiny doc
+    for d in (3, 4, 5):
+        assert got[d]["dup_bigram_frac"] is None and got[d]["top_bigram_frac"] is None
+        assert got[d]["repetitive"] is False
+    assert got[3]["n_words"] == 1 and got[4]["n_words"] == 0 and got[5]["n_words"] == 0
+
+
+def test_repetition_matches_python_reference(spark):
+    """Property: the column-algebra stats equal a brute-force Python
+    computation on word-soup docs (same texts the corpus fixtures use)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in ngram_repetition_stats(df).collect()}
+    for i, text in rows:
+        w = text.split() if text.strip() else []
+        for n, col in ((2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+            grams = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            exp = round(1 - len(set(grams)) / len(grams), 6) if grams else None
+            assert got[i][col] == exp, (i, col)
+        bi = [" ".join(w[j : j + 2]) for j in range(len(w) - 1)]
+        exp_top = round(max(bi.count(g) for g in set(bi)) / len(bi), 6) if bi else None
+        assert got[i]["top_bigram_frac"] == exp_top, i
+
+
+def test_repetition_plan_zero_exchange(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    assert "Exchange" not in _plan(ngram_repetition_stats(df))
+
+
+def test_paragraph_dedup_first_wins(spark):
+    rows = [
+        (1, "Alpha one.\n\nShared para.\n\nBeta."),
+        (2, "Shared para.\n\nGamma two."),
+        (3, "shared  PARA.\n\nGamma two."),  # normalization: same fp as doc 2's
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    marked = {(r["doc"], r["pos"]): r["is_dup"] for r in paragraph_dedup(df).collect()}
+    assert marked[(1, 1)] is False  # first 'shared para.' wins (doc 1, pos 1)
+    assert marked[(2, 0)] is True
+    assert marked[(3, 0)] is False  # 'shared  PARA.' trims/lowers but inner spaces differ
+    assert marked[(3, 1)] is True  # 'gamma two.' first seen in doc 2
+    stats = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert stats[1]["n_paras"] == 3 and stats[1]["n_dup_paras"] == 0
+    assert stats[2]["n_dup_paras"] == 1 and stats[2]["dup_para_frac"] == 0.5
+    assert stats[4]["n_paras"] == 0 and stats[4]["dup_para_frac"] is None
+    assert stats[5]["n_paras"] == 0
+
+
+def test_paragraph_dedup_single_exchange(spark):
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id int, text string")
+    plan = _plan(paragraph_dedup(df))
+    assert plan.count("Exchange") == 1  # only the fp-keyed window shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_deterministic_and_stratified(spark):
+    df = spark.range(0, 20_000).select(F.col("id").alias("doc_id"))
+    s1 = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20_000 - 0.98) < 0.01
+    # deterministic: re-run equals itself row for row
+    a = dict(s1.select("doc_id", "split").collect())
+    b = dict(hash_split(df, "doc_id").select("doc_id", "split").collect())
+    assert a == b
+    # salting re-rolls assignments
+    c = dict(hash_split(df, "doc_id", salt="v2").select("doc_id", "split").collect())
+    assert a != c
+    # zero-shuffle row-local plan
+    assert "Exchange" not in _plan(hash_split(df, "doc_id"))
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights={"train": 0.5, "valid": 0.1})
