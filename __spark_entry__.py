@@ -650,6 +650,29 @@ def q_paragraph_dedup(spark, sf):
     return TX.paragraph_dedup_stats(chunked, id_col="doc_id", paras_col="paras")
 
 
+_BM25_TERMS = ["window", "hash", "join"]
+
+
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 top-10 for a fixed bag-of-terms probe over the
+    corpus: row-local term frequencies (token array filtered to query
+    terms before any shuffle), broadcast corpus stats, ordered tail."""
+    d = _t(spark, sf, "documents")
+    return TX.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+def q_decontaminate(spark, sf):
+    """Train/eval n-gram-overlap decontamination (GPT-3 §C idiom):
+    eval slice = doc_id % 10 == 0; pairs sharing >= 3 distinct word
+    8-grams. Eval grams broadcast; training grams never shuffle."""
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return TX.decontaminate_ngram_overlap(tr, ev, n=8, min_shared=3).select(
+        "train_doc", "eval_doc", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def q_corpus_split_counts(spark, sf):
     """Deterministic stratified train/valid/test split: md5-bucket mod
     10000 per doc (salted, engine-independent), counted per
@@ -998,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "paragraph_dedup_stats": q_paragraph_dedup,
         "corpus_split_counts": q_corpus_split_counts,
+        "bm25_topk": q_bm25_topk,
+        "decontaminate_overlap": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "currency_inference": q_currency_inference,
@@ -1304,6 +1329,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.n_paras IS NOT NULL
                         THEN round(s.n_dup * 1.0 / s.n_paras, 6) END AS dup_para_frac
             FROM w LEFT JOIN s USING (doc_id)
+        """,
+        "bm25_topk": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            base AS (SELECT doc_id AS doc, COALESCE(len(w), 0) AS dl,
+                            len(list_filter(w, x -> x = 'window')) AS tf0,
+                            len(list_filter(w, x -> x = 'hash')) AS tf1,
+                            len(list_filter(w, x -> x = 'join')) AS tf2
+                     FROM w),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                      FROM base)
+            SELECT doc, round(
+                     ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS score
+            FROM base, stats
+            WHERE round(
+                     ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) > 0
+            ORDER BY score DESC, doc LIMIT 10
+        """,
+        "decontaminate_overlap": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                  FROM w, unnest(generate_series(1, len(w) - 7)) AS t(i) WHERE w IS NOT NULL),
+            ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE doc_id % 10 = 0),
+            tr AS (SELECT doc_id AS train_doc, g FROM g WHERE doc_id % 10 <> 0)
+            SELECT train_doc, eval_doc, count(DISTINCT g) AS n_shared
+            FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(DISTINCT g) >= 3
         """,
         "corpus_split_counts": """
             SELECT lang,

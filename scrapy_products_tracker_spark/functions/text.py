@@ -268,6 +268,104 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def bm25_topk(
+    df,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 top-k document scoring for a bag-of-terms query
+    (Robertson/Spärck Jones, public): idf(t) = ln(1 + (N - df + 0.5) /
+    (df + 0.5)), tf saturation k1, length normalization b. The retrieval
+    primitive a training-data pipeline uses for targeted corpus audits
+    ("which documents match this eval probe?").
+
+    Plan shape at 100 TB: term frequencies come from ONE row-local pass
+    (no explode of non-matching tokens — the token array is filtered to
+    the query terms before any shuffle), doc-frequency and avgdl are
+    two tiny scalar/row aggregates cross-joined back as broadcasts, and
+    the tail is TakeOrderedAndProject. Zero wide shuffles of the corpus.
+    """
+    if not terms:
+        raise ValueError("empty query")
+    terms = [t.lower() for t in terms]
+    words = tokens_col(F.lower(F.col(text_col)))
+
+    def _tf(term):
+        # NB: a two-param lambda would make Spark bind (element, INDEX)
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.size(words), F.lit(0)).alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    # corpus stats: N and avgdl (one tiny row, broadcast back)
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}") for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        part = idf * tf * (F.lit(k1) + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc", F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc")
+        .limit(k)
+    )
+
+
+def decontaminate_ngram_overlap(
+    train,
+    eval_df,
+    n: int = 8,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train/eval contamination scan (the GPT-3 §C / PaLM n-gram-overlap
+    filter, public): find (train_doc, eval_doc) pairs sharing at least
+    ``min_shared`` distinct word ``n``-grams. Returns (train_doc,
+    eval_doc, n_shared).
+
+    Plan shape at 100 TB: the EVAL side is small by construction (an
+    eval suite, not a corpus) — its distinct gram hashes are broadcast;
+    the training corpus's grams are generated row-locally (sliding
+    window over the token array, then one explode) and joined MAP-SIDE
+    against the broadcast, so no training-side gram ever shuffles: the
+    only exchange is the tiny (train,eval) pair count aggregate."""
+    def grams(df):
+        words = tokens_col(F.lower(F.col(text_col)))
+        g = _ngrams_col(words, n)
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(g)).alias("g"),
+        ).select("doc", F.xxhash64("g").alias("gh"))
+
+    ev = grams(eval_df).select(F.col("doc").alias("eval_doc"), "gh").distinct()
+    tr = grams(train).select(F.col("doc").alias("train_doc"), "gh")
+    pairs = (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count_distinct("gh").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs
+
+
 def winnow_fingerprints(
     df,
     id_col: str = "doc_id",

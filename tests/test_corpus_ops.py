@@ -117,6 +117,80 @@ def test_hash_split_deterministic_and_stratified(spark):
     assert "Exchange" not in _plan(hash_split(df, "doc_id"))
 
 
+def test_bm25_matches_python_reference(spark):
+    """BM25 scores equal a textbook Python implementation (same idf
+    form), including length normalization and absent-term idf."""
+    import math
+
+    from scrapy_products_tracker_spark.functions.text import bm25_topk
+
+    docs = {
+        1: "spark join shuffle join window",
+        2: "window window window small",
+        3: "nothing relevant here at all",
+        4: "join",
+        5: None,
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id int, text string")
+    terms, k1, b = ["join", "window"], 1.2, 0.75
+    got = {r["doc"]: r["score"] for r in bm25_topk(df, terms, k=10).collect()}
+
+    toks = {d: (t.lower().split() if t else None) for d, t in docs.items()}
+    dls = {d: (len(w) if w is not None else 0) for d, w in toks.items()}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    exp = {}
+    for d, w in toks.items():
+        if w is None:
+            continue
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            dfreq = sum(1 for ww in toks.values() if ww and t in ww)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        if round(s, 6) > 0:
+            exp[d] = round(s, 6)
+    assert got == exp
+    plan = _plan(bm25_topk(df, terms))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_decontaminate_planted_overlap(spark):
+    from scrapy_products_tracker_spark.functions.text import decontaminate_ngram_overlap
+
+    shared = "one two three four five six seven eight nine ten"  # 3 distinct 8-grams
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix words {shared} suffix words"),
+            (2, "completely different content with no overlap whatsoever at all here"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    ev = spark.createDataFrame([(100, shared), (101, "unrelated eval probe text")],
+                               "doc_id int, text string")
+    got = {(r["train_doc"], r["eval_doc"]): r["n_shared"]
+           for r in decontaminate_ngram_overlap(train, ev, n=8, min_shared=3).collect()}
+    assert got == {(1, 100): 3}
+    # below threshold -> empty
+    assert decontaminate_ngram_overlap(train, ev, n=8, min_shared=4).count() == 0
+    # eval side broadcast: training grams never shuffle
+    plan = _plan(decontaminate_ngram_overlap(train, ev, n=8, min_shared=3))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_hash_split_rejects_bad_weights(spark):
     import pytest
 
