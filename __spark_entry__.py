@@ -650,6 +650,32 @@ def q_paragraph_dedup(spark, sf):
     return TX.paragraph_dedup_stats(chunked, id_col="doc_id", paras_col="paras")
 
 
+def q_kmeans_refine(spark, sf):
+    """IVF quantizer TRAINING: two Lloyd's iterations from the
+    deterministic seed (row-local argmax assignment + tiny (cell,dim)
+    mean aggregate per iteration); emits per-cell member counts and
+    the refined centroid norms. The oracle unrolls both iterations in
+    pure SQL — an iterative distributed algorithm, fully oracled."""
+    import math
+
+    from scrapy_products_tracker_spark.functions.similarity import kmeans_refine
+
+    e = _t(spark, sf, "embeddings")
+    cents, assign = kmeans_refine(e, n_cells=16, iters=2)
+    pairs = []
+    for cid, v in sorted(cents.items()):
+        pairs += [
+            F.lit(int(cid)).cast("long"),
+            F.lit(round(math.sqrt(sum(x * x for x in v)), 4)),
+        ]
+    norm_map = F.create_map(*pairs)
+    return (
+        assign.groupBy(F.col("cell_id").cast("long").alias("cell_id"))
+        .agg(F.count("*").alias("n_members"))
+        .withColumn("centroid_norm", F.element_at(norm_map, F.col("cell_id")))
+    )
+
+
 _BM25_TERMS = ["window", "hash", "join"]
 
 
@@ -1023,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": q_corpus_split_counts,
         "bm25_topk": q_bm25_topk,
         "decontaminate_overlap": q_decontaminate,
+        "kmeans_refine_cells": q_kmeans_refine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "currency_inference": q_currency_inference,
@@ -1329,6 +1356,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.n_paras IS NOT NULL
                         THEN round(s.n_dup * 1.0 / s.n_paras, 6) END AS dup_para_frac
             FROM w LEFT JOIN s USING (doc_id)
+        """,
+        "kmeans_refine_cells": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            a1 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c0 c) WHERE rn = 1),
+            m1 AS (SELECT a1.cell_id, p.pos, round(avg(e.v[p.pos]), 6) AS m
+                   FROM a1 JOIN e USING (vec_id),
+                        unnest(generate_series(1, len(e.v))) AS p(pos)
+                   GROUP BY 1, 2),
+            c1 AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell_id
+                   UNION ALL
+                   SELECT cell_id, c FROM c0 WHERE cell_id NOT IN (SELECT cell_id FROM m1)),
+            a2 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c1 c) WHERE rn = 1),
+            m2 AS (SELECT a2.cell_id, p.pos, round(avg(e.v[p.pos]), 6) AS m
+                   FROM a2 JOIN e USING (vec_id),
+                        unnest(generate_series(1, len(e.v))) AS p(pos)
+                   GROUP BY 1, 2),
+            c2 AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell_id
+                   UNION ALL
+                   SELECT cell_id, c FROM c1 WHERE cell_id NOT IN (SELECT cell_id FROM m2)),
+            a3 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c2 c) WHERE rn = 1),
+            n2 AS (SELECT cell_id,
+                          round(sqrt(list_sum(list_transform(c, x -> x * x))), 4) AS centroid_norm
+                   FROM c2)
+            SELECT a3.cell_id, count(*) AS n_members, n2.centroid_norm
+            FROM a3 JOIN n2 USING (cell_id) GROUP BY 1, 3
         """,
         "bm25_topk": r"""
             WITH w AS (SELECT doc_id,

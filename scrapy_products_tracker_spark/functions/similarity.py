@@ -412,6 +412,63 @@ def _ivf_cell_expr(centroid_rows, vec_col: str):
     return F.array_min(F.array(*cands))["cell"]
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """Lloyd's k-means refinement of the IVF coarse quantizer (public
+    textbook algorithm; FAISS trains IVF cells the same way): start
+    from the deterministic ``ivf_centroids_first`` seed, then repeat —
+    assign every vector to its max-cosine cell (ties → lowest cell_id),
+    recompute each cell's centroid as the member mean. Returns
+    ``(centroids, assign_df)``: the refined centroid dict
+    {cell_id: [floats]} and the final assignment DataFrame
+    (id_col, cell_id) computed against it.
+
+    Scale shape: each iteration is ONE row-local assignment pass (the
+    literal-centroid argmax fold of ``_ivf_cell_expr`` — zero Exchange,
+    same plan as ivf_assign) plus ONE (cell,dim)-keyed mean aggregate
+    whose result is k x dim rows — the only driver materialization, by
+    the same tiny-table contract as ivf_assign's centroid collect.
+    Centroid components are rounded to ``round_to`` decimals each
+    iteration so the fixpoint is engine-independent (float mean order
+    differences live below the rounding)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    seed = ivf_centroids_first(corpus, n_cells, id_col, vec_col).collect()
+    cents = {r["cell_id"]: [float(x) for x in r["cvec"]] for r in seed}
+    dim = len(next(iter(cents.values()))) if cents else 0
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for _ in range(iters):
+        rows = [{"cell_id": c, "cvec": v} for c, v in sorted(cents.items())]
+        assign = vecs.select(
+            F.col(id_col), _ivf_cell_expr(rows, "_v").alias("cell_id"), "_v"
+        )
+        means = (
+            assign.select("cell_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()  # <= n_cells x dim rows (tiny, by contract)
+        )
+        upd: dict[int, dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(r["cell_id"], {})[r["pos"]] = round(r["m"], round_to)
+        # empty cells keep their previous centroid (standard Lloyd's)
+        cents = {
+            c: ([upd[c][p] for p in range(dim)] if c in upd else v)
+            for c, v in cents.items()
+        }
+    rows = [{"cell_id": c, "cvec": v} for c, v in sorted(cents.items())]
+    final = vecs.select(F.col(id_col), _ivf_cell_expr(rows, "_v").alias("cell_id"))
+    return cents, final
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     query_vec: list[float],

@@ -187,3 +187,49 @@ def test_ivf_pruned_probe_matches_numpy(vectors):
         for r in ann_topk_ivf(corpus, q.tolist(), k=10, n_cells=8, n_probe=3).collect()
     ]
     assert got == expected
+
+
+def test_kmeans_refine_matches_numpy(vectors):
+    """Two Lloyd's iterations from the deterministic seed equal a
+    straight numpy implementation (same rounded-centroid fixpoint,
+    same max-cosine/lowest-id tie-break); empty-cell carry and the
+    zero-Exchange assignment plan are pinned too."""
+    from scrapy_products_tracker_spark.functions.similarity import kmeans_refine
+
+    df, vecs = vectors
+    k, iters = 6, 2
+    cents, assign = kmeans_refine(df, n_cells=k, iters=iters)
+
+    ref = {c: vecs[c].tolist() for c in range(k)}  # seed = lowest ids
+    for _ in range(iters):
+        members: dict[int, list[int]] = {c: [] for c in ref}
+        for vid in range(len(vecs)):
+            sims = [(round(_np_cos(vecs[vid], np.array(ref[c])), 6), -c) for c in sorted(ref)]
+            members[-max(sims)[1]].append(vid)
+        ref = {
+            c: ([round(float(x), 6) for x in np.mean(vecs[m], axis=0)] if m else ref[c])
+            for c, m in members.items()
+        }
+    assert cents == ref
+    got = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
+    for vid in range(len(vecs)):
+        sims = [(round(_np_cos(vecs[vid], np.array(ref[c])), 6), -c) for c in sorted(ref)]
+        assert got[vid] == -max(sims)[1], f"vec {vid}"
+    # the assignment subtree is the literal-fold argmax: no Exchange
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kmeans_refine_zero_iters_is_seed_assignment(vectors):
+    from scrapy_products_tracker_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids_first,
+        kmeans_refine,
+    )
+
+    df, _ = vectors
+    cents, assign = kmeans_refine(df, n_cells=4, iters=0)
+    base = ivf_assign(df, ivf_centroids_first(df, 4))
+    a = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
+    b = {r["vec_id"]: r["cell_id"] for r in base.collect()}
+    assert a == b and set(cents) == set(range(4))
