@@ -441,7 +441,9 @@ def kmeans_refine(
         raise ValueError("iters must be >= 0")
     seed = ivf_centroids_first(corpus, n_cells, id_col, vec_col).collect()
     cents = {r["cell_id"]: [float(x) for x in r["cvec"]] for r in seed}
-    dim = len(next(iter(cents.values()))) if cents else 0
+    if not cents:
+        raise ValueError("kmeans_refine: empty corpus (no seed centroids)")
+    dim = len(next(iter(cents.values())))
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
