@@ -521,7 +521,7 @@ def q_export_bookkeeping(spark, sf):
     out_dir = tempfile.mkdtemp(prefix="entry_export_")
     run_incremental_export(spark, store, out_dir, chunk=40)
     rows = []
-    for d in _glob.glob(out_dir + "/chunk_id=*"):
+    for d in _glob.glob(out_dir + "/run_*/chunk_id=*"):
         cid = int(d.rsplit("=", 1)[1])
         n = sum(len(open(f).readlines()) - 1 for f in _glob.glob(d + "/part-*.csv"))
         rows.append((cid, n))
@@ -1552,7 +1552,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_corpus_clusters": f"""
             WITH RECURSIVE sig AS (
               SELECT doc, sig FROM read_parquet('{p_chain}')),
-            -- 128 bands of 1 row each: band bucket == the signature slot
+            -- CHAIN_BANDS bands of 1 row each (n_hashes == bands == 32,
+            -- sized down for Janino compile time): bucket == the slot
             bands AS (
               SELECT doc, CAST(band AS INT) AS band, sig[CAST(band AS INT) + 1] AS bs
               FROM sig, unnest(generate_series(0, {OB.CHAIN_BANDS - 1})) AS t(band)),

@@ -147,9 +147,17 @@ EXTRACTED_FIELDS = [
 EXTRACTED_COLS = [f.name for f in EXTRACTED_FIELDS]
 
 
+# max whole-currency digits accepted by the price parsers: 10^17 cents
+# fits int64; anything longer is hostile input (X6) and degrades to NULL
+# rather than overflowing Arrow's int64 at kernel-output time.
+_MAX_PRICE_DIGITS = 15
+
+
 def parse_price_cents(s: str | None) -> tuple[int | None, str | None]:
     """'$1,234.56' -> (123456, 'USD'); E5/E6 exact-integer form of the
-    reference's ``float(s.replace('$','').replace(',',''))``."""
+    reference's ``float(s.replace('$','').replace(',',''))``. Hostile
+    oversized numbers (> 10^15 whole units) return NULL, never raise or
+    overflow the int64 output column (X6)."""
     if not s:
         return None, None
     s = s.strip()
@@ -158,6 +166,8 @@ def parse_price_cents(s: str | None) -> tuple[int | None, str | None]:
     if not digits:
         return None, currency
     whole, _, frac = digits.partition(".")
+    if len(whole) > _MAX_PRICE_DIGITS:
+        return None, currency
     cents = int(whole or 0) * 100 + int((frac + "00")[:2] or 0)
     return cents, currency
 
@@ -226,9 +236,9 @@ def parse_detail_page(url: str, body: str | None) -> dict:
     m = RX_UNITS.search(body)
     out["units"] = m.group(1) if m else None
     m = RX_STOCK.search(body)
-    stock_txt = m.group(1).strip() if m else "No"
-    out["is_in_stock"] = stock_txt != "Out of stock"
-    out["stock"] = 1 if out["is_in_stock"] else 0
+    if m:  # absent flag (chained page) -> NULL, the chain layer decides
+        out["is_in_stock"] = m.group(1).strip() != "Out of stock"
+        out["stock"] = 1 if out["is_in_stock"] else 0
     m = RX_ATTR_TABLE.search(body)
     if m:
         attrs = dict(RX_ATTR_ROW.findall(m.group(1)))
@@ -240,13 +250,16 @@ def parse_detail_page(url: str, body: str | None) -> dict:
 
 def _decimal_str_cents(s: str | None) -> int | None:
     """Exact decimal-string -> integer cents ('1234.56' -> 123456); the
-    data-attribute / JSON-string price form (no float round-trip)."""
+    data-attribute / JSON-string price form (no float round-trip).
+    Oversized hostile values degrade to NULL (int64-safe, X6)."""
     if not s:
         return None
     s = s.strip()
     if not re.fullmatch(r"\d+(\.\d{1,2})?", s):
         return None
     whole, _, frac = s.partition(".")
+    if len(whole) > _MAX_PRICE_DIGITS:
+        return None
     return int(whole) * 100 + int((frac + "00")[:2])
 
 
@@ -280,8 +293,9 @@ def parse_detail_page_zipspec(url: str, body: str | None) -> dict:
     m = RX_B_UOM.search(body)
     out["units"] = m.group(1) if m else None
     m = RX_B_STOCK.search(body)
-    out["is_in_stock"] = bool(m) and m.group(1).strip() != "Out of Stock"
-    out["stock"] = 1 if out["is_in_stock"] else 0
+    if m:  # absent availability span (chained page) -> NULL, not False
+        out["is_in_stock"] = m.group(1).strip() != "Out of Stock"
+        out["stock"] = 1 if out["is_in_stock"] else 0
     mk, mv = RX_B_KEYS.search(body), RX_B_VALS.search(body)
     if mk and mv:
         keys = RX_B_LI.findall(mk.group(1))
@@ -448,8 +462,15 @@ def parse_detail_page_kvtable(url: str, body: str | None) -> dict:
         out["regular_price_cents"] = cur_cents
     m = RX_D_UOM.search(body)
     out["units"] = m.group(1) if m else None
-    out["is_in_stock"] = RX_D_OOS.search(body) is None
-    out["stock"] = 1 if out["is_in_stock"] else 0
+    # overlay-absence means in-stock ONLY on a page that actually carries
+    # pricing markup; a chained page (no price, no overlay) stays NULL so
+    # the endpoint layer decides — never fabricate stock=1 (F3/X6)
+    if RX_D_OOS.search(body) is not None:
+        out["is_in_stock"] = False
+        out["stock"] = 0
+    elif RX_D_PRICE.search(body) is not None:
+        out["is_in_stock"] = True
+        out["stock"] = 1
     m = RX_D_TABLE.search(body)
     if m:
         attrs = dict(RX_D_ROW.findall(m.group(1)))

@@ -109,8 +109,13 @@ def dedup_corpus(
     bands: int = 8,
     k: int = 3,
     transitive: bool = False,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Survivors of exact + MinHash-LSH near dedup (original columns).
+
+    ``max_iters`` bounds the transitive min-label propagation (component
+    DIAMETER, not size — 50 covers a 50-hop revision chain; raise it for
+    longer chains rather than letting the job abort).
 
     Deterministic: ties always resolve to the lowest id, so the result
     is a pure function of the input set regardless of partitioning.
@@ -137,7 +142,7 @@ def dedup_corpus(
     if transitive:
         # cluster-exact: every non-minimum member of each connected
         # component loses (min-id propagation over the pair graph)
-        comp = min_label_components(near, "doc_a", "doc_b")
+        comp = min_label_components(near, "doc_a", "doc_b", max_iters=max_iters)
         losers = (
             comp.filter(F.col("node") != F.col("label"))
             .select(F.col("node").alias("_loser"))

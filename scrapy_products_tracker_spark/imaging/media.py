@@ -55,7 +55,14 @@ try:  # pragma: no cover - absent in sandbox
     def _real_audio_decoder(data: bytes):
         import io as _io
 
-        x, sr = _soundfile.read(_io.BytesIO(data), dtype="int16")
+        # translate library errors (LibsndfileError is a RuntimeError
+        # subclass the kernels don't catch) into the kernels' skip-the-
+        # row ValueError contract (X6) — one corrupt payload must never
+        # kill the task
+        try:
+            x, sr = _soundfile.read(_io.BytesIO(data), dtype="int16")
+        except Exception as e:  # noqa: BLE001 - decoder errors are row-local
+            raise ValueError(f"audio decode failed: {e}") from e
         if x.ndim > 1:
             x = x[:, 0]
         return int(sr), np.ascontiguousarray(x, dtype=np.int16)
@@ -69,9 +76,16 @@ try:  # pragma: no cover - absent in sandbox
     def _real_video_demuxer(data: bytes):
         import io as _io
 
-        with _av.open(_io.BytesIO(data)) as container:
-            for frame in container.decode(video=0):
-                yield frame.to_ndarray(format="rgb24")
+        # same translation as the audio seam: av.FFmpegError etc. become
+        # the row-local ValueError the kernels count-and-skip (X6)
+        try:
+            with _av.open(_io.BytesIO(data)) as container:
+                for frame in container.decode(video=0):
+                    yield frame.to_ndarray(format="rgb24")
+        except (ValueError, GeneratorExit):
+            raise
+        except Exception as e:  # noqa: BLE001 - decoder errors are row-local
+            raise ValueError(f"video demux failed: {e}") from e
 
 except ImportError:
     _real_video_demuxer = None

@@ -338,7 +338,8 @@ def chain_corpus_rows() -> list[tuple[int, str]]:
     X (id c*10) = words c*1000..+59, Y (id c*10+1) = words c*1000+500..
     +559 (vocabulary disjoint from X), hub H (id c*10+2) = first 30
     words of X + first 30 words of Y. True J(X,H) = J(Y,H) = 28/88 ~
-    0.318 >= threshold 0.15 (est noise at 128 hashes can't cross it);
+    0.318 >= threshold 0.15 (est noise at CHAIN_N_HASHES=32 hashes
+    stays well under the 0.17 margin);
     J(X,Y) = 0 — the component {X, Y, H} exists only transitively.
     Pairwise greedy-by-id drops only H (the higher id of BOTH pairs);
     cluster-exact must keep exactly the min id X. Plus singletons with

@@ -153,12 +153,20 @@ def run_incremental_export(
     Exactly-once across completed runs is unchanged: re-running exports
     nothing. The crash window widens from one chunk to one run — the
     same at-least-once re-export contract the reference has per chunk,
-    traded for O(n) total scan work and a single snapshot commit."""
+    traded for O(n) total scan work and a single snapshot commit.
+
+    Each run writes under ``out_dir/run_<store version>/`` — the
+    overwrite-mode chunk write must never truncate a PREVIOUS run's
+    delivered files (those rows are already marked sent and would not
+    re-export)."""
+    import os
+
     from pyspark.sql import Window
 
     targets = store.read_products(spark)
     if targets is None:
         return 0
+    run_dir = os.path.join(out_dir, f"run_{store.latest_version() or 0}")
     unsent = targets.filter(F.col("sent_to_customer").isNull())
     w = Window.orderBy("url")  # deterministic chunk membership (UNIQUE url key)
     chunk_map = unsent.select("url").withColumn(
@@ -176,7 +184,7 @@ def run_incremental_export(
         .write.mode("overwrite")
         .option("header", True)
         .partitionBy("chunk_id")
-        .csv(out_dir)
+        .csv(run_dir)
     )
     marks = chunked.select(
         "url_hash", "url", F.current_date().cast("string").alias("sent_to_customer")

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..imaging import encode_image, phash64
-from .html import product_meta, render_detail_html_site, site_for_domain
+from .html import _CODE, product_meta, render_detail_html_site, site_for_domain
 
 PAGINATION_SIZE = 12  # detail links per listing page (reference zoro: 36)
 WORLD_VERSION = 3  # bump when generated schemas/content change (cache key)
@@ -219,7 +219,7 @@ def generate_world(spec: WorldSpec) -> World:
                 meta, u, variant=int(r.integers(0, 4)), site=site_for_domain(d)
             )
             if chained_domain:
-                cur_code = {"$": "USD", "£": "GBP"}[meta["currency_sym"]]
+                cur_code = _CODE[meta["currency_sym"]]
                 endpoint_rows.append(
                     {
                         "url": u,
@@ -259,7 +259,7 @@ def generate_world(spec: WorldSpec) -> World:
                     "currency": (
                         None
                         if meta["malformed"]
-                        else {"$": "USD", "£": "GBP"}[meta["currency_sym"]]
+                        else _CODE[meta["currency_sym"]]
                     ),
                     "is_in_stock": None if meta["malformed"] else meta["in_stock"],
                     "stock": None if meta["malformed"] else (1 if meta["in_stock"] else 0),

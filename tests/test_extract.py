@@ -251,6 +251,43 @@ def test_ldjson_hostile_details():
         assert out[c] is None, c
 
 
+def test_oversized_prices_degrade_to_null(spark):
+    """Hostile oversized price strings must NULL-degrade, not overflow
+    Arrow's int64 at kernel-output time and kill the task (X6)."""
+    from scrapy_products_tracker_spark.crawl.extract import _decimal_str_cents
+
+    big = "9" * 22
+    assert parse_price_cents(f"${big}.99") == (None, "USD")
+    assert _decimal_str_cents(f"{big}.99") is None
+    assert _decimal_str_cents("999999999999999.99") == 99999999999999999  # 15 digits ok
+    # end-to-end through the distributed kernel: row survives, field NULL
+    body = (
+        '<span class="product-title" itemprop="name">T</span>'
+        f'<div class="product-price" data-price="{big}" data-currency="USD"></div>'
+    )
+    df = spark.createDataFrame([("https://d/p/1", "zipspec", body)],
+                               "url string, _site string, body string")
+    row = extract_product_fields(df, site_col="_site").collect()[0]
+    assert row["parse_ok"] is True and row["current_price_cents"] is None
+
+
+def test_chained_pages_leave_stock_null():
+    """A page with no stock markup (F3 chained shape) must leave
+    is_in_stock/stock NULL for the endpoint layer — never fabricate
+    in-stock=True (kvtable/default) or False (zipspec)."""
+    from scrapy_products_tracker_spark.crawl.extract import parse_detail_page_kvtable
+
+    kv = '<h1 automation-id="productName">T</h1><span class="unit-price">/ each</span>'
+    out = parse_detail_page_kvtable("https://d/p/1", kv)
+    assert out["parse_ok"] and out["is_in_stock"] is None and out["stock"] is None
+    zp = '<span class="product-title" itemprop="name">T</span><span class="uom">per each</span>'
+    out = parse_detail_page_zipspec("https://d/p/1", zp)
+    assert out["parse_ok"] and out["is_in_stock"] is None and out["stock"] is None
+    df = '<h1 class="m-sku-title">T</h1><span class="selling-uom">/ each</span>'
+    out = parse_detail_page("https://d/p/1", df)
+    assert out["parse_ok"] and out["is_in_stock"] is None and out["stock"] is None
+
+
 def test_kvtable_hostile_details():
     """kvtable-specific hostile inputs: garbage price text degrades to
     NULL; a lone out-of-stock overlay flips stock; mangled spec rows

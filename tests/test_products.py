@@ -134,12 +134,28 @@ def test_incremental_export_exactly_once(spark, crawled):
     n1 = run_incremental_export(spark, store, tmp + "/exp", chunk=40)
     assert n1 == -(-n_unsent // 40)  # ceil
     rows = sum(
-        len(open(f).readlines()) - 1 for f in glob.glob(tmp + "/exp/chunk_*/part-*.csv")
+        len(open(f).readlines()) - 1
+        for f in glob.glob(tmp + "/exp/run_*/chunk_*/part-*.csv")
     )
     assert rows == n_unsent
     # second run exports nothing (K9 sent_to_customer bookkeeping)
     assert run_incremental_export(spark, store, tmp + "/exp2", chunk=40) == 0
-    assert glob.glob(tmp + "/exp2/chunk_*/part-*.csv") == []
+    assert glob.glob(tmp + "/exp2/run_*/chunk_*/part-*.csv") == []
+    # a later NON-empty run into the SAME dir must never truncate run
+    # 1's delivered files (per-run subdirs isolate overwrite-mode
+    # writes): un-send one row, re-export, and recount everything
+    victim = store.read_products(spark).orderBy("url").select("url_hash", "url").first()
+    unsend = spark.createDataFrame(
+        [(victim["url_hash"], victim["url"])], ["url_hash", "url"]
+    ).withColumn("sent_to_customer", F.lit(None).cast("string"))
+    store.commit(products_set=unsend, meta={})
+    assert run_incremental_export(spark, store, tmp + "/exp", chunk=40) == 1
+    rows_after = sum(
+        len(open(f).readlines()) - 1
+        for f in glob.glob(tmp + "/exp/run_*/chunk_*/part-*.csv")
+    )
+    assert rows_after == n_unsent + 1  # run 1 files intact + the re-export
+    assert len(glob.glob(tmp + "/exp/run_*")) == 2
 
 
 def test_stop_tracking_excludes_from_rearm(spark, crawled):
