@@ -650,6 +650,17 @@ def q_paragraph_dedup(spark, sf):
     return TX.paragraph_dedup_stats(chunked, id_col="doc_id", paras_col="paras")
 
 
+def q_revisit_priority(spark, sf):
+    """O5+ adaptive re-crawl scheduling over the REAL engine history
+    table (Cho/Garcia-Molina change-frequency policy): per-URL price-
+    change rate -> revisit interval. Oracle computes the same lag-based
+    change counts from the simulator's exported history rows."""
+    from scrapy_products_tracker_spark.products import revisit_priority
+
+    store, _ = _crawl_store(spark)
+    return revisit_priority(spark, store)
+
+
 def q_kmeans_refine(spark, sf):
     """IVF quantizer TRAINING: two Lloyd's iterations from the
     deterministic seed (row-local argmax assignment + tiny (cell,dim)
@@ -1050,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "decontaminate_overlap": q_decontaminate,
         "kmeans_refine_cells": q_kmeans_refine,
+        "revisit_priority": q_revisit_priority,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
         "currency_inference": q_currency_inference,
@@ -1239,6 +1251,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stop_tracking_rearm": f"""
             SELECT url, status FROM read_parquet('{p_stop}')
+        """,
+        "revisit_priority": f"""
+            WITH h AS (SELECT url, current_price_cents AS p,
+                              lag(current_price_cents) OVER (PARTITION BY url ORDER BY session, round) AS prev,
+                              row_number() OVER (PARTITION BY url ORDER BY session, round) AS rn
+                       FROM read_parquet('{p_export}')),
+            s AS (SELECT url, CAST(count(*) AS INT) AS n_obs,
+                         CAST(sum(CASE WHEN rn > 1 AND p IS DISTINCT FROM prev
+                                       THEN 1 ELSE 0 END) AS INT) AS n_changes
+                  FROM h GROUP BY url)
+            SELECT url, n_obs, n_changes,
+                   CASE WHEN n_obs > 1 THEN round(n_changes * 1.0 / (n_obs - 1), 6) END AS change_rate,
+                   CAST(CASE WHEN n_obs <= 1 THEN 2
+                             WHEN n_changes * 1.0 / (n_obs - 1) >= 0.5 THEN 1
+                             WHEN n_changes > 0 THEN 2 ELSE 4 END AS INT) AS revisit_after_sessions
+            FROM s
         """,
         "crawl_end_to_end": f"""
             SELECT round, url, domain, within_round_rank FROM read_parquet('{p_order}')

@@ -14,6 +14,7 @@ from .export import (
     stop_tracking,
     write_csv,
 )
+from .revisit import revisit_priority
 
 __all__ = [
     "HISTORY_COLS",
@@ -26,6 +27,7 @@ __all__ = [
     "export_history",
     "export_session",
     "run_incremental_export",
+    "revisit_priority",
     "stop_tracking",
     "write_csv",
 ]

@@ -158,6 +158,37 @@ def test_incremental_export_exactly_once(spark, crawled):
     assert len(glob.glob(tmp + "/exp/run_*")) == 2
 
 
+def test_revisit_priority_change_rates(spark):
+    """O5+ policy: change counting is lag-based, NULL-safe (NULL->value
+    counts, NULL->NULL doesn't, first row never does), and the interval
+    buckets follow the documented thresholds."""
+    from scrapy_products_tracker_spark.products import revisit_priority
+
+    rows = [
+        # url, price, session, round
+        ("a", 100, 1, 1), ("a", 100, 2, 1), ("a", 100, 3, 1),   # never changed -> slow
+        ("b", 100, 1, 1), ("b", 200, 2, 1), ("b", 300, 3, 1),   # every interval -> fast
+        ("c", 100, 1, 1), ("c", 100, 2, 1), ("c", 200, 3, 1),   # 1/2 -> fast (>= 0.5)
+        ("d", 100, 1, 1),                                         # single obs -> default
+        ("e", None, 1, 1), ("e", None, 2, 1), ("e", 100, 3, 1),  # NULL->NULL no, NULL->100 yes
+    ]
+
+    class FakeStore:
+        def read_history(self, s):
+            return spark.createDataFrame(
+                rows, "url string, current_price_cents long, session int, round int"
+            )
+
+    got = {r["url"]: r.asDict() for r in revisit_priority(spark, FakeStore()).collect()}
+    assert got["a"]["n_changes"] == 0 and got["a"]["revisit_after_sessions"] == 4
+    assert got["b"]["n_changes"] == 2 and got["b"]["revisit_after_sessions"] == 1
+    assert got["c"]["change_rate"] == 0.5 and got["c"]["revisit_after_sessions"] == 1
+    assert got["d"]["change_rate"] is None and got["d"]["revisit_after_sessions"] == 2
+    # e: NULL->NULL not a change, NULL->100 is -> 1 change / 2 intervals
+    # = rate 0.5 -> fast
+    assert got["e"]["n_changes"] == 1 and got["e"]["revisit_after_sessions"] == 1
+
+
 def test_stop_tracking_excludes_from_rearm(spark, crawled):
     store, drv, _ = crawled
     prods = store.read_products(spark)
