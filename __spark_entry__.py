@@ -687,6 +687,50 @@ def q_kmeans_refine(spark, sf):
     )
 
 
+def q_frontier_pagerank(spark, sf):
+    """Importance-ordered frontier priority: integer fixed-point
+    PageRank (3 iterations, damping 85%) over a deterministic
+    3-out-degree link graph derived from documents; top-100 by rank.
+    Ranks live in int64 micro-units with integer-div contributions, so
+    every iteration is order-free and engine-exact — the oracle unrolls
+    the same three iterations relationally (functions/graph.py)."""
+    from scrapy_products_tracker_spark.functions.graph import pagerank_units
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("node"))
+    n = d.count()
+    edges = d.select(
+        F.col("node").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_j"),
+    ).select(
+        "src",
+        ((F.col("src") * 31 + F.col("_j") * 7919) % F.lit(int(n))).alias("dst"),
+    )
+    r = pagerank_units(edges, nodes=d, iters=3)
+    return r.orderBy(F.desc("rank_units"), "node").limit(100)
+
+
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring: self-trained add-1/2 bigram model
+    (top-64 vocab + <unk>, <s>-prefixed streams); per-doc NLL in exact
+    integer micro-nats + avg nats/bigram. The int64 micro-nat sum makes
+    the score partitioning-independent (functions/text.py)."""
+    d = _t(spark, sf, "documents")
+    return TX.lm_bigram_scores(d, vocab_size=64)
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. '23): k-means cells (1 Lloyd's refinement
+    from the deterministic seed) + within-cell cosine pruning at
+    tau=0.4, lowest-id keeper. Pairs form only inside a cell — the
+    tractability trick the oracle mirrors by unrolling the same
+    assignment relationally (dedup/semantic.py)."""
+    from scrapy_products_tracker_spark.dedup import semdedup
+
+    e = _t(spark, sf, "embeddings")
+    survivors, _ = semdedup(e, n_cells=16, iters=1, tau=0.4)
+    return survivors.orderBy("vec_id")
+
+
 _BM25_TERMS = ["window", "hash", "join"]
 
 
@@ -1061,6 +1105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "decontaminate_overlap": q_decontaminate,
         "kmeans_refine_cells": q_kmeans_refine,
+        "frontier_pagerank_topk": q_frontier_pagerank,
+        "lm_perplexity_scores": q_lm_perplexity,
+        "semdedup_survivors": q_semdedup,
         "revisit_priority": q_revisit_priority,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
@@ -1422,6 +1469,87 @@ def oracle_sql() -> dict[str, str]:
                    FROM c2)
             SELECT a3.cell_id, count(*) AS n_members, n2.centroid_norm
             FROM a3 JOIN n2 USING (cell_id) GROUP BY 1, 3
+        """,
+        "frontier_pagerank_topk": r"""
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+            nn AS (SELECT count(*) AS n FROM d),
+            e AS (SELECT node AS src, (node * 31 + j * 7919) % nn.n AS dst
+                  FROM d, nn, unnest([1, 2, 3]) AS t(j)),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM d),
+            r1 AS (SELECT d.node, CAST(150000 + COALESCE(f.fin, 0) AS BIGINT) AS r
+                   FROM d LEFT JOIN (
+                     SELECT e.dst AS node, SUM((r.r * 85) // (100 * deg.deg)) AS fin
+                     FROM e JOIN r0 r ON e.src = r.node JOIN deg ON e.src = deg.src
+                     GROUP BY e.dst) f ON d.node = f.node),
+            r2 AS (SELECT d.node, CAST(150000 + COALESCE(f.fin, 0) AS BIGINT) AS r
+                   FROM d LEFT JOIN (
+                     SELECT e.dst AS node, SUM((r.r * 85) // (100 * deg.deg)) AS fin
+                     FROM e JOIN r1 r ON e.src = r.node JOIN deg ON e.src = deg.src
+                     GROUP BY e.dst) f ON d.node = f.node),
+            r3 AS (SELECT d.node, CAST(150000 + COALESCE(f.fin, 0) AS BIGINT) AS r
+                   FROM d LEFT JOIN (
+                     SELECT e.dst AS node, SUM((r.r * 85) // (100 * deg.deg)) AS fin
+                     FROM e JOIN r2 r ON e.src = r.node JOIN deg ON e.src = deg.src
+                     GROUP BY e.dst) f ON d.node = f.node)
+            SELECT node, r AS rank_units FROM r3
+            ORDER BY rank_units DESC, node LIMIT 100
+        """,
+        "lm_perplexity_scores": r"""
+            WITH w AS (SELECT doc_id AS doc,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            tok AS (SELECT doc, i AS pos, w[i] AS tok
+                    FROM w, unnest(generate_series(1, len(w))) AS t(i)
+                    WHERE w IS NOT NULL),
+            uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            voc AS (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 64),
+            m AS (SELECT doc, pos,
+                         CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                              ELSE '<unk>' END AS m
+                  FROM tok),
+            bg AS (SELECT doc,
+                          COALESCE(LAG(m) OVER (PARTITION BY doc ORDER BY pos), '<s>') AS p,
+                          m
+                   FROM m),
+            c12 AS (SELECT p, m, count(*) AS c12 FROM bg GROUP BY p, m),
+            c1 AS (SELECT p, count(*) AS c1 FROM bg GROUP BY p),
+            sc AS (SELECT bg.doc,
+                          CAST(round(ln((c12.c12 + 0.5) / (c1.c1 + 32.5)) * 1000000) AS BIGINT) AS u
+                   FROM bg JOIN c12 USING (p, m) JOIN c1 USING (p))
+            SELECT doc, count(*) AS n_bigrams,
+                   CAST(-SUM(u) AS BIGINT) AS nll_unats,
+                   round(CAST(-SUM(u) AS BIGINT) / 1000000.0 / count(*), 6) AS avg_nll
+            FROM sc GROUP BY doc
+        """,
+        "semdedup_survivors": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            a1 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c0 c) WHERE rn = 1),
+            m1 AS (SELECT a1.cell_id, p.pos, round(avg(e.v[p.pos]), 6) AS m
+                   FROM a1 JOIN e USING (vec_id),
+                        unnest(generate_series(1, len(e.v))) AS p(pos)
+                   GROUP BY 1, 2),
+            c1 AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell_id
+                   UNION ALL
+                   SELECT cell_id, c FROM c0 WHERE cell_id NOT IN (SELECT cell_id FROM m1)),
+            a2 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c1 c) WHERE rn = 1),
+            losers AS (SELECT DISTINCT b.vec_id
+                       FROM a2 a JOIN a2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                       JOIN e ea ON ea.vec_id = a.vec_id
+                       JOIN e eb ON eb.vec_id = b.vec_id
+                       WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4)
+            SELECT e.vec_id FROM e LEFT JOIN losers l USING (vec_id)
+            WHERE l.vec_id IS NULL ORDER BY vec_id
         """,
         "bm25_topk": r"""
             WITH w AS (SELECT doc_id,

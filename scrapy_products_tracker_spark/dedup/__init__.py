@@ -2,10 +2,12 @@ from .bloom import bucket_col, optimal_params, with_bloom_hashes
 from .cuckoo import CuckooFilter
 from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch
 from .seen_table import BloomTable, CuckooTable, open_seen_table
+from .semantic import semdedup
 from .text_corpus import dedup_corpus
 
 __all__ = [
     "dedup_corpus",
+    "semdedup",
     "BloomTable",
     "CuckooFilter",
     "CuckooTable",

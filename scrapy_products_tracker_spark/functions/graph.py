@@ -1,0 +1,118 @@
+"""Link-graph frontier prioritization: integer fixed-point PageRank.
+
+The reference schedules strictly FIFO-by-discovery (``ORDER BY id ASC
+LIMIT chunk`` — rmq/commands/producer.py:196-211) with ``priority`` a
+dormant column (mixins/mysql_priority_attempt.py:6-8). A web-scale
+frontier wants that priority column *fed*: importance-ordered crawling
+(PageRank — Brin/Page'98; OPIC — Abiteboul et al., WWW'03 — is the
+online variant of the same cash-flow idea) fetches high-value pages
+first and is the classic producer of the (priority, depth,
+discovered_at) claim key the north rule names. This module computes
+PageRank over the discovered link graph; the result joins onto the
+frontier as its ``priority`` column.
+
+Determinism contract (what makes this oracle-able): ranks are held in
+**int64 fixed-point units** (``unit`` per node initially), every
+per-edge contribution is computed with integer multiply + integer
+``div``, and in-flows are summed as int64 — integer addition is
+associative/commutative, so the result is bit-identical regardless of
+partitioning, task order, or engine (no float-summation-order drift
+anywhere). The variant implemented is the standard "weakly
+preferential" simplification: each iteration
+``r'(v) = unit*(100-d)/100 + Σ_{u→v} (r(u)*d) div (100*outdeg(u))``
+with dangling-node mass dropped (a node with no out-edges absorbs its
+rank; fine for *prioritization*, where only the ordering matters) and
+``div`` flooring each edge's contribution (the lost sub-unit remainders
+are < outdeg per node per iteration — noise at unit=1e6).
+
+Scale shape (10^10-edge graph): per iteration exactly TWO shuffles —
+ranks ⋈ edges on ``src`` (sort-merge at scale; ``edges`` is pre-joined
+with out-degrees ONCE and persisted, so the loop never recomputes
+degrees) and the ``groupBy(dst).sum`` in-flow aggregate, which is an
+int64 sum with map-side partial aggregation, so a hot dst (a popular
+page with 10^8 in-links) combines locally before the exchange — the
+skew-resistant shape. Rank rows are 16 bytes (node, int64); payload
+bytes never enter these shuffles (SURVEY.md §4 'binary-heavy
+shuffles').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_UNIT = 1_000_000
+
+
+def pagerank_units(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 3,
+    damping_pct: int = 85,
+    unit: int = DEFAULT_UNIT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank_units) after ``iters`` integer fixed-point PageRank
+    iterations over ``edges``. ``nodes`` defaults to distinct(src∪dst).
+    ``damping_pct`` is the damping factor in percent (85 = the classic
+    0.85) so the teleport term ``unit*(100-d) div 100`` stays integral.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # out-degrees joined ONCE; the loop reuses this persisted edge set
+    ed = e.join(deg, "src").persist()
+    teleport = (unit * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(int(unit)).cast("long").alias("rank_units"))
+    contrib = F.expr(f"(rank_units * {int(damping_pct)}) div (100 * _deg)")
+    for _ in range(iters):
+        flow = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), contrib.alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))  # int64 sum: order-free, exact
+        )
+        ranks = nodes.join(flow, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("_in"), F.lit(0))).cast("long").alias(
+                "rank_units"
+            ),
+        )
+    ed.unpersist(blocking=False)
+    return ranks
+
+
+def pagerank_priority(
+    frontier: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    key_col: str = "url_hash",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Frontier rows + an importance-derived ``priority`` column: LOWER
+    priority value = claimed earlier (CLAIM_ORDER sorts ascending), so
+    priority = -rank_units. Unranked URLs (not yet in the link graph)
+    get priority 0 — behind every ranked page, preserving FIFO among
+    themselves via the (depth, discovered_seq) tail of the claim key."""
+    ranks = pagerank_units(edges, iters=iters, src_col=src_col, dst_col=dst_col)
+    return (
+        frontier.join(
+            ranks.withColumnRenamed("node", key_col), key_col, "left"
+        )
+        .withColumn(
+            "priority",
+            F.coalesce(-F.col("rank_units"), F.lit(0)).cast("long"),
+        )
+        .drop("rank_units")
+    )

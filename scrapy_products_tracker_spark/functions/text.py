@@ -426,3 +426,89 @@ def winnow_fingerprints(
     )
     short = base.filter(F.col("_n") < min_len).select("doc", _h(F.col("_t")).alias("fp"))
     return selected.unionByName(short)
+
+
+def lm_bigram_scores(
+    df,
+    vocab_size: int = 64,
+    unit: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Self-trained add-½ bigram language-model scoring — the CCNet /
+    RefinedWeb quality idiom (Wenzek et al., LREC'20 filter web text by
+    LM perplexity; here the LM is trained on the corpus itself in the
+    same job, so the whole thing is one engine-independent relational
+    program). Returns (doc, n_bigrams, nll_unats, avg_nll): the total
+    negative log-likelihood in integer MICRO-NATS and the per-bigram
+    average in nats. High avg_nll = improbable word sequences = low
+    quality.
+
+    Determinism contract: each bigram's cost is rounded ONCE to an
+    int64 micro-nat count (``round(ln(p)*unit)``) and the per-document
+    total is an int64 sum — integer addition is order-free, so the
+    score is bit-identical under any partitioning (the float-sum-order
+    trap that a naive ``sum(ln(p))`` would hit). The only float op is
+    one ``ln`` per scored row, computed from exact integer counts —
+    the same parity contract bm25_topk relies on.
+
+    Model: vocabulary = top ``vocab_size`` tokens by (count desc,
+    token); everything else maps to '<unk>'; each document's token
+    stream is prefixed with '<s>'. p(w|prev) = (c(prev,w) + 0.5) /
+    (c(prev) + 0.5*(vocab_size+1)). Counts come from this corpus, so
+    every scored bigram was observed (c12 >= 1) and the smoothing only
+    shapes the distribution.
+
+    Plan shape at 100 TB: token stream = one explode; the '<s>'-
+    prefixed previous token is a lag window over (doc, pos) — ONE
+    doc-keyed exchange that the per-doc sum REUSES (no second
+    shuffle); unigram/bigram count tables are bounded by the capped
+    vocabulary (<= V and <= (V+2)^2 rows) and broadcast back, so the
+    corpus-side stream never shuffles again. Vocabulary selection is a
+    top-V TakeOrderedAndProject over the unigram aggregate."""
+    from pyspark.sql import Window
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    words = tokens_col(F.lower(F.col(text_col)))
+    toks = (
+        df.select(F.col(id_col).alias("doc"), words.alias("_w"))
+        .filter(F.size("_w") > 0)
+        .select("doc", F.posexplode("_w").alias("pos", "tok"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    vocab = uni.orderBy(F.desc("_c"), "tok").limit(vocab_size).select(
+        "tok", F.lit(True).alias("_in_v")
+    )
+    mapped = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc",
+        "pos",
+        F.when(F.col("_in_v"), F.col("tok")).otherwise(F.lit("<unk>")).alias("m"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    bg = mapped.select(
+        "doc", F.coalesce(F.lag("m").over(w), F.lit("<s>")).alias("p"), "m"
+    )
+    c12 = bg.groupBy("p", "m").agg(F.count("*").alias("_c12"))
+    c1 = bg.groupBy("p").agg(F.count("*").alias("_c1"))
+    denom_k = 0.5 * (vocab_size + 1)
+    cost = F.round(
+        F.log((F.col("_c12") + F.lit(0.5)) / (F.col("_c1") + F.lit(denom_k)))
+        * F.lit(int(unit))
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(c12), ["p", "m"])
+        .join(F.broadcast(c1), "p")
+        .select("doc", cost.alias("_u"))
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count("*").alias("n_bigrams"), (-F.sum("_u")).alias("nll_unats")
+    )
+    return per_doc.select(
+        "doc",
+        "n_bigrams",
+        "nll_unats",
+        F.round(
+            F.col("nll_unats") / F.lit(float(unit)) / F.col("n_bigrams"), 6
+        ).alias("avg_nll"),
+    )

@@ -1,0 +1,174 @@
+"""PageRank frontier priority, bigram-LM scoring, SemDeDup — each
+checked against an independent pure-Python implementation."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.dedup import semdedup
+from scrapy_products_tracker_spark.functions.graph import (
+    pagerank_priority,
+    pagerank_units,
+)
+from scrapy_products_tracker_spark.functions.text import lm_bigram_scores
+
+
+# --- independent oracle: integer fixed-point PageRank ---------------------
+
+
+def py_pagerank(edges, nodes, iters=3, damping_pct=85, unit=1_000_000):
+    deg = Counter(s for s, _ in edges)
+    r = {n: unit for n in nodes}
+    teleport = (unit * (100 - damping_pct)) // 100
+    for _ in range(iters):
+        nxt = {n: teleport for n in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] * damping_pct) // (100 * deg[s])
+        r = nxt
+    return r
+
+
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (4, 4),
+]
+NODES = [0, 1, 2, 3, 4, 5]  # 5 has no edges at all (teleport-only rank)
+
+
+def test_pagerank_matches_pure_python(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in NODES], "node long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_units(e, nodes=n, iters=3).collect()
+    }
+    assert got == py_pagerank(EDGES, NODES, iters=3)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    a = pagerank_units(e.repartition(7), iters=2).collect()
+    b = pagerank_units(e.coalesce(1), iters=2).collect()
+    assert sorted((r["node"], r["rank_units"]) for r in a) == sorted(
+        (r["node"], r["rank_units"]) for r in b
+    )
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    ranks = pagerank_units(e, iters=0).collect()
+    assert {r["rank_units"] for r in ranks} == {1_000_000}
+
+
+def test_pagerank_priority_join(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    frontier = spark.createDataFrame(
+        [(2, "https://a/x"), (99, "https://a/unranked")], "url_hash long, url string"
+    )
+    out = {r["url_hash"]: r["priority"] for r in
+           pagerank_priority(frontier, e, iters=3).collect()}
+    expect = py_pagerank(EDGES, sorted({x for ed in EDGES for x in ed}), iters=3)
+    assert out[2] == -expect[2] < 0  # ranked page claims first (ascending key)
+    assert out[99] == 0  # unranked URL sorts behind every ranked one
+
+
+def test_pagerank_rejects_bad_params(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_units(e, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank_units(e, iters=-1)
+
+
+# --- independent oracle: add-1/2 bigram LM ---------------------------------
+
+
+def py_lm_scores(texts, vocab_size, unit=1_000_000):
+    toks = {i: t.lower().strip().split() for i, t in texts.items() if t and t.strip()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    vocab = set(w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size])
+    mapped = {i: [w if w in vocab else "<unk>" for w in ws] for i, ws in toks.items()}
+    bg = {i: list(zip(["<s>"] + ws[:-1], ws)) for i, ws in mapped.items()}
+    c12 = Counter(p for ps in bg.values() for p in ps)
+    c1 = Counter(p[0] for ps in bg.values() for p in ps)
+    out = {}
+    for i, ps in bg.items():
+        u = sum(
+            int(_round_half_up(math.log((c12[p] + 0.5) / (c1[p[0]] + 0.5 * (vocab_size + 1))) * unit))
+            for p in ps
+        )
+        out[i] = (len(ps), -u, round(-u / unit / len(ps), 6))
+    return out
+
+
+def _round_half_up(x):
+    import decimal
+
+    return decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+
+
+def test_lm_bigram_matches_pure_python(spark):
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat",
+        2: "a rare unseen zebra sentence",
+        3: "the the the",
+        4: None,
+        5: "   ",
+        6: "one",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc"]: (r["n_bigrams"], r["nll_unats"], r["avg_nll"])
+        for r in lm_bigram_scores(df, vocab_size=4).collect()
+    }
+    assert got == py_lm_scores(texts, vocab_size=4)
+    assert 4 not in got and 5 not in got  # NULL/blank docs carry no score
+
+
+def test_lm_bigram_rejects_bad_vocab(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_bigram_scores(df, vocab_size=0)
+
+
+# --- SemDeDup --------------------------------------------------------------
+
+
+def _planted(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0 -> loser
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.995, 0.02]),   # near-dup of 2 -> loser
+        (4, [0.0, 0.0, 1.0]),      # unique
+        (5, [0.7, 0.7, 0.14]),     # similar-ish but below tau
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_drops_planted_neardups(spark):
+    e = _planted(spark)
+    survivors, losers = semdedup(e, n_cells=3, iters=1, tau=0.98)
+    kept = {r["vec_id"] for r in survivors.collect()}
+    dropped = {r["vec_id"] for r in losers.collect()}
+    assert dropped == {1, 3}
+    assert kept == {0, 2, 4, 5}
+
+
+def test_semdedup_lower_id_wins_and_tau_guard(spark):
+    e = _planted(spark)
+    survivors, _ = semdedup(e, n_cells=2, iters=1, tau=0.98)
+    kept = {r["vec_id"] for r in survivors.collect()}
+    assert 0 in kept and 2 in kept  # keepers are the min-id representatives
+    with pytest.raises(ValueError):
+        semdedup(e, tau=1.5)
+
+
+def test_semdedup_no_cartesian_plan(spark):
+    e = _planted(spark)
+    survivors, losers = semdedup(e, n_cells=2, iters=1, tau=0.98)
+    plan = losers._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
