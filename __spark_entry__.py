@@ -1062,6 +1062,66 @@ def q_phash_image_neardup(spark, sf):
     return phash_neardup_pairs(base.unionAll(variant)).orderBy("id_a", "id_b")
 
 
+def q_laion_filter(spark, sf):
+    """LAION/DataComp-style pre-training row filters over the
+    image+caption payload table (imaging/dataset.laion_filter):
+    caption token minimum, minimum short side, integer-milli aspect
+    cap, first-failing-rule reason. Pure column algebra, no shuffle,
+    bytes column never read. Oracle: the same rules relationally over
+    the independently-built metadata table (token counts recomputed
+    with pure-Python str.split in builders.build_image_caption_meta)."""
+    from scrapy_products_tracker_spark.imaging import laion_filter
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+    return laion_filter(
+        img, min_caption_tokens=4, min_side_px=16, max_aspect_milli=3000
+    ).orderBy("id")
+
+
+def q_aspect_buckets(spark, sf):
+    """SDXL-style aspect-ratio bucketing (imaging/dataset.
+    aspect_bucket_assign): each image maps to the fixed bucket
+    minimizing the cross-multiplied integer distortion |w*bh - h*bw|,
+    ties to the lowest bucket index — an array_min over (distance,
+    index) structs, fully codegen'd, shuffle-free. Oracle: unnest the
+    bucket list and take row_number()=1 over the same integer order."""
+    from scrapy_products_tracker_spark.imaging import aspect_bucket_assign
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+    return aspect_bucket_assign(img).orderBy("id")
+
+
+def q_wds_shard_packing(spark, sf):
+    """WebDataset-style size-bounded shard assignment (imaging/
+    dataset.pack_shards): shard_id = div(prefix-sum of payload bytes
+    in id order, budget), computed with the two-phase distributed
+    prefix sum (per-range totals -> tiny offset window -> broadcast
+    back); per-shard rollup (count, bytes, id range). The range key is
+    a 5-char id prefix — a prefix of the lexicographic id order, the
+    documented pack_shards contract. Oracle: one global window prefix
+    sum in SQL — checking the distributed two-phase plan against the
+    naive single-scan definition."""
+    from scrapy_products_tracker_spark.imaging import pack_shards
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).withColumn(
+        "rng", F.substring("image_id", 1, 5)
+    )
+    packed = pack_shards(img, budget_bytes=16384, range_col="rng")
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("payload_bytes").alias("shard_bytes"),
+            F.min("id").alias("first_id"),
+            F.max("id").alias("last_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def q_crawl_end_to_end(spark, sf):
     """Full crawl loop (2 sessions, re-arm between) on the deterministic
     t1 world: returns the crawl order — the north-rule artifact. The
@@ -1108,6 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pagerank_topk": q_frontier_pagerank,
         "lm_perplexity_scores": q_lm_perplexity,
         "semdedup_survivors": q_semdedup,
+        "laion_filter_flags": q_laion_filter,
+        "aspect_bucket_assign": q_aspect_buckets,
+        "wds_shard_packing": q_wds_shard_packing,
         "revisit_priority": q_revisit_priority,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_norms": q_embedding_norms,
@@ -1146,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
     p_ann, qb = OB.build_ann_assignments()
     p_bands = OB.build_band_assignments()
     p_mm = OB.build_multimodal_expected()
+    p_icm = OB.build_image_caption_meta()
     p_ph = OB.build_phash_pairs_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -1550,6 +1614,53 @@ def oracle_sql() -> dict[str, str]:
                        WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4)
             SELECT e.vec_id FROM e LEFT JOIN losers l USING (vec_id)
             WHERE l.vec_id IS NULL ORDER BY vec_id
+        """,
+        "laion_filter_flags": f"""
+            WITH m AS (SELECT * FROM read_parquet('{p_icm}')),
+            d AS (SELECT image_id AS id,
+                         CAST(n_cap_tokens AS INT) AS n_cap_tokens,
+                         CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
+                              ELSE CAST(LEAST(w, h) AS INT) END AS min_side,
+                         CASE WHEN w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 THEN NULL
+                              ELSE CAST((GREATEST(CAST(w AS BIGINT), CAST(h AS BIGINT)) * 1000)
+                                        // LEAST(CAST(w AS BIGINT), CAST(h AS BIGINT)) AS BIGINT) END AS aspect_milli,
+                         (w IS NULL OR h IS NULL OR w <= 0 OR h <= 0) AS degen
+                  FROM m)
+            SELECT id, n_cap_tokens, min_side, aspect_milli,
+                   CASE WHEN degen THEN 'degenerate_dims'
+                        WHEN n_cap_tokens < 4 THEN 'caption_short'
+                        WHEN min_side < 16 THEN 'small_image'
+                        WHEN aspect_milli > 3000 THEN 'extreme_aspect' END AS drop_reason,
+                   (CASE WHEN degen THEN 'degenerate_dims'
+                         WHEN n_cap_tokens < 4 THEN 'caption_short'
+                         WHEN min_side < 16 THEN 'small_image'
+                         WHEN aspect_milli > 3000 THEN 'extreme_aspect' END) IS NULL AS keep
+            FROM d ORDER BY id
+        """,
+        "aspect_bucket_assign": f"""
+            WITH m AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+                       FROM read_parquet('{p_icm}')),
+            b AS (SELECT * FROM (VALUES (0,1,1),(1,4,3),(2,3,4),(3,16,9),
+                                        (4,9,16),(5,2,1),(6,1,2)) AS t(i, bw, bh)),
+            d AS (SELECT m.image_id, b.i, b.bw, b.bh,
+                         ROW_NUMBER() OVER (PARTITION BY m.image_id
+                           ORDER BY ABS(m.w * b.bh - m.h * b.bw), b.i) AS rn
+                  FROM m CROSS JOIN b)
+            SELECT image_id AS id, CAST(i AS INT) AS bucket_idx,
+                   CAST(bw AS INT) AS bucket_w, CAST(bh AS INT) AS bucket_h
+            FROM d WHERE rn = 1 ORDER BY id
+        """,
+        "wds_shard_packing": f"""
+            WITH c AS (SELECT image_id, n_payload_bytes,
+                              COALESCE(SUM(n_payload_bytes) OVER (ORDER BY image_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4
+                       FROM read_parquet('{p_icm}'))
+            SELECT CAST(b4 // 16384 AS INT) AS shard_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(n_payload_bytes) AS BIGINT) AS shard_bytes,
+                   MIN(image_id) AS first_id,
+                   MAX(image_id) AS last_id
+            FROM c GROUP BY 1 ORDER BY shard_id
         """,
         "bm25_topk": r"""
             WITH w AS (SELECT doc_id,

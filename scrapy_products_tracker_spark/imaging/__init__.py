@@ -1,4 +1,5 @@
 from .codec import decode_image, encode_image, phash64, psnr
+from .dataset import DEFAULT_ASPECT_BUCKETS, aspect_bucket_assign, laion_filter, pack_shards
 from .media import (
     audio_stats,
     decode_audio,
@@ -13,6 +14,10 @@ from .neardup import phash_band_cols, phash_neardup_pairs
 from .png import decode_png, encode_png
 
 __all__ = [
+    "DEFAULT_ASPECT_BUCKETS",
+    "aspect_bucket_assign",
+    "laion_filter",
+    "pack_shards",
     "decode_image",
     "encode_image",
     "phash64",

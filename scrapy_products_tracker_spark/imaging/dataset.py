@@ -1,0 +1,230 @@
+"""Training-dataset preparation operators over image+caption tables.
+
+The north-rule input is an Iceberg table of image+caption pairs
+``(image_id, bytes, w, h, fmt, caption, phash)``; these operators are
+the standard curation steps a multimodal pre-training pipeline runs
+over that table after the crawl lands it:
+
+- :func:`laion_filter` — LAION/DataComp-style row filters (caption
+  token minimum, minimum short side, aspect-ratio cap), the first
+  pass every web-scraped image corpus makes (Schuhmann et al.,
+  NeurIPS'22 datasets track, §3: "we filter samples with less than 5
+  characters of text [and] images below 5KB").
+- :func:`aspect_bucket_assign` — aspect-ratio bucketing for batched
+  training at native-ish resolution (the SDXL appendix-B trick):
+  every image maps to the fixed bucket minimizing aspect distortion.
+- :func:`pack_shards` — WebDataset-style sequential shard packing:
+  deterministic (shard_id) assignment by running payload-byte prefix
+  sums so a downstream writer can emit size-bounded tar shards.
+
+All three are pure column algebra (JVM-side, whole-stage codegen) —
+no Python in the data path. Parity contract: every arithmetic step is
+integer-exact (cross-multiplied aspect comparisons, integer ``div``,
+int64 byte sums), so results are bit-identical across engines and
+partitionings; the DuckDB oracles in ``__spark_entry__`` recompute
+them relationally from an independently-built metadata table.
+
+Scale notes (100 TB):
+
+- ``laion_filter`` / ``aspect_bucket_assign`` are narrow per-row maps:
+  no shuffle at all, and neither touches the ``bytes`` column (column
+  pruning keeps the scan metadata-only).
+- ``pack_shards`` needs a global prefix sum over the shard order. A
+  single global window would serialize on one task, so it runs the
+  classic two-phase distributed scan: per-range byte totals (a tiny
+  aggregate, one row per range) get running offsets on the driver-side
+  -sized table, then broadcast back and added to per-range windowed
+  sums. The only ordered window over unbounded data partitions by
+  ``range_col`` — the caller supplies a range key that is a PREFIX of
+  the id order (e.g. a zero-padded id prefix, a date, a crawl bucket),
+  which is what makes (range, id) order equal global id order.
+
+Reference scope note: the reference stores fetched images untouched
+(``src/python/src/pipelines/save_images_pipeline.py:27-41``) and has
+no dataset-curation stage; these operators are the forward-looking
+training-pipeline surface the task brief mandates on top of parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["DEFAULT_ASPECT_BUCKETS", "aspect_bucket_assign", "laion_filter", "pack_shards"]
+
+
+def _caption_tokens(cap: F.Column) -> F.Column:
+    """Whitespace token count; NULL/blank captions count 0 (the same
+    trim-then-split convention as functions/text.py tokens_col)."""
+    return (
+        F.when(cap.isNull() | (F.trim(cap) == ""), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(cap), r"\s+")))
+        .cast("int")
+    )
+
+
+def laion_filter(
+    df: DataFrame,
+    min_caption_tokens: int = 4,
+    min_side_px: int = 16,
+    max_aspect_milli: int = 3000,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Per-row keep/drop decisions for an image+caption corpus.
+
+    Returns ``(id, n_cap_tokens, min_side, aspect_milli, keep,
+    drop_reason)`` where ``drop_reason`` is the FIRST failing rule in
+    fixed priority order (``degenerate_dims`` > ``caption_short`` >
+    ``small_image`` > ``extreme_aspect``) and NULL for kept rows.
+    ``aspect_milli`` is ``div(max(w,h)*1000, min(w,h))`` — integer
+    milli-units so the threshold compare is exact on every engine
+    (never a float ratio). Degenerate dimensions (NULL or <= 0) drop
+    the row rather than the job — the X6 untrusted-input contract."""
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    degenerate = w.isNull() | h.isNull() | (w <= 0) | (h <= 0)
+    n_tok = _caption_tokens(F.col(caption_col))
+    min_side = F.when(degenerate, F.lit(None)).otherwise(F.least(w, h)).cast("int")
+    aspect = F.when(degenerate, F.lit(None)).otherwise(
+        F.expr(f"div(greatest(cast({w_col} as bigint), cast({h_col} as bigint)) * 1000, "
+               f"least(cast({w_col} as bigint), cast({h_col} as bigint)))")
+    ).cast("long")
+    reason = (
+        F.when(degenerate, F.lit("degenerate_dims"))
+        .when(n_tok < min_caption_tokens, F.lit("caption_short"))
+        .when(min_side < min_side_px, F.lit("small_image"))
+        .when(aspect > max_aspect_milli, F.lit("extreme_aspect"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_cap_tokens"),
+        min_side.alias("min_side"),
+        aspect.alias("aspect_milli"),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+# (bucket_w, bucket_h) aspect prototypes — square, classic photo both
+# orientations, widescreen both orientations, 2:1 panoramas.
+DEFAULT_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1),
+    (4, 3),
+    (3, 4),
+    (16, 9),
+    (9, 16),
+    (2, 1),
+    (1, 2),
+)
+
+
+def aspect_bucket_assign(
+    df: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Assign each image to the aspect bucket minimizing distortion.
+
+    Distance is the cross-multiplied integer ``|w*bh - h*bw|`` — the
+    sign-free comparison of ``w/h`` vs ``bw/bh`` with NO division, so
+    the argmin (ties to the lowest bucket index) is integer-exact.
+    The argmin itself is ``array_min`` over a literal array of
+    ``(distance, index)`` structs: one linear-size expression, fully
+    codegen'd, no shuffle (the same struct-min idiom as ivf_assign —
+    a CASE-WHEN fold would grow exponentially). Degenerate dims (NULL
+    or <= 0) get a NULL bucket. Returns ``(id, bucket_idx, bucket_w,
+    bucket_h)``."""
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    degenerate = w.isNull() | h.isNull() | (w <= 0) | (h <= 0)
+    arr = F.array(
+        *[
+            F.struct(
+                F.abs(w * F.lit(int(bh)) - h * F.lit(int(bw))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    # NULL-ing the index BEFORE element_at trips a Spark 4.1 codegen
+    # bug (element_at with a CASE-null index returns an arbitrary
+    # element instead of NULL), so the argmin stays non-null and the
+    # degenerate guard wraps each output column instead.
+    raw_idx = F.array_min(arr)["i"].cast("int")
+    bws = F.array(*[F.lit(int(bw)) for bw, _ in buckets])
+    bhs = F.array(*[F.lit(int(bh)) for _, bh in buckets])
+
+    def _guard(col: F.Column) -> F.Column:
+        return F.when(degenerate, F.lit(None)).otherwise(col)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        _guard(raw_idx).alias("bucket_idx"),
+        _guard(F.element_at(bws, raw_idx + 1)).alias("bucket_w"),
+        _guard(F.element_at(bhs, raw_idx + 1)).alias("bucket_h"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_bytes: int,
+    id_col: str = "image_id",
+    payload_cols: tuple[str, ...] = ("bytes", "caption"),
+    range_col: str | None = None,
+) -> DataFrame:
+    """Deterministic WebDataset-style shard assignment.
+
+    Every row gets ``shard_id = div(bytes_before_row, budget_bytes)``
+    where ``bytes_before_row`` is the prefix sum of payload bytes in
+    ``id_col`` order — so shards are contiguous id ranges holding
+    ~``budget_bytes`` each (a row may straddle a boundary by design:
+    it belongs to the shard its first byte falls in, the tar-writer
+    convention). Payload size is ``octet_length`` summed over
+    ``payload_cols`` (NULL -> 0), an int64 so the prefix sum is exact.
+
+    Distributed prefix sum: with ``range_col`` (REQUIRED contract: a
+    range key that sorts identically to a prefix of the id order and
+    has unique ids within it), phase 1 aggregates one byte-total row
+    per range and computes running offsets with a window over that
+    TINY table; phase 2 broadcast-joins the offsets back and windows
+    only within each range. No unbounded single-partition window ever
+    touches the full data. Without ``range_col`` the whole input is
+    one range — correct, but the window serializes (fine for tests,
+    wrong at scale; callers at scale must pass a range key).
+
+    Returns ``(id, payload_bytes, shard_id)``."""
+    if budget_bytes <= 0:
+        raise ValueError("budget_bytes must be > 0")
+    payload = None
+    for c in payload_cols:
+        term = F.coalesce(F.octet_length(F.col(c)), F.lit(0)).cast("long")
+        payload = term if payload is None else payload + term
+    rng = F.col(range_col) if range_col else F.lit("")
+    base = df.select(
+        rng.alias("_rng"), F.col(id_col).alias("id"), payload.alias("payload_bytes")
+    )
+    totals = base.groupBy("_rng").agg(F.sum("payload_bytes").alias("_tot"))
+    w_ranges = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rng", F.coalesce(F.sum("_tot").over(w_ranges), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_rng").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_rng")
+        .withColumn(
+            "_before",
+            F.col("_off") + F.coalesce(F.sum("payload_bytes").over(w_in), F.lit(0)),
+        )
+        .select(
+            "id",
+            "payload_bytes",
+            F.expr(f"div(_before, {int(budget_bytes)})").cast("int").alias("shard_id"),
+        )
+    )

@@ -451,3 +451,44 @@ def build_band_assignments(
             rows.append({"vec_id": int(vec_id), "band": b, "bucket": int(bucket)})
     schema = pa.schema([("vec_id", pa.int64()), ("band", pa.int32()), ("bucket", pa.int64())])
     return _write(pd.DataFrame(rows), "band_buckets.parquet", schema)
+
+
+def build_image_caption_meta() -> str:
+    """(image_id, w, h, fmt, n_cap_tokens, n_payload_bytes) metadata
+    table for the image+caption dataset-curation oracles (laion
+    filter, aspect buckets, shard packing). Token counts and payload
+    byte sizes are computed HERE in pure Python (``str.split()`` /
+    ``len(bytes) + len(caption.encode())``) — independent of the
+    Spark-side ``split``/``octet_length`` kernels they check — while
+    dimensions/format are the generator's shared ground truth (the
+    same fixture role documents.parquet plays for the text oracles)."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    ic = world.image_caption
+    rows = []
+    for image_id, data, w, h, fmt, caption in zip(
+        ic["image_id"], ic["bytes"], ic["w"], ic["h"], ic["fmt"], ic["caption"]
+    ):
+        cap = caption if caption is not None else ""
+        rows.append(
+            {
+                "image_id": image_id,
+                "w": int(w),
+                "h": int(h),
+                "fmt": fmt,
+                "n_cap_tokens": len(cap.split()),
+                "n_payload_bytes": len(data) + len(cap.encode("utf-8")),
+            }
+        )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("n_cap_tokens", pa.int32()),
+            ("n_payload_bytes", pa.int64()),
+        ]
+    )
+    return _write(pd.DataFrame(rows), "image_caption_meta.parquet", schema)
