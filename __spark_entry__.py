@@ -1062,6 +1062,40 @@ def q_phash_image_neardup(spark, sf):
     return phash_neardup_pairs(base.unionAll(variant)).orderBy("id_a", "id_b")
 
 
+def q_image_dedup_survivors(spark, sf):
+    """Composed image-dedup cascade (imaging/neardup.image_dedup_survivors):
+    exact byte-identity dedup (md5(bytes) group, lowest-id keeper) then
+    perceptual near-dup pruning via the banded-exact phash Hamming join —
+    the image-payload twin of dedup_corpus. Input: each T1 payload image
+    plus a planted exact byte duplicate (~x) and a planted <=2-bit phash
+    near-duplicate with distinct bytes (~v); survivors must be exactly
+    the original ids. The oracle rebuilds the same table with pure-Python
+    md5/xxhash64 and replays both passes relationally (all-pairs join)."""
+    from scrapy_products_tracker_spark.imaging import image_dedup_survivors
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select("image_id", "bytes", "phash")
+    exact_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~x")).alias("image_id"), "bytes", "phash"
+    )
+    flip = lambda expr: F.expr(f"shiftleft(1L, cast(pmod(xxhash64({expr}), 64) as int))")
+    near_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.concat(F.col("bytes"), F.lit(b"v")).alias("bytes"),
+        F.col("phash")
+        .bitwiseXOR(flip("image_id"))
+        .bitwiseXOR(flip("concat(image_id, 'b')"))
+        .alias("phash"),
+    )
+    return (
+        image_dedup_survivors(
+            base.unionByName(exact_dup).unionByName(near_dup), threshold=7, n_bands=8
+        )
+        .select("image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_laion_filter(spark, sf):
     """LAION/DataComp-style pre-training row filters over the
     image+caption payload table (imaging/dataset.laion_filter):
@@ -1188,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
+        "image_dedup_survivors": q_image_dedup_survivors,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1211,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
     p_mm = OB.build_multimodal_expected()
     p_icm = OB.build_image_caption_meta()
     p_ph = OB.build_phash_pairs_inputs()
+    p_imgdd = OB.build_image_dedup_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1392,6 +1428,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        """,
+        "image_dedup_survivors": f"""
+            WITH t AS (SELECT image_id, fp, phash FROM read_parquet('{p_imgdd}')),
+            exact AS (
+              SELECT image_id, phash FROM (
+                SELECT image_id, phash,
+                       row_number() OVER (PARTITION BY fp ORDER BY image_id) AS rn
+                FROM t) WHERE rn = 1),
+            losers AS (
+              SELECT DISTINCT b.image_id
+              FROM exact a JOIN exact b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 7)
+            SELECT image_id FROM exact
+            WHERE image_id NOT IN (SELECT image_id FROM losers)
+            ORDER BY image_id
         """,
         "json_projection": """
             SELECT event_type,

@@ -10,7 +10,7 @@ from .media import (
     resize_nearest,
     sample_frames,
 )
-from .neardup import phash_band_cols, phash_neardup_pairs
+from .neardup import image_dedup_survivors, phash_band_cols, phash_neardup_pairs
 from .png import decode_png, encode_png
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "psnr",
     "decode_png",
     "encode_png",
+    "image_dedup_survivors",
     "phash_band_cols",
     "phash_neardup_pairs",
     "audio_stats",

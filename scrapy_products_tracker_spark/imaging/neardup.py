@@ -84,3 +84,62 @@ def phash_neardup_pairs(
         .select("id_a", "id_b", "dist")
         .distinct()  # a close pair can agree on several bands
     )
+
+
+def image_dedup_survivors(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    threshold: int = 2,
+    n_bands: int = 8,
+    transitive: bool = False,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Composed image dedup — the image-payload twin of
+    dedup/text_corpus.dedup_corpus: exact byte-identity dedup first
+    (first-wins by lowest id per md5(bytes) group — the cheap pass
+    that kills re-hosted identical files), then perceptual near-dup
+    pruning among the exact survivors via the banded-exact
+    :func:`phash_neardup_pairs` (lowest-id keeper). The reference
+    counts the same photo under two URLs as two images
+    (save_images_pipeline.py:27-41); this is the content-identity
+    pass a training corpus needs instead.
+
+    ``transitive=False`` (default) drops the GREATER id of every
+    near-dup pair — cheap, one anti-join, but a chain A≈B≈C keeps
+    only A while B is dropped for being A's pair and C for being B's
+    even if A!≈C. ``transitive=True`` runs min-label connected
+    components over the pair graph (O(diameter) join rounds, 8-byte
+    rows) and keeps exactly one lowest-id image per CLUSTER — the
+    same semantics/flag as dedup_corpus.
+
+    NULL-``bytes`` rows carry no content to compare and pass through
+    untouched (the dedup_corpus NULL-text contract; a NULL md5 would
+    otherwise collapse them into one group). Returns the surviving
+    rows with their original columns. Scale: one md5-keyed shuffle +
+    the banded phash equi-join — no all-pairs anywhere."""
+    from pyspark.sql import Window
+
+    no_bytes = df.filter(F.col(bytes_col).isNull())
+    with_bytes = df.filter(F.col(bytes_col).isNotNull())
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    exact = (
+        with_bytes.withColumn("_fp", F.md5(F.col(bytes_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+    pairs = phash_neardup_pairs(
+        exact, id_col=id_col, phash_col=phash_col, threshold=threshold, n_bands=n_bands
+    )
+    if transitive:
+        from ..dedup.text_corpus import min_label_components
+
+        labels = min_label_components(pairs, a_col="id_a", b_col="id_b", max_iters=max_iters)
+        losers = labels.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(losers, id_col, "left_anti").unionByName(no_bytes)

@@ -271,6 +271,50 @@ def build_phash_pairs_inputs() -> str:
     )
 
 
+def build_image_dedup_inputs() -> str:
+    """(image_id, fp, phash) table for the composed image-dedup oracle:
+    per T1 payload image, the original row, an exact byte duplicate
+    (``~x`` — same bytes, same phash; the exact pass must keep only the
+    lexicographically-lowest id), and a near-duplicate (``~v`` — bytes
+    suffixed with one byte so it survives the exact pass, phash flipped
+    in <=2 xxhash64-pinned bit positions so the perceptual pass drops
+    it). ``fp`` is the pure-Python md5 of the bytes — the oracle's
+    independent stand-in for the engine's Spark-side ``F.md5(bytes)``
+    grouping (identical bytes => identical fp on both sides)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    rows = []
+    for image_id, data, ph in zip(
+        world.image_caption["image_id"],
+        world.image_caption["bytes"],
+        world.image_caption["phash"],
+    ):
+        ph = int(ph)
+        fp = hashlib.md5(bytes(data)).hexdigest()
+        rows.append((image_id, fp, ph))
+        rows.append((image_id + "~x", fp, ph))
+        b1 = xxhash64_str(image_id) % 64
+        b2 = xxhash64_str(image_id + "b") % 64
+        rows.append(
+            (
+                image_id + "~v",
+                hashlib.md5(bytes(data) + b"v").hexdigest(),
+                _signed64((ph & _MASK64) ^ (1 << b1) ^ (1 << b2)),
+            )
+        )
+    schema = pa.schema(
+        [("image_id", pa.string()), ("fp", pa.string()), ("phash", pa.int64())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "fp", "phash"]),
+        "image_dedup_inputs.parquet",
+        schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash / SimHash / ANN artifacts (independent pure-Python impls)
 # ---------------------------------------------------------------------------

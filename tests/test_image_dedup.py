@@ -1,0 +1,67 @@
+"""Composed image dedup cascade (imaging/neardup.image_dedup_survivors):
+exact byte-identity pass + perceptual near-dup pruning, pairwise and
+cluster-exact modes, NULL-bytes pass-through."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.imaging import image_dedup_survivors
+
+
+def _ids(df):
+    return sorted(r.image_id for r in df.select("image_id").collect())
+
+
+def test_exact_then_neardup(spark):
+    rows = [
+        ("a", bytearray(b"xx1"), 7),
+        ("a2", bytearray(b"xx1"), 7),  # exact byte dup of a -> dropped in pass 1
+        ("b", bytearray(b"xx2"), 7 ^ 1),  # phash dist 1 from a -> dropped (a < b)
+        ("c", bytearray(b"yy"), 1 << 40),  # unique -> kept
+        ("n", None, 123),  # NULL bytes -> pass-through untouched
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long")
+    assert _ids(image_dedup_survivors(df, threshold=2)) == ["a", "c", "n"]
+
+
+def test_exact_dup_does_not_shadow_neardup():
+    # exact pass keeps the LOWEST id per byte group, so the survivor of
+    # the exact group must still participate in the phash join
+    pass  # covered by test_exact_then_neardup: 'a' (exact survivor) prunes 'b'
+
+
+def test_transitive_vs_pairwise(spark):
+    # a ~ c (dist 2), b ~ c (dist 2), a !~ b (dist 4): pairwise drops only
+    # c (the only id_b), transitive collapses the whole component to min id a
+    rows = [
+        ("a", bytearray(b"1"), 0),
+        ("b", bytearray(b"2"), 0b111100),
+        ("c", bytearray(b"3"), 0b110000),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long")
+    assert _ids(image_dedup_survivors(df, threshold=2, transitive=False)) == ["a", "b"]
+    assert _ids(image_dedup_survivors(df, threshold=2, transitive=True)) == ["a"]
+
+
+def test_original_columns_survive(spark):
+    rows = [("a", bytearray(b"x"), 1, "cap-a"), ("z", bytearray(b"x"), 1, "cap-z")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long, caption string")
+    out = image_dedup_survivors(df).collect()
+    assert len(out) == 1 and out[0].caption == "cap-a"
+    assert set(out[0].asDict()) == {"image_id", "bytes", "phash", "caption"}
+
+
+def test_all_null_bytes_passthrough(spark):
+    df = spark.createDataFrame(
+        [("a", None, 5), ("b", None, 5)], "image_id string, bytes binary, phash long"
+    )
+    # identical phash, but no content to compare: both pass through
+    assert _ids(image_dedup_survivors(df)) == ["a", "b"]
+
+
+def test_threshold_guard(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x"), 1)], "image_id string, bytes binary, phash long"
+    )
+    with pytest.raises(ValueError):
+        image_dedup_survivors(df, threshold=8, n_bands=8).collect()
