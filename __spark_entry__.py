@@ -1096,6 +1096,52 @@ def q_image_dedup_survivors(spark, sf):
     )
 
 
+def q_image_dedup_best_caption(spark, sf):
+    """Cluster-exact image dedup with a LAION-style keeper policy
+    (imaging/neardup.image_dedup_survivors(prefer=...)): within each
+    exact-byte group and each phash near-dup cluster keep the row with
+    the LONGEST caption (space-token count; ties → lowest id), instead
+    of the default lowest id. Input: each T1 payload image plus an
+    exact byte duplicate (~x, caption +2 tokens — must win its byte
+    group) and a near-duplicate (~v, caption +3 tokens — must win the
+    cluster); expected survivors are exactly the ~v rows. Oracle:
+    pure-Python md5/xxhash64 table rebuild + recursive-CTE components
+    + per-cluster argmax, all relationally."""
+    from scrapy_products_tracker_spark.imaging import image_dedup_survivors
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select(
+        "image_id", "bytes", "phash", "caption"
+    )
+    exact_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~x")).alias("image_id"),
+        "bytes",
+        "phash",
+        F.concat(F.col("caption"), F.lit(" one two")).alias("caption"),
+    )
+    flip = lambda expr: F.expr(f"shiftleft(1L, cast(pmod(xxhash64({expr}), 64) as int))")
+    near_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.concat(F.col("bytes"), F.lit(b"v")).alias("bytes"),
+        F.col("phash")
+        .bitwiseXOR(flip("image_id"))
+        .bitwiseXOR(flip("concat(image_id, 'b')"))
+        .alias("phash"),
+        F.concat(F.col("caption"), F.lit(" one two three")).alias("caption"),
+    )
+    return (
+        image_dedup_survivors(
+            base.unionByName(exact_dup).unionByName(near_dup),
+            threshold=7,
+            n_bands=8,
+            transitive=True,
+            prefer=-F.size(F.split("caption", " ")),
+        )
+        .select("image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_laion_filter(spark, sf):
     """LAION/DataComp-style pre-training row filters over the
     image+caption payload table (imaging/dataset.laion_filter):
@@ -1223,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
+        "image_dedup_best_caption": q_image_dedup_best_caption,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1442,6 +1489,32 @@ def oracle_sql() -> dict[str, str]:
               WHERE bit_count(xor(a.phash, b.phash)) <= 7)
             SELECT image_id FROM exact
             WHERE image_id NOT IN (SELECT image_id FROM losers)
+            ORDER BY image_id
+        """,
+        "image_dedup_best_caption": f"""
+            WITH RECURSIVE t AS (
+              SELECT image_id, fp, phash, ntok FROM read_parquet('{p_imgdd}')),
+            exact AS (
+              SELECT image_id, phash, ntok FROM (
+                SELECT image_id, phash, ntok,
+                       row_number() OVER (PARTITION BY fp ORDER BY ntok DESC, image_id) AS rn
+                FROM t) WHERE rn = 1),
+            near AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM exact a JOIN exact b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM near
+              UNION ALL SELECT id_b, id_a FROM near),
+            reach(node, label) AS (
+              SELECT image_id, image_id FROM exact
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+            comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node)
+            SELECT image_id FROM (
+              SELECT e.image_id,
+                     row_number() OVER (PARTITION BY c.cluster ORDER BY e.ntok DESC, e.image_id) AS rn
+              FROM exact e JOIN comp c ON c.node = e.image_id) WHERE rn = 1
             ORDER BY image_id
         """,
         "json_projection": """

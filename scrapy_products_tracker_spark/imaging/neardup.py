@@ -28,7 +28,7 @@ whole-stage codegen, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import hamming64
@@ -95,6 +95,7 @@ def image_dedup_survivors(
     n_bands: int = 8,
     transitive: bool = False,
     max_iters: int = 50,
+    prefer: Column | None = None,
 ) -> DataFrame:
     """Composed image dedup — the image-payload twin of
     dedup/text_corpus.dedup_corpus: exact byte-identity dedup first
@@ -114,6 +115,15 @@ def image_dedup_survivors(
     rows) and keeps exactly one lowest-id image per CLUSTER — the
     same semantics/flag as dedup_corpus.
 
+    ``prefer`` (requires ``transitive=True``) replaces the lowest-id
+    keeper with an explicit ranking: the row that sorts FIRST by
+    ``(prefer ASC, id ASC)`` survives each exact-byte group and each
+    near-dup cluster. The LAION-style use is keeping the
+    best-captioned copy of a re-hosted image —
+    ``prefer=-F.size(F.split("caption", " "))`` keeps the longest
+    caption. Pairwise mode has no per-cluster keeper to rank (it drops
+    the greater id of every pair), so ``prefer`` there is a ValueError.
+
     NULL-``bytes`` rows carry no content to compare and pass through
     untouched (the dedup_corpus NULL-text contract; a NULL md5 would
     otherwise collapse them into one group). Returns the surviving
@@ -121,9 +131,12 @@ def image_dedup_survivors(
     the banded phash equi-join — no all-pairs anywhere."""
     from pyspark.sql import Window
 
+    if prefer is not None and not transitive:
+        raise ValueError("prefer= needs cluster semantics: pass transitive=True")
+    order = ([prefer] if prefer is not None else []) + [F.col(id_col)]
     no_bytes = df.filter(F.col(bytes_col).isNull())
     with_bytes = df.filter(F.col(bytes_col).isNotNull())
-    w = Window.partitionBy("_fp").orderBy(id_col)
+    w = Window.partitionBy("_fp").orderBy(*order)
     exact = (
         with_bytes.withColumn("_fp", F.md5(F.col(bytes_col)))
         .withColumn("_rn", F.row_number().over(w))
@@ -137,6 +150,18 @@ def image_dedup_survivors(
         from ..dedup.text_corpus import min_label_components
 
         labels = min_label_components(pairs, a_col="id_a", b_col="id_b", max_iters=max_iters)
+        if prefer is not None:
+            # rank inside each component (singletons = their own id)
+            clustered = exact.join(
+                labels.withColumnRenamed("node", id_col), id_col, "left"
+            ).withColumn("_cluster", F.coalesce(F.col("label"), F.col(id_col)))
+            cw = Window.partitionBy("_cluster").orderBy(*order)
+            return (
+                clustered.withColumn("_rn", F.row_number().over(cw))
+                .filter(F.col("_rn") == 1)
+                .drop("_cluster", "label", "_rn")
+                .unionByName(no_bytes)
+            )
         losers = labels.filter(F.col("node") != F.col("label")).select(
             F.col("node").alias(id_col)
         )

@@ -280,22 +280,28 @@ def build_image_dedup_inputs() -> str:
     in <=2 xxhash64-pinned bit positions so the perceptual pass drops
     it). ``fp`` is the pure-Python md5 of the bytes — the oracle's
     independent stand-in for the engine's Spark-side ``F.md5(bytes)``
-    grouping (identical bytes => identical fp on both sides)."""
+    grouping (identical bytes => identical fp on both sides). ``ntok``
+    is the caption's space-token count after the variants' caption
+    edits (~x appends 2 tokens, ~v appends 3) — the prefer key of the
+    best-caption query (captions are single-spaced by construction, so
+    python split(' ') == Spark split(caption, ' '))."""
     import hashlib
 
     import pyarrow as pa
 
     world, _ = _sim_world()
     rows = []
-    for image_id, data, ph in zip(
+    for image_id, data, ph, cap in zip(
         world.image_caption["image_id"],
         world.image_caption["bytes"],
         world.image_caption["phash"],
+        world.image_caption["caption"],
     ):
         ph = int(ph)
         fp = hashlib.md5(bytes(data)).hexdigest()
-        rows.append((image_id, fp, ph))
-        rows.append((image_id + "~x", fp, ph))
+        ntok = len(cap.split(" "))
+        rows.append((image_id, fp, ph, ntok))
+        rows.append((image_id + "~x", fp, ph, ntok + 2))
         b1 = xxhash64_str(image_id) % 64
         b2 = xxhash64_str(image_id + "b") % 64
         rows.append(
@@ -303,13 +309,19 @@ def build_image_dedup_inputs() -> str:
                 image_id + "~v",
                 hashlib.md5(bytes(data) + b"v").hexdigest(),
                 _signed64((ph & _MASK64) ^ (1 << b1) ^ (1 << b2)),
+                ntok + 3,
             )
         )
     schema = pa.schema(
-        [("image_id", pa.string()), ("fp", pa.string()), ("phash", pa.int64())]
+        [
+            ("image_id", pa.string()),
+            ("fp", pa.string()),
+            ("phash", pa.int64()),
+            ("ntok", pa.int32()),
+        ]
     )
     return _write(
-        pd.DataFrame(rows, columns=["image_id", "fp", "phash"]),
+        pd.DataFrame(rows, columns=["image_id", "fp", "phash", "ntok"]),
         "image_dedup_inputs.parquet",
         schema,
     )

@@ -59,6 +59,39 @@ def test_all_null_bytes_passthrough(spark):
     assert _ids(image_dedup_survivors(df)) == ["a", "b"]
 
 
+def test_prefer_best_caption(spark):
+    ntok = -F.size(F.split("caption", " "))
+    rows = [
+        # exact byte group: z has the longer caption -> z survives pass 1
+        ("a", bytearray(b"same"), 0, "one two"),
+        ("z", bytearray(b"same"), 0, "one two three"),
+        # phash cluster with z (dist 1): m has the longest caption -> keeper
+        ("m", bytearray(b"other"), 1, "one two three four"),
+        # singleton cluster (8 bits away): survives regardless of caption length
+        ("s", bytearray(b"third"), 0xFF, "x"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long, caption string")
+    out = image_dedup_survivors(df, threshold=2, transitive=True, prefer=ntok)
+    assert _ids(out) == ["m", "s"]
+    # ties on the prefer key fall back to lowest id
+    rows_tie = [
+        ("b", bytearray(b"1"), 0, "one two"),
+        ("a", bytearray(b"2"), 1, "one two"),
+    ]
+    df_tie = spark.createDataFrame(
+        rows_tie, "image_id string, bytes binary, phash long, caption string"
+    )
+    assert _ids(image_dedup_survivors(df_tie, threshold=2, transitive=True, prefer=ntok)) == ["a"]
+
+
+def test_prefer_requires_transitive(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x"), 1, "c")], "image_id string, bytes binary, phash long, caption string"
+    )
+    with pytest.raises(ValueError):
+        image_dedup_survivors(df, prefer=F.lit(0))
+
+
 def test_threshold_guard(spark):
     df = spark.createDataFrame(
         [("a", bytearray(b"x"), 1)], "image_id string, bytes binary, phash long"
