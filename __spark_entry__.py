@@ -1142,6 +1142,120 @@ def q_image_dedup_best_caption(spark, sf):
     )
 
 
+def q_image_header_integrity(spark, sf):
+    """Metadata-vs-payload header audit (imaging/headers.
+    header_integrity_flags): container sniff + fixed-offset IHDR dims
+    parse as pure JVM column algebra (substring/hex/conv — zero
+    Python, zero shuffle, plan-tested in test_integrity_ops). Input:
+    the T1 payload table with a digit-keyed corruption plan (d =
+    digits(image_id) % 7: 0=truncate to 10 bytes, 1=swap the fmt
+    column, 2=prepend 2 garbage bytes, 3=NULL bytes, else untouched).
+    Oracle: the same plan replicated on the simulator world's raw
+    bytes and parsed with pure-Python struct.unpack
+    (builders.build_header_audit_inputs); flags computed relationally
+    in SQL."""
+    from scrapy_products_tracker_spark.imaging import header_integrity_flags
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    d = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int") % 7
+    corrupted = base.select(
+        "image_id",
+        F.when(d == 0, F.substring("bytes", 1, 10))
+        .when(d == 2, F.concat(F.lit(b"XX"), F.col("bytes")))
+        .when(d == 3, F.lit(None).cast("binary"))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        "w",
+        "h",
+        F.when(
+            d == 1, F.when(F.col("fmt") == "png", F.lit("jpeg")).otherwise(F.lit("png"))
+        )
+        .otherwise(F.col("fmt"))
+        .alias("fmt"),
+    )
+    return (
+        header_integrity_flags(corrupted)
+        .select(
+            "image_id", "fmt", "container", "hdr_w", "hdr_h",
+            "container_ok",
+            # three-state (pass/fail/unknown) as nullable int: a NULL
+            # boolean round-trips differently through pandas on the two
+            # engines (None vs NaN), an int is unambiguous
+            F.col("dims_ok").cast("int").alias("dims_ok"),
+            "ok",
+        )
+        .orderBy("image_id")
+    )
+
+
+def q_phash_audit(spark, sf):
+    """Payload phash integrity audit (imaging/media.phash_audit):
+    decode every payload, recompute the 64-bit average hash, and
+    report Hamming distance vs the stored ``phash`` column —
+    Arrow-batched kernel, undecodable rows REPORTED with NULL dist
+    (audit semantics), never fatal (X6). Planting (d = digits % 5):
+    d==0 prepends junk (undecodable), d==1 flips 3 bits of the stored
+    hash (stale-hash detection). Oracle: both hashes re-derived from
+    the generator's ground-truth pixels by an INDEPENDENT
+    integral-image average-hash implementation + the closed-form
+    lossy quantization (builders.build_phash_audit_expected) — the
+    engine's decoder and codec.phash64 are never called."""
+    from scrapy_products_tracker_spark.imaging import phash_audit
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select(
+        "image_id", "bytes", "fmt", "phash"
+    )
+    d = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int") % 5
+    planted = base.select(
+        "image_id",
+        F.when(d == 0, F.concat(F.lit(b"JUNKJUNK"), F.col("bytes")))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        "fmt",
+        F.when(d == 1, F.col("phash").bitwiseXOR(F.lit(0b111)))
+        .otherwise(F.col("phash"))
+        .alias("phash"),
+    )
+    return phash_audit(planted).select("image_id", "fmt", "dist").orderBy("image_id")
+
+
+def q_caption_frequency(spark, sf):
+    """Spam-caption filter (imaging/dataset.caption_frequency_filter):
+    drop rows whose normalized caption occurs more than max_count
+    times — 8-byte-hash count shuffle, broadcast hot set, full-caption
+    exact confirm, broadcast anti-join (the full-width table is never
+    shuffled; plan-tested). Input: T1 captions with a planted hot
+    caption on digits%4==0 rows, in two casings/spacings (digits%8
+    picks) that normalize equal — the filter must collapse them.
+    Oracle: the same planting + trim/collapse/lowercase + GROUP BY
+    relationally over the ground-truth caption column."""
+    from scrapy_products_tracker_spark.imaging import caption_frequency_filter
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select("image_id", "caption")
+    dd = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int")
+    planted = base.select(
+        "image_id",
+        F.when(
+            dd % 4 == 0,
+            F.when(dd % 8 == 0, F.lit("Promo  Stock photo BUY now")).otherwise(
+                F.lit("promo stock photo buy now")
+            ),
+        )
+        .otherwise(F.col("caption"))
+        .alias("caption"),
+    )
+    return (
+        caption_frequency_filter(planted, max_count=3)
+        .select("image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_laion_filter(spark, sf):
     """LAION/DataComp-style pre-training row filters over the
     image+caption payload table (imaging/dataset.laion_filter):
@@ -1270,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
         "image_dedup_best_caption": q_image_dedup_best_caption,
+        "image_header_integrity": q_image_header_integrity,
+        "phash_payload_audit": q_phash_audit,
+        "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1294,6 +1411,8 @@ def oracle_sql() -> dict[str, str]:
     p_icm = OB.build_image_caption_meta()
     p_ph = OB.build_phash_pairs_inputs()
     p_imgdd = OB.build_image_dedup_inputs()
+    p_hdr = OB.build_header_audit_inputs()
+    p_pha = OB.build_phash_audit_expected()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1515,6 +1634,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.image_id,
                      row_number() OVER (PARTITION BY c.cluster ORDER BY e.ntok DESC, e.image_id) AS rn
               FROM exact e JOIN comp c ON c.node = e.image_id) WHERE rn = 1
+            ORDER BY image_id
+        """,
+        "image_header_integrity": f"""
+            WITH t AS (SELECT * FROM read_parquet('{p_hdr}')),
+            flags AS (
+              SELECT image_id, fmt, container, hdr_w, hdr_h,
+                     CASE WHEN container IS NULL THEN false
+                          WHEN fmt = 'png' THEN container = 'png'
+                          WHEN fmt = 'jpeg' THEN container IN ('jpeg', 'lossy-png')
+                          ELSE false END AS container_ok,
+                     CASE WHEN container IN ('png', 'lossy-png')
+                          THEN (hdr_w IS NOT NULL AND hdr_h IS NOT NULL
+                                AND hdr_w = w AND hdr_h = h)
+                          ELSE NULL END AS dims_ok
+              FROM t)
+            SELECT image_id, fmt, container, hdr_w, hdr_h, container_ok,
+                   CAST(dims_ok AS INT) AS dims_ok,
+                   (container_ok AND coalesce(dims_ok, true)) AS ok
+            FROM flags ORDER BY image_id
+        """,
+        "phash_payload_audit": f"""
+            SELECT image_id, fmt, dist FROM read_parquet('{p_pha}') ORDER BY image_id
+        """,
+        "caption_frequency_survivors": rf"""
+            WITH t AS (
+              SELECT image_id,
+                     CASE WHEN TRY_CAST(regexp_extract(image_id, '([0-9]+)', 1) AS INT) % 4 = 0
+                          THEN CASE WHEN TRY_CAST(regexp_extract(image_id, '([0-9]+)', 1) AS INT) % 8 = 0
+                                    THEN 'Promo  Stock photo BUY now'
+                                    ELSE 'promo stock photo buy now' END
+                          ELSE caption END AS cap
+              FROM read_parquet('{p_icm}')),
+            norm AS (
+              SELECT image_id, lower(regexp_replace(trim(cap), '\s+', ' ', 'g')) AS ncap
+              FROM t),
+            hot AS (
+              SELECT ncap FROM (SELECT ncap, count(*) AS c FROM norm GROUP BY 1)
+              WHERE c > 3)
+            SELECT image_id FROM norm
+            WHERE ncap NOT IN (SELECT ncap FROM hot)
             ORDER BY image_id
         """,
         "json_projection": """

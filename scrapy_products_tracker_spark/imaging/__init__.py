@@ -1,7 +1,15 @@
 from .codec import decode_image, encode_image, phash64, psnr
-from .dataset import DEFAULT_ASPECT_BUCKETS, aspect_bucket_assign, laion_filter, pack_shards
+from .dataset import (
+    DEFAULT_ASPECT_BUCKETS,
+    aspect_bucket_assign,
+    caption_frequency_filter,
+    laion_filter,
+    pack_shards,
+)
+from .headers import header_integrity_flags, png_header_dims
 from .media import (
     audio_stats,
+    phash_audit,
     decode_audio,
     encode_audio,
     encode_video,
@@ -16,8 +24,12 @@ from .png import decode_png, encode_png
 __all__ = [
     "DEFAULT_ASPECT_BUCKETS",
     "aspect_bucket_assign",
+    "caption_frequency_filter",
+    "header_integrity_flags",
     "laion_filter",
     "pack_shards",
+    "phash_audit",
+    "png_header_dims",
     "decode_image",
     "encode_image",
     "phash64",

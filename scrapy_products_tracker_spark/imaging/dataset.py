@@ -228,3 +228,53 @@ def pack_shards(
             F.expr(f"div(_before, {int(budget_bytes)})").cast("int").alias("shard_id"),
         )
     )
+
+
+def caption_frequency_filter(
+    df: DataFrame,
+    max_count: int = 10,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Drop every row whose normalized caption occurs more than
+    ``max_count`` times in the corpus — the boilerplate-caption filter
+    web-scraped image datasets run early (the LAION-2B analysis found
+    the most frequent alt-texts are pure spam: "image may contain...",
+    SKU templates, watermark notices; a caption shared by thousands of
+    images carries no supervision signal).
+
+    Normalization is trim + whitespace-collapse + lowercase; NULL /
+    blank captions are never "spam" (there is no caption to repeat)
+    and always survive.
+
+    Scale plan (the point — a naive ``Window.partitionBy(caption)``
+    would shuffle the full rows, bytes column included):
+
+    1. count by ``xxhash64(norm_caption)`` — the shuffle carries
+       8-byte keys with map-side partial aggregation, nothing else;
+    2. keys with count > max_count are the hot set — tiny by
+       construction (heavy hitters), so it BROADCASTS;
+    3. exact confirm: only candidate rows (semi-join vs the broadcast
+       hot keys) are re-counted by the FULL normalized caption, so a
+       64-bit hash collision can never drop an innocent row — the
+       same prefilter-then-confirm shape as the Bloom seen-set;
+    4. survivors = broadcast anti-join of the original df against the
+       confirmed hot captions. The full-width table is scanned once,
+       never shuffled.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(caption_col)), r"\s+", " "))
+    has_cap = F.col(caption_col).isNotNull() & (F.trim(F.col(caption_col)) != "")
+    keyed = df.filter(has_cap).select(F.xxhash64(norm).alias("_ck"), norm.alias("_cap"))
+    hot_keys = (
+        keyed.groupBy("_ck").count().filter(F.col("count") > max_count).select("_ck")
+    )
+    hot_caps = (
+        keyed.join(F.broadcast(hot_keys), "_ck", "left_semi")
+        .groupBy("_cap")
+        .count()
+        .filter(F.col("count") > max_count)
+        .select("_cap")
+    )
+    return df.join(
+        F.broadcast(hot_caps), has_cap & (norm == F.col("_cap")), "left_anti"
+    )

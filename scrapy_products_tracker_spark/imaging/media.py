@@ -282,3 +282,64 @@ def audio_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "kind", "bytes").mapInPandas(_kernel, AUDIO_STATS_SCHEMA)
+
+
+PHASH_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("phash", T.LongType()),  # stored (metadata) hash
+        T.StructField("phash_pixels", T.LongType()),  # recomputed from payload
+        T.StructField("dist", T.IntegerType()),
+    ]
+)
+
+_MASK64 = (1 << 64) - 1
+
+
+def phash_audit(df: DataFrame) -> DataFrame:
+    """Payload-vs-metadata perceptual-hash audit: decode each payload,
+    recompute the 64-bit average hash (codec.phash64 — the same
+    definition the ``phash`` metadata column is contracted to carry),
+    and report the Hamming distance between stored and recomputed.
+
+    This is the deep counterpart of headers.header_integrity_flags:
+    the header audit is free (no decode) and catches container-level
+    corruption; this one costs a decode and catches a payload whose
+    pixels no longer match the row's identity (substituted image,
+    bit-rot past the header, stale phash after a re-encode). At 10^10
+    rows you run it sampled or on suspect partitions, which is why it
+    is a standalone operator and not folded into the filter path.
+
+    Unlike the transform kernels above, undecodable rows are NOT
+    dropped — an audit must surface them — so hostile payloads come
+    back with ``phash_pixels``/``dist`` NULL (and the X6 contract
+    still holds: no row can fail the task). Expected distances:
+    0 for lossless ``png``; small (quantization noise on an average
+    hash) for the lossy path.
+    """
+    from .codec import phash64
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, data, stored in zip(
+                pdf["image_id"], pdf["fmt"], pdf["bytes"], pdf["phash"]
+            ):
+                stored = None if pd.isna(stored) else int(stored)
+                recomputed = dist = None
+                if data is not None:
+                    try:  # hostile payload: report the row, never fail the task
+                        recomputed = phash64(decode_image(bytes(data)))
+                    except (ValueError, NotImplementedError, TypeError, struct.error):
+                        recomputed = None
+                if recomputed is not None and stored is not None:
+                    dist = bin((stored ^ recomputed) & _MASK64).count("1")
+                out.append((mid, fmt, stored, recomputed, dist))
+            yield pd.DataFrame(
+                out, columns=["image_id", "fmt", "phash", "phash_pixels", "dist"]
+            )
+
+    return df.select("image_id", "fmt", "bytes", "phash").mapInPandas(
+        _kernel, PHASH_AUDIT_SCHEMA
+    )

@@ -510,14 +510,15 @@ def build_band_assignments(
 
 
 def build_image_caption_meta() -> str:
-    """(image_id, w, h, fmt, n_cap_tokens, n_payload_bytes) metadata
-    table for the image+caption dataset-curation oracles (laion
-    filter, aspect buckets, shard packing). Token counts and payload
-    byte sizes are computed HERE in pure Python (``str.split()`` /
-    ``len(bytes) + len(caption.encode())``) — independent of the
-    Spark-side ``split``/``octet_length`` kernels they check — while
-    dimensions/format are the generator's shared ground truth (the
-    same fixture role documents.parquet plays for the text oracles)."""
+    """(image_id, w, h, fmt, caption, n_cap_tokens, n_payload_bytes)
+    metadata table for the image+caption dataset-curation oracles
+    (laion filter, aspect buckets, shard packing, caption-frequency
+    filter). Token counts and payload byte sizes are computed HERE in
+    pure Python (``str.split()`` / ``len(bytes) + len(caption.
+    encode())``) — independent of the Spark-side ``split``/
+    ``octet_length`` kernels they check — while dimensions/format/
+    caption are the generator's shared ground truth (the same fixture
+    role documents.parquet plays for the text oracles)."""
     import pyarrow as pa
 
     world, _ = _sim_world()
@@ -533,6 +534,7 @@ def build_image_caption_meta() -> str:
                 "w": int(w),
                 "h": int(h),
                 "fmt": fmt,
+                "caption": caption,
                 "n_cap_tokens": len(cap.split()),
                 "n_payload_bytes": len(data) + len(cap.encode("utf-8")),
             }
@@ -543,8 +545,161 @@ def build_image_caption_meta() -> str:
             ("w", pa.int32()),
             ("h", pa.int32()),
             ("fmt", pa.string()),
+            ("caption", pa.string()),
             ("n_cap_tokens", pa.int32()),
             ("n_payload_bytes", pa.int64()),
         ]
     )
     return _write(pd.DataFrame(rows), "image_caption_meta.parquet", schema)
+
+
+def _digits(image_id: str) -> int:
+    """First run of digits in an id — the deterministic planting key
+    the integrity-audit queries use on BOTH engines (Spark:
+    ``regexp_extract(image_id, '([0-9]+)', 1)``)."""
+    import re
+
+    m = re.search(r"[0-9]+", image_id)
+    return int(m.group()) if m else 0
+
+
+def _sniff_container(data: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Independent pure-Python header parse (struct.unpack over fixed
+    offsets) — checks the engine's substring/hex/conv column algebra
+    in imaging/headers.py without sharing a line with it."""
+    import struct as _struct
+
+    png_sig = b"\x89PNG\r\n\x1a\n"
+    if data is None:
+        return None, None, None
+    if data[:8] == png_sig:
+        if len(data) >= 24:
+            w, h = _struct.unpack(">II", data[16:24])
+            return "png", w, h
+        return "png", None, None
+    if data[:12] == b"LSY1" + png_sig:
+        if len(data) >= 28:
+            w, h = _struct.unpack(">II", data[20:28])
+            return "lossy-png", w, h
+        return "lossy-png", None, None
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg", None, None
+    return "unknown", None, None
+
+
+def build_header_audit_inputs() -> str:
+    """Planted-corruption table for the header-integrity oracle. The
+    Spark query applies the SAME digit-keyed corruption plan to the T1
+    payload table (d%7: 0=truncate to 10 bytes, 1=swap the fmt column,
+    2=prepend 2 garbage bytes, 3=NULL bytes); this builder replicates
+    the plan on the simulator world's raw bytes and parses the result
+    with struct.unpack, so the artifact carries independently-derived
+    (container, hdr_w, hdr_h) next to the ground-truth (fmt, w, h) —
+    the oracle SQL computes the flags relationally from it."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    ic = world.image_caption
+    rows = []
+    for image_id, data, w, h, fmt in zip(
+        ic["image_id"], ic["bytes"], ic["w"], ic["h"], ic["fmt"]
+    ):
+        data = bytes(data)
+        d = _digits(image_id) % 7
+        if d == 0:
+            data = data[:10]
+        elif d == 1:
+            fmt = "jpeg" if fmt == "png" else "png"
+        elif d == 2:
+            data = b"XX" + data
+        elif d == 3:
+            data = None
+        container, hdr_w, hdr_h = _sniff_container(data)
+        rows.append((image_id, fmt, int(w), int(h), container, hdr_w, hdr_h))
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("container", pa.string()),
+            ("hdr_w", pa.int64()),
+            ("hdr_h", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "fmt", "w", "h", "container", "hdr_w", "hdr_h"]),
+        "header_audit_inputs.parquet",
+        schema,
+    )
+
+
+def _ahash64_indep(pixels: np.ndarray) -> int:
+    """Independent 64-bit average hash: integral-image block means
+    (cumsum of exact-integer channel sums) instead of the engine's
+    per-block ``.mean()`` loops (imaging/codec.py phash64). Bit-equal
+    on well-formed inputs; any drift in either implementation shows up
+    as an oracle hash mismatch."""
+    px = pixels.astype(np.float64)
+    gray3 = px.sum(axis=2) if px.ndim == 3 else px * 3.0  # 3x gray, integer-exact
+    h, w = gray3.shape
+    S = np.zeros((h + 1, w + 1))
+    S[1:, 1:] = gray3.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            area = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+            s = S[ys[i + 1], xs[j + 1]] - S[ys[i], xs[j + 1]] - S[ys[i + 1], xs[j]] + S[ys[i], xs[j]]
+            blocks[i, j] = s / area
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return _signed64(val)
+
+
+def build_phash_audit_expected() -> str:
+    """Expected (image_id, fmt, dist) for the phash-audit query: the
+    stored hash AND the recomputed hash are both re-derived here from
+    the generator's ground-truth source pixels via the independent
+    integral-image average hash (_ahash64_indep) — the engine's
+    decode path and codec.phash64 are never called. Plan (d = digits
+    % 5): d==0 rows get junk-prepended bytes (undecodable -> dist
+    NULL); d==1 rows get a stale stored hash (xor 0b111); lossy rows
+    recompute over the closed-form quantized pixels, so their dist is
+    the quantization noise of the average hash."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt, f"world fmt drift for {image_id}"
+        stored = _ahash64_indep(pixels)
+        d = _digits(image_id) % 5
+        if d == 1:
+            stored = _signed64((stored & _MASK64) ^ 0b111)
+        if d == 0:
+            dist = None  # junk-prepended payload: undecodable
+        else:
+            decoded = pixels
+            if fmt == "jpeg":  # surrogate-lossy closed form, Q=6
+                decoded = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(
+                    np.uint8
+                )
+            recomputed = _ahash64_indep(decoded)
+            dist = bin(((stored ^ recomputed) & _MASK64)).count("1")
+        rows.append((image_id, fmt, dist))
+    schema = pa.schema(
+        [("image_id", pa.string()), ("fmt", pa.string()), ("dist", pa.int32())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "fmt", "dist"]),
+        "phash_audit_expected.parquet",
+        schema,
+    )

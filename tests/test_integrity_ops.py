@@ -1,0 +1,154 @@
+"""Payload-integrity + caption-frequency operators.
+
+- headers.header_integrity_flags: fixed-offset JVM binary parse of
+  PNG / lossy-surrogate containers, validated against hand-built and
+  world payloads (incl. truncation, garbage, NULL, fmt swaps).
+- media.phash_audit: decode + recompute phash, distance vs the stored
+  column (0 for png, bounded for the lossy surrogate, NULL on junk).
+- dataset.caption_frequency_filter: spam captions dropped exactly,
+  NULL/blank captions immune, hash-prefilter == naive full count.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.imaging import (
+    caption_frequency_filter,
+    encode_image,
+    header_integrity_flags,
+    phash64,
+    phash_audit,
+)
+
+IMG_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def _px(seed, h=9, w=11):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def payloads():
+    png = encode_image(_px(1), "png")
+    lsy = encode_image(_px(2), "jpeg")  # sandbox surrogate: LSY1 + png
+    return png, lsy
+
+
+def test_header_flags_matrix(spark, payloads):
+    png, lsy = payloads
+    rows = [
+        ("good_png", bytearray(png), 11, 9, "png"),
+        ("good_jpeg", bytearray(lsy), 11, 9, "jpeg"),
+        ("fmt_swap", bytearray(png), 11, 9, "jpeg"),
+        ("dims_lie", bytearray(png), 12, 9, "png"),
+        ("truncated", bytearray(png[:10]), 11, 9, "png"),
+        ("garbage", bytearray(b"XX" + png), 11, 9, "png"),
+        ("null_bytes", None, 11, 9, "png"),
+        ("real_jpeg", bytearray(b"\xff\xd8\xff\xe0rest"), 11, 9, "jpeg"),
+    ]
+    out = {
+        r["image_id"]: r.asDict()
+        for r in header_integrity_flags(spark.createDataFrame(rows, IMG_SCHEMA)).collect()
+    }
+    g = out["good_png"]
+    assert (g["container"], g["hdr_w"], g["hdr_h"], g["ok"]) == ("png", 11, 9, True)
+    j = out["good_jpeg"]
+    assert (j["container"], j["hdr_w"], j["hdr_h"], j["ok"]) == ("lossy-png", 11, 9, True)
+    assert out["fmt_swap"]["container_ok"] is False and out["fmt_swap"]["ok"] is False
+    d = out["dims_lie"]
+    assert d["dims_ok"] is False and d["ok"] is False and d["hdr_w"] == 11
+    t = out["truncated"]  # sig intact, IHDR gone: container known, dims unparseable
+    assert (t["container"], t["hdr_w"], t["dims_ok"], t["ok"]) == ("png", None, False, False)
+    assert out["garbage"]["container"] == "unknown" and out["garbage"]["ok"] is False
+    n = out["null_bytes"]
+    assert n["container"] is None and n["container_ok"] is False and n["ok"] is False
+    r = out["real_jpeg"]  # dims unknowable at fixed offset: NULL, not a mismatch
+    assert (r["container"], r["hdr_w"], r["dims_ok"], r["ok"]) == ("jpeg", None, None, True)
+
+
+def test_header_parse_is_jvm_only(spark, payloads):
+    png, _ = payloads
+    df = header_integrity_flags(
+        spark.createDataFrame([("a", bytearray(png), 11, 9, "png")], IMG_SCHEMA)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan  # narrow map, no shuffle
+
+
+def test_phash_audit_distances(spark, payloads):
+    png, lsy = payloads
+    rows = [
+        ("p", bytearray(png), 11, 9, "png"),
+        ("j", bytearray(lsy), 11, 9, "jpeg"),
+        ("junk", bytearray(b"notanimage"), 11, 9, "png"),
+        ("nul", None, 11, 9, "png"),
+    ]
+    df = spark.createDataFrame(rows, IMG_SCHEMA).withColumn(
+        "phash",
+        F.when(F.col("image_id") == "p", F.lit(phash64(_px(1))))
+        .when(F.col("image_id") == "j", F.lit(phash64(_px(2))))
+        .otherwise(F.lit(0)),
+    )
+    out = {r["image_id"]: r.asDict() for r in phash_audit(df).collect()}
+    assert out["p"]["dist"] == 0  # lossless: bit-exact recompute
+    assert out["j"]["dist"] <= 16  # quantization noise on an average hash
+    assert out["junk"]["phash_pixels"] is None and out["junk"]["dist"] is None
+    assert out["nul"]["phash_pixels"] is None
+    assert len(out) == 4  # audit reports every row, drops none
+
+
+def test_phash_audit_stale_hash_detected(spark, payloads):
+    png, _ = payloads
+    df = spark.createDataFrame(
+        [("a", bytearray(png), 11, 9, "png")], IMG_SCHEMA
+    ).withColumn("phash", F.lit(phash64(_px(1)) ^ 0b111))  # 3 flipped bits
+    assert phash_audit(df).collect()[0]["dist"] == 3
+
+
+CAP_SCHEMA = "image_id string, caption string"
+
+
+def test_caption_frequency_exact(spark):
+    rows = (
+        [(f"s{i}", "Stock  Photo") for i in range(4)]  # 4 > 2: spam
+        + [(f"u{i}", f"unique caption {i}") for i in range(3)]
+        + [("n0", None), ("n1", ""), ("n2", "   ")]  # no caption: immune
+        + [("c0", "stock photo"), ("c1", " STOCK PHOTO ")]  # same after norm: spam too
+    )
+    out = caption_frequency_filter(
+        spark.createDataFrame(rows, CAP_SCHEMA), max_count=2
+    )
+    kept = sorted(r["image_id"] for r in out.collect())
+    assert kept == ["n0", "n1", "n2", "u0", "u1", "u2"]
+
+
+def test_caption_frequency_at_threshold_survives(spark):
+    rows = [(f"a{i}", "twice seen") for i in range(2)] + [("b", "solo")]
+    out = caption_frequency_filter(spark.createDataFrame(rows, CAP_SCHEMA), max_count=2)
+    assert out.count() == 3  # count == max_count is allowed, only > drops
+
+
+def test_caption_frequency_matches_naive(spark):
+    rng = np.random.default_rng(7)
+    caps = [f"cap {int(x)}" for x in rng.integers(0, 12, size=200)]
+    rows = [(f"d{i}", c) for i, c in enumerate(caps)]
+    df = spark.createDataFrame(rows, CAP_SCHEMA)
+    fast = {r["image_id"] for r in caption_frequency_filter(df, max_count=15).collect()}
+    from collections import Counter
+
+    counts = Counter(caps)
+    naive = {f"d{i}" for i, c in enumerate(caps) if counts[c] <= 15}
+    assert fast == naive
+
+
+def test_caption_frequency_broadcast_plan(spark):
+    df = spark.createDataFrame([("a", "x"), ("b", "y")], CAP_SCHEMA)
+    plan = caption_frequency_filter(df)._jdf.queryExecution().executedPlan().toString()
+    # the anti-join against hot captions must be broadcast, never a
+    # sort-merge shuffle of the full-width table
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
