@@ -1142,6 +1142,37 @@ def q_image_dedup_best_caption(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style sequence packing (functions/text.pack_sequences):
+    concat every document (+1 EOS) in doc_id order, chunk the stream
+    into 64-token training sequences, report each doc's (tok_before,
+    first_seq, last_seq). Runs the two-phase distributed prefix sum
+    (range = zero-padded div(doc_id, 1000); no unbounded global
+    window). Oracle: the naive single-window SQL prefix sum — the
+    distributed plan must equal it exactly (all integer math)."""
+    from scrapy_products_tracker_spark.functions.text import pack_sequences
+
+    d = _t(spark, sf, "documents").withColumn(
+        "_rng", F.format_string("%09d", F.expr("div(doc_id, 1000)"))
+    )
+    return pack_sequences(d, seq_len=64, range_col="_rng").orderBy("id")
+
+
+def q_dsir_importance(spark, sf):
+    """DSIR importance scores (functions/text.dsir_importance, Xie et
+    al. 2023): per-doc Laplace-smoothed log-likelihood ratio of the
+    target token distribution (lang='en' docs) vs the raw corpus, over
+    512 hashed unigram buckets, fixed-pointed to integer micro-nats
+    per bucket so per-doc sums are exact integers. Oracle: per-token
+    bucket assignments rebuilt with the pinned pure-Python xxhash64
+    (builders.build_dsir_token_buckets); histogram + smoothing + log
+    scores + doc sums relationally in SQL."""
+    from scrapy_products_tracker_spark.functions.text import dsir_importance
+
+    d = _t(spark, sf, "documents")
+    return dsir_importance(d, F.col("lang") == "en", n_buckets=512).orderBy("id")
+
+
 def q_image_header_integrity(spark, sf):
     """Metadata-vs-payload header audit (imaging/headers.
     header_integrity_flags): container sniff + fixed-offset IHDR dims
@@ -1386,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_best_caption": q_image_dedup_best_caption,
         "image_header_integrity": q_image_header_integrity,
         "phash_payload_audit": q_phash_audit,
+        "pack_sequences_spans": q_pack_sequences,
+        "dsir_importance_scores": q_dsir_importance,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1413,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
     p_imgdd = OB.build_image_dedup_inputs()
     p_hdr = OB.build_header_audit_inputs()
     p_pha = OB.build_phash_audit_expected()
+    p_dsir = OB.build_dsir_token_buckets()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1656,6 +1690,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phash_payload_audit": f"""
             SELECT image_id, fmt, dist FROM read_parquet('{p_pha}') ORDER BY image_id
+        """,
+        "pack_sequences_spans": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(COALESCE({_NT}, 0) + 1 AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS tok_before
+              FROM t)
+            SELECT doc_id AS id, n_tokens, tok_before,
+                   CAST(tok_before // 64 AS INT) AS first_seq,
+                   CAST((tok_before + n_tokens - 1) // 64 AS INT) AS last_seq
+            FROM s ORDER BY id
+        """,
+        "dsir_importance_scores": f"""
+            WITH toks AS (SELECT * FROM read_parquet('{p_dsir}')),
+            hist AS (
+              SELECT b, count(*) AS cr, count(*) FILTER (tgt) AS ct
+              FROM toks GROUP BY b),
+            tot AS (
+              SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+              FROM hist),
+            scores AS (
+              SELECT b,
+                     CAST(round((ln((ct + 1.0) / (nt + 512))
+                               - ln((cr + 1.0) / (nr + 512))) * 1000000) AS BIGINT) AS s
+              FROM hist, tot),
+            per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(s) AS BIGINT) AS score_unats
+              FROM toks JOIN scores USING (b) GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   COALESCE(per.score_unats, 0) AS score_unats
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id) ORDER BY id
         """,
         "caption_frequency_survivors": rf"""
             WITH t AS (

@@ -9,7 +9,7 @@ so each op has an exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _STOPWORD_RE = r"\b(the|and|of|to|in|is|for|with|that|this)\b"
@@ -511,4 +511,135 @@ def lm_bigram_scores(
         F.round(
             F.col("nll_unats") / F.lit(float(unit)) / F.col("n_bigrams"), 6
         ).alias("avg_nll"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eos_tokens: int = 1,
+    range_col: str | None = None,
+) -> DataFrame:
+    """LM-pretraining sequence packing: concatenate every document (in
+    ``id_col`` order, ``eos_tokens`` separator tokens appended to each)
+    into one token stream and chunk it into fixed ``seq_len`` training
+    sequences — the standard GPT-style "concat and chunk" batcher.
+    Each doc reports the sequence range it lands in:
+
+    ``(id, n_tokens, tok_before, first_seq, last_seq)``
+
+    where ``n_tokens`` includes the EOS pad, ``tok_before`` is the
+    exact number of stream tokens before the doc's first token,
+    ``first_seq = div(tok_before, seq_len)`` and ``last_seq`` is the
+    sequence holding its final token. All integer arithmetic over
+    whitespace token counts (NULL/blank text = 0 content tokens), so
+    results are bit-identical across engines and partitionings.
+
+    Distributed prefix sum: the same two-phase scan as
+    imaging/dataset.pack_shards — per-range token totals (one tiny row
+    per range) get running offsets via a window over that tiny table,
+    then broadcast back and combined with a within-range window.
+    ``range_col`` must sort identically to a prefix of the id order
+    (zero-padded id prefix, date, crawl bucket); without it the whole
+    input is one range — correct, but the window serializes (test-only;
+    callers at scale pass a range key)."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be > 0")
+    n_tok = (
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)) + F.lit(int(eos_tokens))
+    ).cast("long")
+    rng = F.col(range_col) if range_col else F.lit("")
+    base = df.select(rng.alias("_rng"), F.col(id_col).alias("id"), n_tok.alias("n_tokens"))
+    totals = base.groupBy("_rng").agg(F.sum("n_tokens").alias("_tot"))
+    w_ranges = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rng", F.coalesce(F.sum("_tot").over(w_ranges), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_rng").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        base.join(F.broadcast(offsets), "_rng")
+        .withColumn(
+            "tok_before",
+            F.col("_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "tok_before",
+            F.expr(f"div(tok_before, {int(seq_len)})").cast("int").alias("first_seq"),
+            F.expr(f"div(tok_before + n_tokens - 1, {int(seq_len)})")
+            .cast("int")
+            .alias("last_seq"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scores (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-document log-likelihood ratio of a TARGET token distribution
+    vs the RAW corpus distribution, estimated over hashed unigram
+    buckets — the standard cheap scorer for "select web documents that
+    look like the high-quality target set".
+
+    ``is_target`` is a boolean Column marking the in-table target
+    subset (e.g. ``F.col("lang") == "en"``). Per bucket ``b``:
+    ``score(b) = round(unit * ln( ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) ))``
+    (Laplace-smoothed; ct/cr = target/raw token counts in ``b``) — the
+    log is taken ONCE per bucket on a tiny table and fixed-pointed to
+    integer micro-nats (the bigram-LM determinism trick above), so the
+    per-doc aggregation is an integer sum: exact, order-independent,
+    engine-independent. Returns ``(id, n_tokens, score_unats)`` with
+    ``score_unats = sum(score(bucket(tok)))`` over the doc's token
+    instances; docs with no tokens score 0.
+
+    Scale: one explode pass; both histograms come from the SAME
+    ``groupBy(bucket)`` (a conditional count — no second scan); the
+    score table is ``n_buckets`` rows, broadcast; the per-doc sum
+    shuffles (id, int64) pairs with map-side partial aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("_t"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).withColumn("_b", F.pmod(F.xxhash64("tok"), F.lit(int(n_buckets))))
+    hist = toks.groupBy("_b").agg(
+        F.count("*").alias("_cr"),
+        F.count_if(F.col("_t")).alias("_ct"),
+    )
+    tot = hist.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
+    scores = hist.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_ct") + 1) / (F.col("_nt") + F.lit(int(n_buckets))))
+                - F.log((F.col("_cr") + 1) / (F.col("_nr") + F.lit(int(n_buckets))))
+            )
+            * F.lit(int(unit))
+        )
+        .cast("long")
+        .alias("_s"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(scores), "_b")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_s").alias("score_unats"))
+    )
+    # empty docs never reach the explode; restore them with score 0
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("score_unats", F.lit(0)).cast("long").alias("score_unats"),
     )

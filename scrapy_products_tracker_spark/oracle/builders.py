@@ -703,3 +703,30 @@ def build_phash_audit_expected() -> str:
         "phash_audit_expected.parquet",
         schema,
     )
+
+
+def build_dsir_token_buckets(sf_dir: str = CORRECTNESS_SF, n_buckets: int = 512) -> str:
+    """Per-token-instance (doc_id, tgt, b) table for the DSIR oracle:
+    tokens from pure-Python ``str.split()`` (== trim + ``\\s+`` split
+    for non-empty text), buckets from the pinned pure-Python xxhash64
+    — independent of the Spark explode/pmod kernel. The histogram,
+    smoothing, fixed-point log scores, and per-doc sums all happen
+    relationally in the oracle SQL."""
+    import pyarrow as pa
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    rows = []
+    for doc_id, lang, text in zip(docs["doc_id"], docs["lang"], docs["text"]):
+        tgt = lang == "en"
+        for tok in (text.split() if isinstance(text, str) else []):
+            rows.append((int(doc_id), tgt, xxhash64_str(tok) % n_buckets))
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("tgt", pa.bool_()), ("b", pa.int32())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["doc_id", "tgt", "b"]),
+        "dsir_token_buckets.parquet",
+        schema,
+    )
