@@ -2,6 +2,8 @@ from .dedup_stream import dedup_url_stream
 from .price_stream import expected_price_changes, price_change_stream, stream_history
 from .results_stream import (
     domain_rate_stream,
+    integrity_flags_stream,
+    integrity_rate_stream,
     run_to_parquet,
     stream_results,
     windowed_fetch_counts,
@@ -11,6 +13,8 @@ __all__ = [
     "dedup_url_stream",
     "domain_rate_stream",
     "expected_price_changes",
+    "integrity_flags_stream",
+    "integrity_rate_stream",
     "price_change_stream",
     "run_to_parquet",
     "stream_history",

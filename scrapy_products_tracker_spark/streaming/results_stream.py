@@ -86,3 +86,34 @@ def run_to_parquet(agg: DataFrame, out_dir: str, checkpoint_dir: str):
     )
     q.awaitTermination()
     return q
+
+
+def integrity_flags_stream(results: DataFrame) -> DataFrame:
+    """Streaming payload QA, per-row: the header-integrity audit
+    (imaging/headers.header_integrity_flags) applied to the results
+    stream. The audit is pure stateless column algebra, so it attaches
+    to a stream unchanged and stays append-mode capable — route rows
+    with ``ok = false`` straight to a quarantine sink while the crawl
+    is still running (the reference writes bytes to disk unaudited,
+    save_images_pipeline.py:27-41)."""
+    from ..imaging import header_integrity_flags
+
+    return header_integrity_flags(results)
+
+
+def integrity_rate_stream(
+    results: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+) -> DataFrame:
+    """Windowed corruption-rate monitor: per (event-time window,
+    sniffed container) row and bad-row counts over the audited stream
+    — the alerting twin of integrity_flags_stream."""
+    flagged = integrity_flags_stream(results)
+    return (
+        flagged.withWatermark("fetched_at", watermark)
+        .groupBy(F.window("fetched_at", window).alias("w"), F.col("container"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(~F.col("ok")).alias("n_bad"),
+        )
+        .select(F.col("w.start").alias("window_start"), "container", "n_rows", "n_bad")
+    )

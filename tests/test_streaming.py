@@ -64,3 +64,31 @@ def test_windowed_counts_with_watermark(spark, crawled_store):
     assert sum(r["n_items"] for r in out) == meta["counters"]["items_emitted"]
     assert {r["fmt"] for r in out} <= {"png", "jpeg"}
     assert all(r["payload_bytes"] > 0 for r in out)
+
+
+def test_integrity_stream_equals_batch_audit(spark, crawled_store):
+    """The streaming header audit must agree with the batch audit over
+    the same committed results — and a healthy crawl has zero bad rows."""
+    from scrapy_products_tracker_spark.imaging import header_integrity_flags
+    from scrapy_products_tracker_spark.streaming import integrity_rate_stream
+
+    store, meta = crawled_store
+    tmp = tempfile.mkdtemp(prefix="stream_integrity_")
+    agg = integrity_rate_stream(
+        stream_results(spark, str(store.root)), window="1 hour", watermark="2 hours"
+    )
+    run_to_parquet(agg, tmp + "/out", tmp + "/ckpt")
+    out = spark.read.parquet(tmp + "/out")
+    stream_rows = out.agg(F.sum("n_rows")).collect()[0][0]
+    stream_bad = out.agg(F.sum("n_bad")).collect()[0][0]
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{store.root}/data/results"
+    )
+    flagged = header_integrity_flags(batch)
+    assert stream_rows == flagged.count() == meta["counters"]["items_emitted"]
+    assert stream_bad == flagged.filter(~F.col("ok")).count() == 0
+    # containers observed must be exactly the payload formats committed
+    stream_containers = {r["container"] for r in out.select("container").distinct().collect()}
+    batch_containers = {r["container"] for r in flagged.select("container").distinct().collect()}
+    assert stream_containers == batch_containers <= {"png", "lossy-png", "jpeg"}
