@@ -1254,6 +1254,31 @@ def q_phash_audit(spark, sf):
     return phash_audit(planted).select("image_id", "fmt", "dist").orderBy("image_id")
 
 
+def q_image_quality(spark, sf):
+    """Decode-based image quality scoring (imaging/quality.
+    image_quality_stats): per-row brightness / contrast / sharpness /
+    histogram entropy in integer milli-units — the pixel-level
+    curation pass after the metadata filters (laion_filter). Planted
+    junk payloads (digits % 9 == 0, prepend) come back with NULL
+    metrics (X6 audit semantics). Oracle: the same metrics recomputed
+    from the generator's ground-truth pixels with an independently
+    coded formula set + the closed-form lossy quantization
+    (builders.build_quality_expected)."""
+    from scrapy_products_tracker_spark.imaging import image_quality_stats
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select("image_id", "fmt", "bytes")
+    d = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int") % 9
+    planted = base.select(
+        "image_id",
+        "fmt",
+        F.when(d == 0, F.concat(F.lit(b"QQ"), F.col("bytes")))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+    )
+    return image_quality_stats(planted).orderBy("image_id")
+
+
 def q_caption_frequency(spark, sf):
     """Spam-caption filter (imaging/dataset.caption_frequency_filter):
     drop rows whose normalized caption occurs more than max_count
@@ -1419,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_payload_audit": q_phash_audit,
         "pack_sequences_spans": q_pack_sequences,
         "dsir_importance_scores": q_dsir_importance,
+        "image_quality_scores": q_image_quality,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1447,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
     p_hdr = OB.build_header_audit_inputs()
     p_pha = OB.build_phash_audit_expected()
     p_dsir = OB.build_dsir_token_buckets()
+    p_qual = OB.build_quality_expected()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1690,6 +1717,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phash_payload_audit": f"""
             SELECT image_id, fmt, dist FROM read_parquet('{p_pha}') ORDER BY image_id
+        """,
+        "image_quality_scores": f"""
+            SELECT image_id, fmt, brightness_milli, contrast_milli,
+                   sharpness_milli, entropy_milli
+            FROM read_parquet('{p_qual}') ORDER BY image_id
         """,
         "pack_sequences_spans": f"""
             WITH t AS (

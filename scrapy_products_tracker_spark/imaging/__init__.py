@@ -7,6 +7,7 @@ from .dataset import (
     pack_shards,
 )
 from .headers import header_integrity_flags, png_header_dims
+from .quality import image_quality_stats, quality_metrics
 from .media import (
     audio_stats,
     phash_audit,
@@ -26,6 +27,8 @@ __all__ = [
     "aspect_bucket_assign",
     "caption_frequency_filter",
     "header_integrity_flags",
+    "image_quality_stats",
+    "quality_metrics",
     "laion_filter",
     "pack_shards",
     "phash_audit",

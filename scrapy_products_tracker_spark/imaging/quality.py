@@ -1,0 +1,104 @@
+"""Decode-based image quality scoring for dataset curation.
+
+The LAION-style metadata filters (imaging/dataset.laion_filter) run
+before any decode; the next curation pass a multimodal pipeline makes
+is pixel-level: drop near-black thumbnails, flat single-color
+placeholder images, and blur/noise outliers before paying for
+training. This module computes the standard cheap signals per row:
+
+- ``brightness`` — mean luma (placeholder/black-frame detection),
+- ``contrast`` — luma standard deviation (flat-image detection),
+- ``sharpness`` — mean absolute horizontal gradient (blur proxy; the
+  1-D Laplacian family — no conv dependency),
+- ``entropy`` — Shannon entropy of the 256-bin channel-value
+  histogram in bits (synthetic/low-information detection).
+
+All four are fixed-pointed to integer milli-units so the output is
+engine- and partitioning-exact (the same determinism contract as the
+rest of the imaging ops). The kernel is an Arrow-batched
+``mapInPandas`` decode — the only Python in the path, and the reason
+this runs as its own sampled/suspect-partition pass rather than
+inside the metadata filter (same cost split as media.phash_audit).
+Undecodable/NULL payloads are REPORTED with NULL metrics, never fatal
+(X6 audit semantics).
+
+Reference scope: the reference stores image bytes without looking at
+them (save_images_pipeline.py:27-41); this is forward-looking
+training-pipeline surface per the task brief.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .codec import decode_image
+
+__all__ = ["IMAGE_QUALITY_SCHEMA", "image_quality_stats", "quality_metrics"]
+
+IMAGE_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("brightness_milli", T.LongType()),
+        T.StructField("contrast_milli", T.LongType()),
+        T.StructField("sharpness_milli", T.LongType()),
+        T.StructField("entropy_milli", T.LongType()),
+    ]
+)
+
+
+def quality_metrics(pixels: np.ndarray) -> tuple[int, int, int, int]:
+    """(brightness, contrast, sharpness, entropy) in integer
+    milli-units from a uint8 HxW[x3] array. Pure numpy with a fixed
+    operation order, so the oracle builder can recompute the exact
+    same integers from ground-truth pixels."""
+    px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    gray = px.mean(axis=2)
+    brightness = float(gray.mean())
+    contrast = float(gray.std())
+    sharpness = float(np.abs(np.diff(gray, axis=1)).mean()) if gray.shape[1] > 1 else 0.0
+    counts = np.bincount(px.reshape(-1), minlength=256).astype(np.float64)
+    p = counts / counts.sum()
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    return (
+        int(round(brightness * 1000)),
+        int(round(contrast * 1000)),
+        int(round(sharpness * 1000)),
+        int(round(entropy * 1000)),
+    )
+
+
+def image_quality_stats(df: DataFrame) -> DataFrame:
+    """Per-row quality metrics over (image_id, fmt, bytes)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, data in zip(pdf["image_id"], pdf["fmt"], pdf["bytes"]):
+                metrics = (None, None, None, None)
+                if data is not None:
+                    try:  # hostile payload: report the row, never fail the task
+                        metrics = quality_metrics(decode_image(bytes(data)))
+                    except (ValueError, NotImplementedError, TypeError, struct.error):
+                        pass
+                out.append((mid, fmt, *metrics))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id",
+                    "fmt",
+                    "brightness_milli",
+                    "contrast_milli",
+                    "sharpness_milli",
+                    "entropy_milli",
+                ],
+            )
+
+    return df.select("image_id", "fmt", "bytes").mapInPandas(_kernel, IMAGE_QUALITY_SCHEMA)

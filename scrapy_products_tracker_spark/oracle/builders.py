@@ -730,3 +730,70 @@ def build_dsir_token_buckets(sf_dir: str = CORRECTNESS_SF, n_buckets: int = 512)
         "dsir_token_buckets.parquet",
         schema,
     )
+
+
+def build_quality_expected() -> str:
+    """Expected per-row image quality metrics, recomputed from the
+    generator's ground-truth source pixels (never the codec) with an
+    independently-written formula set: unique-count entropy instead of
+    bincount, explicit column differences instead of np.diff, explicit
+    sqrt-of-mean-square instead of .std(). Mathematically identical,
+    differently coded — a formula or decode drift on either side shows
+    as a value mismatch. Planting mirrors q_image_quality (digits % 9
+    == 0 rows get junk-prepended bytes -> NULL metrics)."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt, f"world fmt drift for {image_id}"
+        if _digits(image_id) % 9 == 0:
+            rows.append((image_id, fmt, None, None, None, None))
+            continue
+        if fmt == "jpeg":  # surrogate-lossy closed form, Q=6
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+        gray = px.mean(axis=2)
+        brightness = float(gray.mean())
+        contrast = float(np.sqrt(np.mean(np.square(gray - gray.mean()))))
+        sharp = (
+            float(np.mean(np.abs(gray[:, 1:] - gray[:, :-1]))) if gray.shape[1] > 1 else 0.0
+        )
+        vals, counts = np.unique(px.reshape(-1), return_counts=True)
+        p = counts.astype(np.float64) / counts.sum()
+        entropy = float(-(p * np.log2(p)).sum())
+        rows.append(
+            (
+                image_id,
+                fmt,
+                int(round(brightness * 1000)),
+                int(round(contrast * 1000)),
+                int(round(sharp * 1000)),
+                int(round(entropy * 1000)),
+            )
+        )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("brightness_milli", pa.int64()),
+            ("contrast_milli", pa.int64()),
+            ("sharpness_milli", pa.int64()),
+            ("entropy_milli", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "image_id", "fmt", "brightness_milli", "contrast_milli",
+                "sharpness_milli", "entropy_milli",
+            ],
+        ),
+        "quality_expected.parquet",
+        schema,
+    )

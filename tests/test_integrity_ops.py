@@ -152,3 +152,28 @@ def test_caption_frequency_broadcast_plan(spark):
     # sort-merge shuffle of the full-width table
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_metrics_closed_forms(spark):
+    from scrapy_products_tracker_spark.imaging import encode_image, image_quality_stats
+
+    flat = np.full((8, 8, 3), 100, dtype=np.uint8)  # flat gray: contrast/sharp/entropy 0
+    grad = np.tile(np.arange(8, dtype=np.uint8) * 10, (8, 1))[:, :, None].repeat(3, axis=2)
+    rows = [
+        ("flat", bytearray(encode_image(flat, "png")), "png"),
+        ("grad", bytearray(encode_image(grad, "png")), "png"),
+        ("junk", bytearray(b"nope"), "png"),
+        ("nul", None, "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r["image_id"]: r.asDict() for r in image_quality_stats(df).collect()}
+    f = out["flat"]
+    assert (f["brightness_milli"], f["contrast_milli"], f["sharpness_milli"],
+            f["entropy_milli"]) == (100000, 0, 0, 0)
+    g = out["grad"]
+    assert g["brightness_milli"] == 35000  # mean of 0..70 step 10
+    assert g["sharpness_milli"] == 10000  # constant 10 gradient
+    assert g["entropy_milli"] == 3000  # 8 equiprobable values = 3 bits
+    assert out["junk"]["brightness_milli"] is None
+    assert out["nul"]["entropy_milli"] is None
+    assert len(out) == 4  # audit semantics: every row reported
