@@ -1254,6 +1254,47 @@ def q_phash_audit(spark, sf):
     return phash_audit(planted).select("image_id", "fmt", "dist").orderBy("image_id")
 
 
+def q_image_caption_dedup(spark, sf):
+    """Joint multimodal dedup (imaging/neardup.image_caption_dedup):
+    duplicates if images near-dup (banded phash, Hamming <= 7) OR
+    captions are exact after normalization; min-label components over
+    the UNION edge set, lowest-id survivor. Planting (d = digits % 6):
+    d==0 adds ``~cc`` (same caption, far xxhash phash — caption edge
+    only), d==1 adds ``~pp`` (one pinned flipped phash bit, unique
+    caption — image edge only); every variant must collapse into its
+    base row's cluster. Oracle: pinned-xxhash64 rebuild of the planted
+    table + all-pairs Hamming UNION caption-equal edges + the
+    recursive-CTE components (builders.build_mm_dedup_inputs)."""
+    from scrapy_products_tracker_spark.imaging import image_caption_dedup
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select(
+        "image_id", "phash", "caption"
+    )
+    dd = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int")
+    cc = base.filter(dd % 6 == 0).select(
+        F.concat("image_id", F.lit("~cc")).alias("image_id"),
+        F.xxhash64(F.concat("image_id", F.lit("cc"))).alias("phash"),
+        "caption",
+    )
+    pp = base.filter(dd % 6 == 1).select(
+        F.concat("image_id", F.lit("~pp")).alias("image_id"),
+        F.col("phash")
+        .bitwiseXOR(
+            F.expr("shiftleft(1L, cast(pmod(xxhash64(concat(image_id, 'pp')), 64) as int))")
+        )
+        .alias("phash"),
+        F.concat("caption", F.lit(" pp")).alias("caption"),
+    )
+    return (
+        image_caption_dedup(
+            base.unionByName(cc).unionByName(pp), threshold=7, n_bands=8
+        )
+        .select("image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_image_quality(spark, sf):
     """Decode-based image quality scoring (imaging/quality.
     image_quality_stats): per-row brightness / contrast / sharpness /
@@ -1445,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_spans": q_pack_sequences,
         "dsir_importance_scores": q_dsir_importance,
         "image_quality_scores": q_image_quality,
+        "image_caption_dedup_survivors": q_image_caption_dedup,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1474,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
     p_pha = OB.build_phash_audit_expected()
     p_dsir = OB.build_dsir_token_buckets()
     p_qual = OB.build_quality_expected()
+    p_mmdd = OB.build_mm_dedup_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1717,6 +1760,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phash_payload_audit": f"""
             SELECT image_id, fmt, dist FROM read_parquet('{p_pha}') ORDER BY image_id
+        """,
+        "image_caption_dedup_survivors": rf"""
+            WITH RECURSIVE t AS (
+              SELECT image_id,
+                     phash,
+                     lower(regexp_replace(trim(cap), '\s+', ' ', 'g')) AS ncap
+              FROM read_parquet('{p_mmdd}')),
+            img_edges AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM t a JOIN t b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 7),
+            cap_edges AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM t a JOIN t b
+                ON a.ncap = b.ncap AND a.image_id < b.image_id),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM img_edges
+              UNION SELECT id_b, id_a FROM img_edges
+              UNION SELECT id_a, id_b FROM cap_edges
+              UNION SELECT id_b, id_a FROM cap_edges),
+            reach(node, label) AS (
+              SELECT image_id, image_id FROM t
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+            SELECT node AS image_id FROM reach
+            GROUP BY node HAVING min(label) = node
+            ORDER BY image_id
         """,
         "image_quality_scores": f"""
             SELECT image_id, fmt, brightness_milli, contrast_milli,

@@ -19,7 +19,12 @@ from .media import (
     resize_nearest,
     sample_frames,
 )
-from .neardup import image_dedup_survivors, phash_band_cols, phash_neardup_pairs
+from .neardup import (
+    image_caption_dedup,
+    image_dedup_survivors,
+    phash_band_cols,
+    phash_neardup_pairs,
+)
 from .png import decode_png, encode_png
 
 __all__ = [
@@ -39,6 +44,7 @@ __all__ = [
     "psnr",
     "decode_png",
     "encode_png",
+    "image_caption_dedup",
     "image_dedup_survivors",
     "phash_band_cols",
     "phash_neardup_pairs",

@@ -168,3 +168,61 @@ def image_dedup_survivors(
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return exact.join(losers, id_col, "left_anti").unionByName(no_bytes)
+
+
+def image_caption_dedup(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    threshold: int = 2,
+    n_bands: int = 8,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Joint multimodal dedup: two rows are duplicates if their IMAGES
+    near-dup (banded phash Hamming <= threshold) OR their CAPTIONS are
+    exact after normalization (trim + whitespace-collapse + lowercase)
+    — the both-signals policy web image+caption corpora need, since a
+    re-hosted image usually changes either the pixels (recompress) or
+    the alt-text (site template) but rarely both.
+
+    Clustering is over the UNION of the two edge sets (min-label
+    connected components, same machinery as image_dedup_survivors
+    ``transitive=True``), so a chain linked alternately by image and
+    caption edges still collapses to one survivor — the lowest id.
+    NULL/blank captions contribute no caption edges; NULL phash rows
+    contribute no image edges (a row with neither signal always
+    survives).
+
+    Scale: image edges come from the pigeonhole-exact banded equi-join
+    (no all-pairs); caption edges are built as a STAR to each group's
+    min id (one window over caption groups), never the quadratic
+    within-group pair set — a 10^6-row spam-caption group contributes
+    10^6-1 edges, not 10^12."""
+    from pyspark.sql import Window
+
+    from ..dedup.text_corpus import min_label_components
+
+    img_edges = phash_neardup_pairs(
+        df.filter(F.col(phash_col).isNotNull()),
+        id_col=id_col,
+        phash_col=phash_col,
+        threshold=threshold,
+        n_bands=n_bands,
+    ).select("id_a", "id_b")
+    norm = F.lower(F.regexp_replace(F.trim(F.col(caption_col)), r"\s+", " "))
+    capped = df.filter(
+        F.col(caption_col).isNotNull() & (F.trim(F.col(caption_col)) != "")
+    ).select(F.col(id_col).alias("_id"), norm.alias("_cap"))
+    w = Window.partitionBy("_cap")
+    cap_edges = (
+        capped.withColumn("_root", F.min("_id").over(w))
+        .filter(F.col("_id") != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    edges = img_edges.unionByName(cap_edges)
+    labels = min_label_components(edges, a_col="id_a", b_col="id_b", max_iters=max_iters)
+    losers = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -797,3 +797,41 @@ def build_quality_expected() -> str:
         "quality_expected.parquet",
         schema,
     )
+
+
+def build_mm_dedup_inputs() -> str:
+    """(image_id, phash, cap) table for the joint image+caption dedup
+    oracle — the T1 payload rows plus the query's two planted variant
+    families, phashes rebuilt with the pinned pure-Python xxhash64:
+
+    - ``~cc`` (digits % 6 == 0): SAME caption as the base row, far
+      random-ish phash (xxhash64 of image_id+'cc') — caption edge only;
+    - ``~pp`` (digits % 6 == 1): base phash with ONE pinned bit
+      flipped (dist 1 <= 7) and a unique caption — image edge only.
+
+    The oracle SQL unions all-pairs Hamming edges with caption-equal
+    edges and runs the recursive-CTE components."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    ic = world.image_caption
+    rows = []
+    for image_id, ph, cap in zip(ic["image_id"], ic["phash"], ic["caption"]):
+        ph = int(ph)
+        rows.append((image_id, ph, cap))
+        d = _digits(image_id) % 6
+        if d == 0:
+            rows.append((image_id + "~cc", xxhash64_str(image_id + "cc"), cap))
+        elif d == 1:
+            bit = xxhash64_str(image_id + "pp") % 64
+            rows.append(
+                (image_id + "~pp", _signed64((ph & _MASK64) ^ (1 << bit)), cap + " pp")
+            )
+    schema = pa.schema(
+        [("image_id", pa.string()), ("phash", pa.int64()), ("cap", pa.string())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "phash", "cap"]),
+        "mm_dedup_inputs.parquet",
+        schema,
+    )

@@ -98,3 +98,34 @@ def test_threshold_guard(spark):
     )
     with pytest.raises(ValueError):
         image_dedup_survivors(df, threshold=8, n_bands=8).collect()
+
+
+def test_image_caption_dedup_union_chain(spark):
+    from scrapy_products_tracker_spark.imaging import image_caption_dedup
+
+    rows = [
+        # a ~ b by image (dist 1); b ~ c by caption; chain collapses to a
+        ("a", 0b0000, "alpha text"),
+        ("b", 0b0001, "Shared  Caption"),
+        ("c", 0b110011, "shared caption"),
+        # d: no signal matches anything -> survives
+        ("d", 0b11110000111100001111000011110000, "solo"),
+        # e/f: NULL caption + far phash -> both survive
+        ("e", 0x7000000000000000, None),
+        ("f", 0x0FF0000000000000, ""),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    out = sorted(r["image_id"] for r in image_caption_dedup(df, threshold=2).collect())
+    assert out == ["a", "d", "e", "f"]
+
+
+def test_image_caption_dedup_caption_star_not_quadratic(spark):
+    from scrapy_products_tracker_spark.imaging import image_caption_dedup
+
+    # 50 rows sharing one caption, images all far apart (golden-ratio
+    # multiplies spread ~32 differing bits per pair): one survivor
+    mask = (1 << 63) - 1
+    rows = [(f"x{i:02d}", ((i + 1) * 0x9E3779B97F4A7C15) & mask, "same cap") for i in range(50)]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    out = image_caption_dedup(df, threshold=2).collect()
+    assert [r["image_id"] for r in out] == ["x00"]
