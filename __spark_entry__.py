@@ -1295,6 +1295,31 @@ def q_image_caption_dedup(spark, sf):
     )
 
 
+def q_sitemap_ingest(spark, sf):
+    """Sitemap ingestion (crawl/sitemap.py): parse urlset /
+    sitemap-index XML bodies into typed frontier-seed candidates —
+    JVM-regex block split, W3C lastmod -> epoch seconds, priority ->
+    clamped milli-int, CDATA/whitespace tolerant, non-http and loc-less
+    entries dropped, junk bodies yield zero rows — then canonical-merge
+    duplicate listings (max lastmod / max priority, protocol default
+    500) and anti-join a seen set (ids % 7 == 0). Oracle: DuckDB
+    re-parses the SAME shared bodies fixture with its own regexp +
+    try_strptime SQL — independent parser, shared input, the
+    render/parse fixture pattern of product_field_extraction."""
+    from scrapy_products_tracker_spark.crawl.sitemap import (
+        parse_sitemap_entries,
+        sitemap_seed_candidates,
+    )
+
+    bodies = spark.read.parquet(OB.build_sitemap_bodies())
+    entries = parse_sitemap_entries(bodies)
+    pid = F.nullif(F.regexp_extract("loc", r"/p/([0-9]+)$", 1), F.lit("")).cast("int")
+    seen = entries.filter((F.col("kind") == "url") & (pid % 7 == 0)).select(
+        F.regexp_replace("loc", r"\?utm_source=x$", "").alias("url")
+    )
+    return sitemap_seed_candidates(entries, seen=seen).orderBy("url")
+
+
 def q_image_quality(spark, sf):
     """Decode-based image quality scoring (imaging/quality.
     image_quality_stats): per-row brightness / contrast / sharpness /
@@ -1487,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_scores": q_dsir_importance,
         "image_quality_scores": q_image_quality,
         "image_caption_dedup_survivors": q_image_caption_dedup,
+        "sitemap_ingest_candidates": q_sitemap_ingest,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1517,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
     p_dsir = OB.build_dsir_token_buckets()
     p_qual = OB.build_quality_expected()
     p_mmdd = OB.build_mm_dedup_inputs()
+    p_smb = OB.build_sitemap_bodies()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1787,6 +1814,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS image_id FROM reach
             GROUP BY node HAVING min(label) = node
             ORDER BY image_id
+        """,
+        "sitemap_ingest_candidates": rf"""
+            WITH ent AS (
+              SELECT t.u AS block
+              FROM read_parquet('{p_smb}') b,
+                   unnest(regexp_extract_all(b.body, '(?s)<url\s*>(.*?)</url>', 1)) AS t(u)),
+            f AS (
+              SELECT nullif(regexp_extract(block,
+                       '(?s)<loc\s*>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>', 1), '') AS loc,
+                     nullif(regexp_extract(block,
+                       '(?s)<lastmod\s*>\s*([0-9T:+.Z\-]+)\s*</lastmod>', 1), '') AS lastmod_raw,
+                     nullif(regexp_extract(block,
+                       '(?s)<priority\s*>\s*([0-9.]+)\s*</priority>', 1), '') AS priority_raw
+              FROM ent),
+            g AS (
+              SELECT regexp_replace(loc, '\?utm_source=x$', '') AS url,
+                     CAST(epoch(try_strptime(lastmod_raw,
+                       ['%Y-%m-%dT%H:%M:%S%z', '%Y-%m-%d'])) AS BIGINT) AS lastmod_ts,
+                     CASE WHEN priority_raw IS NOT NULL THEN
+                       LEAST(1000, GREATEST(0,
+                         CAST(round(CAST(priority_raw AS DOUBLE) * 1000) AS INT)))
+                     END AS priority_milli
+              FROM f WHERE regexp_matches(loc, '^https?://')),
+            m AS (
+              SELECT url, max(lastmod_ts) AS lastmod_ts,
+                     coalesce(max(priority_milli), 500) AS priority_milli
+              FROM g GROUP BY url)
+            SELECT url,
+                   regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+                   lastmod_ts, CAST(priority_milli AS INT) AS priority_milli
+            FROM m
+            WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS INT) % 7 <> 0
+            ORDER BY url
         """,
         "image_quality_scores": f"""
             SELECT image_id, fmt, brightness_milli, contrast_milli,

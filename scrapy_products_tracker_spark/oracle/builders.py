@@ -835,3 +835,77 @@ def build_mm_dedup_inputs() -> str:
         "mm_dedup_inputs.parquet",
         schema,
     )
+
+
+def build_sitemap_bodies() -> str:
+    """(url, body) deterministic sitemap-XML fixture rendered from the
+    T1 world's detail URLs — shared INPUT for the sitemap-ingest oracle
+    (the fixture role render_detail_html plays for extraction): Spark
+    parses it with crawl/sitemap.py, DuckDB re-parses it with its own
+    regexp + try_strptime SQL, and the two parsers must agree
+    field-exactly.
+
+    Planting (n = the /p/{n} id): lastmod n%4 -> full W3C timestamp /
+    date-only / absent / malformed "2026-99-99" (parses to NULL both
+    engines); priority n%3 -> "0.{n%10}" / absent / out-of-range "1.5"
+    (clamps to 1000). n%5==0 URLs are ALSO listed in the domain's
+    dup-sitemap as a CDATA tracking-param variant with a later lastmod
+    and priority 0.9 — the canonical merge must keep the max of both.
+    Noise per chunk: one ftp:// loc and one loc-less entry; per domain
+    one sitemap-index body; plus one non-XML junk body."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    det = world.pages[world.pages["tier"] == 1]
+    rows = []
+    for d in sorted(det["domain"].unique()):
+        urls = sorted(
+            det[det["domain"] == d]["url"], key=lambda u: int(u.rsplit("/", 1)[1])
+        )
+        files, dup_entries = [], []
+        for ci, start in enumerate(range(0, len(urls), 20)):
+            ents = []
+            for u in urls[start : start + 20]:
+                n = int(u.rsplit("/", 1)[1])
+                lm = {
+                    0: f"<lastmod>2026-08-{10 + n % 18:02d}T{n % 24:02d}:30:00+00:00</lastmod>",
+                    1: f"<lastmod>2026-07-{1 + n % 28:02d}</lastmod>",
+                    2: "",
+                    3: "<lastmod>2026-99-99</lastmod>",
+                }[n % 4]
+                pr = {0: f"<priority>0.{n % 10}</priority>", 1: "", 2: "<priority>1.5</priority>"}[
+                    n % 3
+                ]
+                ents.append(f"  <url>\n    <loc>{u}</loc>\n    {lm}{pr}\n  </url>")
+                if n % 5 == 0:
+                    dup_entries.append(
+                        f"  <url><loc><![CDATA[{u}?utm_source=x]]></loc>"
+                        "<lastmod>2026-08-30</lastmod><priority>0.9</priority></url>"
+                    )
+            ents.append(f"  <url><loc>ftp://{d}/skip</loc></url>")
+            ents.append("  <url><lastmod>2026-01-01</lastmod></url>")
+            smurl = f"https://{d}/sitemap-{ci}.xml"
+            files.append(smurl)
+            rows.append(
+                (
+                    smurl,
+                    '<?xml version="1.0" encoding="UTF-8"?>\n<urlset>\n'
+                    + "\n".join(ents)
+                    + "\n</urlset>\n",
+                )
+            )
+        if dup_entries:
+            smurl = f"https://{d}/sitemap-dup.xml"
+            files.append(smurl)
+            rows.append((smurl, "<urlset>\n" + "\n".join(dup_entries) + "\n</urlset>\n"))
+        rows.append(
+            (
+                f"https://{d}/sitemap.xml",
+                "<sitemapindex>\n"
+                + "\n".join(f"  <sitemap><loc>{f}</loc></sitemap>" for f in files)
+                + "\n</sitemapindex>\n",
+            )
+        )
+    rows.append(("https://junk.example.com/sitemap.xml", "<html>503 unavailable</html>"))
+    schema = pa.schema([("url", pa.string()), ("body", pa.string())])
+    return _write(pd.DataFrame(rows, columns=["url", "body"]), "sitemap_bodies.parquet", schema)

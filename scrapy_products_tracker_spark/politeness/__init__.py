@@ -1,4 +1,4 @@
-from .robots import load_robots, parse_robots_body, robots_from_bodies
+from .robots import load_robots, parse_robots_body, robots_from_bodies, sitemap_lines
 from .scheduler import (
     CLAIM_ORDER,
     apply_robots,
@@ -12,6 +12,7 @@ __all__ = [
     "load_robots",
     "parse_robots_body",
     "robots_from_bodies",
+    "sitemap_lines",
     "CLAIM_ORDER",
     "apply_robots",
     "mark_robots",

@@ -28,7 +28,11 @@ from ..schemas import ROBOTS_SCHEMA
 
 def load_robots(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
-    required = {f.name for f in ROBOTS_SCHEMA.fields} - {"disallow_regexes", "site"}
+    required = {f.name for f in ROBOTS_SCHEMA.fields} - {
+        "disallow_regexes",
+        "site",
+        "sitemap_urls",
+    }
     missing = required - set(df.columns)
     if missing:
         raise ValueError(f"robots table missing columns: {missing}")
@@ -42,6 +46,11 @@ def load_robots(spark, path: str) -> DataFrame:
     site = (
         F.coalesce("site", F.lit("default")) if "site" in df.columns else F.lit("default")
     )
+    sm = (
+        F.coalesce("sitemap_urls", F.array())
+        if "sitemap_urls" in df.columns
+        else F.array().cast("array<string>")
+    )
     return df.select(
         "domain",
         F.coalesce("disallow_prefixes", F.array()).alias("disallow_prefixes"),
@@ -49,6 +58,7 @@ def load_robots(spark, path: str) -> DataFrame:
         F.coalesce("crawl_delay_ms", F.lit(0)).alias("crawl_delay_ms"),
         F.coalesce("max_per_round", F.lit(8)).alias("max_per_round"),
         site.alias("site"),
+        sm.alias("sitemap_urls"),
     )
 
 
@@ -151,6 +161,32 @@ def parse_robots_body(
     return prefixes, regexes, int(round(delay_s * 1000))
 
 
+def sitemap_lines(body: str | None) -> list[str]:
+    """RFC 9309 §2.3 ``Sitemap:`` directives from one robots.txt body —
+    GLOBAL lines (they apply regardless of user-agent group, so no
+    group selection), document order, duplicates removed. Values must
+    be absolute http(s) URLs per the sitemaps.org protocol; anything
+    else (relative paths, garbage) is dropped — robots.txt is untrusted
+    remote content, never an exception path. Feed the result to the
+    fetcher and ``crawl.sitemap.parse_sitemap_entries``."""
+    if not body:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in body.lstrip("\ufeff").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if re.match(r"^https?://", val, re.IGNORECASE) and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out
+
+
 def robots_from_bodies(
     bodies: DataFrame, agent: str = "sparkbot", default_max_per_round: int = 8
 ) -> DataFrame:
@@ -163,7 +199,9 @@ def robots_from_bodies(
             rows = []
             for dom, body in zip(pdf["domain"], pdf["body"]):
                 dis, rx, delay_ms = parse_robots_body(body, agent)
-                rows.append((dom, dis, rx, delay_ms, default_max_per_round, "default"))
+                rows.append(
+                    (dom, dis, rx, delay_ms, default_max_per_round, "default", sitemap_lines(body))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -173,6 +211,7 @@ def robots_from_bodies(
                     "crawl_delay_ms",
                     "max_per_round",
                     "site",
+                    "sitemap_urls",
                 ],
             )
 

@@ -88,6 +88,9 @@ ROBOTS_SCHEMA = T.StructType(
         # — the Spark form of the reference's per-site spider classes;
         # optional in stored tables (older worlds -> 'default')
         T.StructField("site", T.StringType(), True),
+        # RFC 9309 §2.3 Sitemap: directives (global, group-independent) —
+        # discovery seeds for crawl/sitemap.py; optional in stored tables
+        T.StructField("sitemap_urls", T.ArrayType(T.StringType()), True),
     ]
 )
 

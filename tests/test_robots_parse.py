@@ -169,3 +169,69 @@ def test_hostile_crawl_delay_values():
 def test_bom_prefixed_body_still_parses():
     body = "﻿User-agent: *\nDisallow: /private\n"
     assert parse_robots_body(body) == (["/private"], [], 0)
+
+
+def test_sitemap_lines_global_and_filtered():
+    from scrapy_products_tracker_spark.politeness import sitemap_lines
+
+    body = (
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "User-agent: otherbot\n"
+        "Disallow: /\n"
+        "Sitemap: https://a.com/sitemap-2.xml  # trailing comment\n"
+        "sitemap: HTTP://a.com/upper.xml\n"
+        "Sitemap: /relative/sitemap.xml\n"
+        "Sitemap: ftp://a.com/nope.xml\n"
+        "Sitemap: https://a.com/sitemap.xml\n"  # duplicate
+    )
+    # group-independent (the otherbot group doesn't hide them), doc
+    # order, dup removed, relative/non-http dropped
+    assert sitemap_lines(body) == [
+        "https://a.com/sitemap.xml",
+        "https://a.com/sitemap-2.xml",
+        "HTTP://a.com/upper.xml",
+    ]
+    assert sitemap_lines(None) == []
+    assert sitemap_lines("\x00garbage\nSitemap:") == []
+
+
+def test_robots_from_bodies_carries_sitemaps(spark):
+    from scrapy_products_tracker_spark.politeness import robots_from_bodies
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /p\nSitemap: https://a.com/s.xml\n"),
+            ("b.com", "User-agent: *\nDisallow:\n"),
+        ],
+        ["domain", "body"],
+    )
+    rows = {r["domain"]: r for r in robots_from_bodies(bodies).collect()}
+    assert rows["a.com"]["sitemap_urls"] == ["https://a.com/s.xml"]
+    assert rows["a.com"]["disallow_prefixes"] == ["/p"]
+    assert rows["b.com"]["sitemap_urls"] == []
+
+
+def test_load_robots_defaults_sitemap_urls(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    # stored table predating the sitemap_urls column
+    pdf = pd.DataFrame(
+        [("a.com", ["/private"], 0, 8)],
+        columns=["domain", "disallow_prefixes", "crawl_delay_ms", "max_per_round"],
+    )
+    schema = pa.schema(
+        [
+            ("domain", pa.string()),
+            ("disallow_prefixes", pa.list_(pa.string())),
+            ("crawl_delay_ms", pa.int64()),
+            ("max_per_round", pa.int32()),
+        ]
+    )
+    p = str(tmp_path / "robots.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p)
+    row = load_robots(spark, p).collect()[0]
+    assert row["sitemap_urls"] == [] and row["site"] == "default"
