@@ -1320,6 +1320,34 @@ def q_sitemap_ingest(spark, sf):
     return sitemap_seed_candidates(entries, seen=seen).orderBy("url")
 
 
+def q_url_template_stats(spark, sf):
+    """URL-template mining (crawl/traps.url_template_stats): collapse
+    digit/hex runs and sort query-param names into per-(domain,
+    template) families with integer-exact domain share and an over-cap
+    flag — the aggregate view that catches crawler traps (calendars,
+    session ids, facet explosions) the row-level seen set cannot see.
+    Oracle: DuckDB re-mines templates with its own regexp/list SQL over
+    the shared fixture (planted calendar trap with shuffled param
+    order, 16-hex session paths, benign singletons)."""
+    from scrapy_products_tracker_spark.crawl.traps import url_template_stats
+
+    urls = spark.read.parquet(OB.build_frontier_urls())
+    return url_template_stats(urls, cap=100).orderBy("domain", "template")
+
+
+def q_template_cap_survivors(spark, sf):
+    """Per-template frontier budgeting (crawl/traps.
+    cap_frontier_by_template): keep the lexicographically first 25 URLs
+    of each (domain, template) family — trap rationing. The salted
+    two-phase rank must equal the single global rank the DuckDB oracle
+    computes (same guarantee the politeness scheduler's salt-
+    equivalence test pins)."""
+    from scrapy_products_tracker_spark.crawl.traps import cap_frontier_by_template
+
+    urls = spark.read.parquet(OB.build_frontier_urls())
+    return cap_frontier_by_template(urls, cap=25).select("url", "domain").orderBy("url")
+
+
 def q_image_quality(spark, sf):
     """Decode-based image quality scoring (imaging/quality.
     image_quality_stats): per-row brightness / contrast / sharpness /
@@ -1513,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_scores": q_image_quality,
         "image_caption_dedup_survivors": q_image_caption_dedup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
+        "url_template_stats": q_url_template_stats,
+        "template_cap_survivors": q_template_cap_survivors,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1544,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
     p_qual = OB.build_quality_expected()
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
+    p_fru = OB.build_frontier_urls()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1847,6 +1878,56 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS INT) % 7 <> 0
             ORDER BY url
+        """,
+        "url_template_stats": rf"""
+            WITH t AS (
+              SELECT domain,
+                     CASE WHEN q = '' THEN tpath
+                          ELSE tpath || '?' || array_to_string(
+                            list_sort(list_transform(string_split(q, '&'),
+                                                     kv -> string_split(kv, '=')[1])), '&')
+                     END AS template
+              FROM (
+                SELECT domain,
+                       regexp_replace(regexp_replace(
+                         CASE WHEN path = '' THEN '/' ELSE path END,
+                         '[0-9a-fA-F]{{8,}}', '{{x}}', 'g'), '[0-9]+', '{{d}}', 'g') AS tpath,
+                       q
+                FROM (
+                  SELECT domain,
+                         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                         regexp_extract(url, '\?([^#]*)', 1) AS q
+                  FROM read_parquet('{p_fru}')))),
+            a AS (SELECT domain, template, count(*) AS n_urls FROM t GROUP BY 1, 2),
+            s AS (SELECT *, sum(n_urls) OVER (PARTITION BY domain) AS tot FROM a)
+            SELECT domain, template, n_urls,
+                   CAST((1000 * n_urls) // tot AS INT) AS domain_share_milli,
+                   CAST(n_urls > 100 AS INT) AS over_cap
+            FROM s ORDER BY domain, template
+        """,
+        "template_cap_survivors": rf"""
+            WITH t AS (
+              SELECT url, domain,
+                     CASE WHEN q = '' THEN tpath
+                          ELSE tpath || '?' || array_to_string(
+                            list_sort(list_transform(string_split(q, '&'),
+                                                     kv -> string_split(kv, '=')[1])), '&')
+                     END AS template
+              FROM (
+                SELECT url, domain,
+                       regexp_replace(regexp_replace(
+                         CASE WHEN path = '' THEN '/' ELSE path END,
+                         '[0-9a-fA-F]{{8,}}', '{{x}}', 'g'), '[0-9]+', '{{d}}', 'g') AS tpath,
+                       q
+                FROM (
+                  SELECT url, domain,
+                         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+                         regexp_extract(url, '\?([^#]*)', 1) AS q
+                  FROM read_parquet('{p_fru}')))),
+            r AS (SELECT url, domain,
+                         ROW_NUMBER() OVER (PARTITION BY domain, template ORDER BY url) AS rn
+                  FROM t)
+            SELECT url, domain FROM r WHERE rn <= 25 ORDER BY url
         """,
         "image_quality_scores": f"""
             SELECT image_id, fmt, brightness_milli, contrast_milli,

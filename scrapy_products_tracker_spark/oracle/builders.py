@@ -909,3 +909,44 @@ def build_sitemap_bodies() -> str:
     rows.append(("https://junk.example.com/sitemap.xml", "<html>503 unavailable</html>"))
     schema = pa.schema([("url", pa.string()), ("body", pa.string())])
     return _write(pd.DataFrame(rows, columns=["url", "body"]), "sitemap_bodies.parquet", schema)
+
+
+def build_frontier_urls() -> str:
+    """(url, domain) frontier-URL fixture for the template-mining /
+    trap-rationing oracles: the T1 world's page URLs plus three planted
+    families —
+
+    - a calendar trap on cal.example.com: 180 ``/cal?y&m&d`` URLs,
+      every (y, m, d) combination, a third of them written with the
+      params in a DIFFERENT order (sorted-name unification must fold
+      them into one template);
+    - a session-id path family on d0.example.com: 30
+      ``/s/{16-hex}/view`` URLs (hex-run collapse);
+    - one benign ``/about`` per domain.
+
+    Spark mines templates with crawl/traps.py; DuckDB re-mines them
+    with its own regexp/list SQL — independent parsers, shared input."""
+    import hashlib
+
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    pages = world.pages
+    rows = list(zip(pages["url"], pages["domain"]))
+    for y in (2024, 2025, 2026):
+        for m in range(1, 13):
+            for d in range(1, 6):
+                if (y + m + d) % 3 == 0:
+                    u = f"https://cal.example.com/cal?m={m}&d={d}&y={y}"
+                else:
+                    u = f"https://cal.example.com/cal?y={y}&m={m}&d={d}"
+                rows.append((u, "cal.example.com"))
+    for i in range(30):
+        h = hashlib.md5(f"sess{i}".encode()).hexdigest()[:16]
+        rows.append((f"https://d0.example.com/s/{h}/view", "d0.example.com"))
+    for d in sorted(set(pages["domain"])):
+        rows.append((f"https://{d}/about", d))
+    schema = pa.schema([("url", pa.string()), ("domain", pa.string())])
+    return _write(
+        pd.DataFrame(rows, columns=["url", "domain"]), "frontier_urls.parquet", schema
+    )
