@@ -1348,6 +1348,29 @@ def q_template_cap_survivors(spark, sf):
     return cap_frontier_by_template(urls, cap=25).select("url", "domain").orderBy("url")
 
 
+def q_adaptive_budgets(spark, sf):
+    """AIMD adaptive politeness (politeness/adaptive.py): one control
+    step over per-domain fetch outcomes — halve the budget (integer
+    DIV, floor min_budget) when the failure share strictly exceeds 20%,
+    add 2 (cap max_budget) on a clean round, keep it when the domain
+    had no attempts. Planted edges: exact-threshold domain (clean by
+    strict >), all-failure domain, floor/cap saturation, idle domain.
+    Oracle: independent SQL restatement of the controller over the
+    shared outcome/budget fixtures."""
+    from scrapy_products_tracker_spark.politeness.adaptive import (
+        adaptive_budget_step,
+        round_outcome_counts,
+    )
+
+    p_out, p_bud = OB.build_adaptive_inputs()
+    oc = round_outcome_counts(spark.read.parquet(p_out))
+    return (
+        adaptive_budget_step(spark.read.parquet(p_bud), oc)
+        .select("domain", "max_per_round")
+        .orderBy("domain")
+    )
+
+
 def q_image_quality(spark, sf):
     """Decode-based image quality scoring (imaging/quality.
     image_quality_stats): per-row brightness / contrast / sharpness /
@@ -1543,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,
         "template_cap_survivors": q_template_cap_survivors,
+        "adaptive_budget_step": q_adaptive_budgets,
         "caption_frequency_survivors": q_caption_frequency,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
@@ -1575,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
     p_fru = OB.build_frontier_urls()
+    p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
 
@@ -1878,6 +1903,24 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS INT) % 7 <> 0
             ORDER BY url
+        """,
+        "adaptive_budget_step": f"""
+            WITH oc AS (
+              SELECT domain, count(*) AS attempts,
+                     sum(CASE WHEN fetch_status IN ('timeout', '403', '404')
+                              THEN 1 ELSE 0 END) AS failures
+              FROM read_parquet('{p_ao}') GROUP BY domain),
+            j AS (
+              SELECT b.domain, b.max_per_round, oc.attempts, oc.failures
+              FROM read_parquet('{p_ab}') b LEFT JOIN oc USING (domain))
+            SELECT domain,
+                   CAST(CASE
+                     WHEN attempts IS NULL OR attempts = 0 THEN max_per_round
+                     WHEN 1000 * failures > 200 * attempts
+                       THEN GREATEST(1, max_per_round // 2)
+                     ELSE LEAST(1048576, max_per_round + 2)
+                   END AS INT) AS max_per_round
+            FROM j ORDER BY domain
         """,
         "url_template_stats": rf"""
             WITH t AS (

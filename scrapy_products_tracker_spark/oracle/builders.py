@@ -950,3 +950,55 @@ def build_frontier_urls() -> str:
     return _write(
         pd.DataFrame(rows, columns=["url", "domain"]), "frontier_urls.parquet", schema
     )
+
+
+def build_adaptive_inputs() -> tuple[str, str]:
+    """(outcomes_path, budgets_path) for the AIMD politeness oracle.
+
+    Outcomes: one row per T1 tier-1 page (its world status code mapped
+    to 'timeout'/'403'/'404'/'ok') plus planted edge domains:
+    edge.example.com sits EXACTLY at the 20% distress threshold (2/10 —
+    strict >, so clean), dead.example.com is all failures,
+    floor.example.com fails at budget 1 (floor holds), cap.example.com
+    is clean at the max budget (cap holds). idle.example.com appears
+    only in budgets (no signal -> unchanged)."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    det = world.pages[world.pages["tier"] == 1]
+    smap = {-1: "timeout", 403: "403", 404: "404"}
+    rows = [
+        (u, d, smap.get(int(s), "ok"))
+        for u, d, s in zip(det["url"], det["domain"], det["status_code"])
+    ]
+    for i in range(10):
+        rows.append((f"https://edge.example.com/p/{i}", "edge.example.com",
+                     "403" if i < 2 else "ok"))
+    for i in range(4):
+        rows.append((f"https://dead.example.com/p/{i}", "dead.example.com", "timeout"))
+        rows.append((f"https://floor.example.com/p/{i}", "floor.example.com", "timeout"))
+        rows.append((f"https://cap.example.com/p/{i}", "cap.example.com", "ok"))
+    o_schema = pa.schema(
+        [("url", pa.string()), ("domain", pa.string()), ("fetch_status", pa.string())]
+    )
+    p_out = _write(
+        pd.DataFrame(rows, columns=["url", "domain", "fetch_status"]),
+        "adaptive_outcomes.parquet",
+        o_schema,
+    )
+    budgets = [
+        (d, int(b)) for d, b in zip(world.robots["domain"], world.robots["max_per_round"])
+    ] + [
+        ("edge.example.com", 8),
+        ("dead.example.com", 64),
+        ("floor.example.com", 1),
+        ("cap.example.com", 1 << 20),
+        ("idle.example.com", 7),
+    ]
+    b_schema = pa.schema([("domain", pa.string()), ("max_per_round", pa.int32())])
+    p_bud = _write(
+        pd.DataFrame(budgets, columns=["domain", "max_per_round"]),
+        "adaptive_budgets.parquet",
+        b_schema,
+    )
+    return p_out, p_bud

@@ -1,3 +1,4 @@
+from .adaptive import adaptive_budget_step, round_outcome_counts
 from .robots import load_robots, parse_robots_body, robots_from_bodies, sitemap_lines
 from .scheduler import (
     CLAIM_ORDER,
@@ -9,6 +10,8 @@ from .scheduler import (
 )
 
 __all__ = [
+    "adaptive_budget_step",
+    "round_outcome_counts",
     "load_robots",
     "parse_robots_body",
     "robots_from_bodies",
