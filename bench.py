@@ -194,7 +194,9 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
         t0 = time.monotonic()
         meta, stages = None, {"stats_s": 0.0, "commit_s": 0.0}
         dirty_buckets = []
+        rounds_detail = []  # per-round stage split (the 10x-amortization probe)
         products_upserted = 0
+        prev_fetched = 0
         with _HostMeter() as hm:
             while True:
                 m = drv.run_round()
@@ -207,6 +209,15 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
                 dirty_buckets.append(
                     store.read_manifest()["meta"].get("dirty_frontier_buckets")
                 )
+                fetched = m["counters"]["urls_fetched"]
+                rounds_detail.append(
+                    {
+                        "urls_fetched": fetched - prev_fetched,
+                        "stats_s": round(m.get("timings", {}).get("stats_s", 0.0), 2),
+                        "commit_s": round(m.get("timings", {}).get("commit_s", 0.0), 2),
+                    }
+                )
+                prev_fetched = fetched
         wall = time.monotonic() - t0
         c = meta["counters"]
         scheduled_fetched = c["urls_fetched"] + c["urls_failed_hw"] + c["urls_failed_logic"]
@@ -227,6 +238,7 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
             # all materialize here) vs snapshot commit (dirty-bucket
             # frontier MERGE + seen-shard delta + results writes)
             "stage_s": {k: round(v, 2) for k, v in stages.items()},
+            "rounds_detail": rounds_detail,
             "dirty_frontier_buckets": dirty_buckets,
             "host": hm.host,
         }

@@ -119,6 +119,14 @@ class CrawlConfig:
     # claim scan then touches only the live slice. Provably invisible:
     # skipped buckets contain no claimable row (equivalence-tested).
     claim_bucket_pruning: bool = True
+    # adaptive politeness (politeness/adaptive.py): one AIMD budget step
+    # per round from fetch outcomes. Opt-in — the parity fixtures pin
+    # the reference's STATIC budgets; turning this on legitimately
+    # changes claim counts (budgets grow on clean rounds).
+    adaptive_budgets: bool = False
+    adaptive_distress_milli: int = 200
+    adaptive_increase: int = 2
+    adaptive_min_budget: int = 1
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -573,6 +581,31 @@ class CrawlDriver:
             "domain",
             F.col("within_round_rank").cast("int").alias("within_round_rank"),
         )
+
+        # --- adaptive politeness (opt-in): one AIMD step per round over
+        # this round's fetch outcomes. RETRY rows count as distress (a
+        # 403/timeout burst is the back-off signal even when attempts
+        # remain). localCheckpoint keeps the tiny config table's plan
+        # from growing round-over-round (iterative-plan trap); the
+        # phase-1 scalar cap stays a valid upper bound by advancing it
+        # with the additive increment instead of re-aggregating.
+        if self.cfg.adaptive_budgets:
+            from ..politeness.adaptive import adaptive_budget_step, round_outcome_counts
+
+            oc = round_outcome_counts(
+                fx,
+                status_col="outcome",
+                hw_statuses=(FAIL_HW, RETRY),
+                logic_statuses=(FAIL_LOGIC,),
+            )
+            self.robots = adaptive_budget_step(
+                self.robots,
+                oc,
+                distress_milli=self.cfg.adaptive_distress_milli,
+                increase=self.cfg.adaptive_increase,
+                min_budget=self.cfg.adaptive_min_budget,
+            ).localCheckpoint()
+            self._max_budget += self.cfg.adaptive_increase
 
         meta = {
             "round": round_no,

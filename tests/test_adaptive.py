@@ -61,3 +61,71 @@ def test_guards(spark):
         adaptive_budget_step(b, oc, min_budget=0)
     with pytest.raises(ValueError):
         adaptive_budget_step(b, oc, min_budget=5, max_budget=4)
+
+
+def test_driver_adaptive_wiring(spark, t1_world, t1_paths, tmpdir_path):
+    """CrawlConfig(adaptive_budgets=True) applies exactly one AIMD step
+    per round. Expected budgets are derived independently: the engine's
+    recorded claim set (claim correctness is pinned by the static-budget
+    parity suite) x a test-side outcome rule straight from the world's
+    page table (missing page or non-200 at the claim's attempt = failure;
+    flaky 403s clear once attempt >= flaky_until), then the AIMD
+    arithmetic re-implemented here in pure Python. Two rounds so the
+    trajectory covers both the distress-halving and clean-increase
+    branches on the T1 world."""
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    store = SnapshotParquetStore(tmpdir_path)
+    robots0 = load_robots(spark, t1_paths["robots"])
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        robots0,
+        CrawlConfig(chunk_size=50, adaptive_budgets=True),
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    final = drv.run()
+    assert final["counters"]["urls_fetched"] > 0
+
+    pages = {r["url"]: r for _, r in t1_world.pages.iterrows()}
+    order = sorted(
+        store.read_crawl_order(spark).collect(),
+        key=lambda r: (r["round"], r["within_round_rank"]),
+    )
+    budgets = {r["domain"]: r["max_per_round"] for r in robots0.collect()}
+    halved = grew = False
+    prior_claims: dict[str, int] = {}
+    for rnd in sorted({r["round"] for r in order}):
+        att: dict[str, int] = {}
+        fail: dict[str, int] = {}
+        for r in (x for x in order if x["round"] == rnd):
+            attempt = prior_claims.get(r["url"], 0)
+            prior_claims[r["url"]] = attempt + 1
+            p = pages.get(r["url"])
+            if p is None:
+                ok = False
+            else:
+                sc, fu = int(p["status_code"]), int(p["flaky_until"])
+                ok = sc == 200 or (sc == 403 and 0 < fu <= attempt)
+            att[r["domain"]] = att.get(r["domain"], 0) + 1
+            fail[r["domain"]] = fail.get(r["domain"], 0) + (0 if ok else 1)
+        assert att, f"round {rnd} claimed nothing"
+        for d, b in budgets.items():
+            a = att.get(d, 0)
+            if a == 0:
+                continue  # no signal -> unchanged
+            if 1000 * fail.get(d, 0) > 200 * a:
+                budgets[d], halved = max(1, b // 2), True
+            else:
+                budgets[d], grew = b + 2, True
+
+    got = {r["domain"]: r["max_per_round"] for r in drv.robots.collect()}
+    assert got == budgets
+    # the drain trajectory exercised both controller branches (the tail
+    # rounds re-claim only flaky/missing URLs, an all-failure signal)
+    assert halved and grew
+    assert all(b >= 1 for b in got.values())

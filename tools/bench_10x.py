@@ -1,0 +1,92 @@
+"""10x-world amortization evidence (VERDICT r02 next-round #10).
+
+Runs the full crawl loop on BENCH10 — the BENCH throughput world with
+10x the category count (~575k pages vs ~57k) — and records the
+per-round stage split (stats job vs snapshot commit) so the question
+"where does the commit's fixed share go as rounds carry more URLs?"
+has a measured answer instead of the 2x-world extrapolation in
+BASELINE.md §3.1c.
+
+The hypothesis being tested: per-round commit cost is dominated by a
+fixed snapshot overhead (manifest + dirty-bucket rewrite of a small
+frontier), so at 10x input the commit share per URL falls ~10x and
+total throughput rises — the signature that the design amortizes
+toward the 10^10-URL regime, where a round is millions of URLs.
+
+Usage: python tools/bench_10x.py [--cpus 32] [--out BENCH_10X.json]
+Single JVM, one run (the world is ~25 min of crawl; variance evidence
+lives in BENCH_SCALING.json's repeated runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_10X.json"))
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(args.cpus))
+    import bench
+    from scrapy_products_tracker_spark.session import get_spark
+    from scrapy_products_tracker_spark.synth import BENCH
+
+    # 10x the category count (both uniform and hot-domain skew scale
+    # together, so the skew *ratio* the salted scheduler faces is
+    # unchanged); everything else — budgets, latency, page shapes —
+    # identical to BENCH so the comparison isolates input volume.
+    bench10 = dataclasses.replace(BENCH, cats_per_domain=240, hot_domain_cats=6000)
+
+    spark = get_spark(
+        app_name="bench10x", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = bench.bench_crawl(spark, world_spec=BENCH)
+    # chunk_size scales with the world (25k -> 250k) so the round
+    # structure stays claim-bound, not cap-bound — same ratio as the
+    # 1x bench; otherwise the 10x world would just run 10x the rounds
+    # and the amortization question would be assumed, not measured.
+    big = bench.bench_crawl(spark, world_spec=bench10, chunk_size=250_000)
+
+    def commit_share(r):
+        tot = r["stage_s"]["stats_s"] + r["stage_s"]["commit_s"]
+        return round(r["stage_s"]["commit_s"] / tot, 4) if tot else None
+
+    out = {
+        "world": "BENCH vs BENCH10 (10x categories, same skew ratio/budgets/latency)",
+        "cpus": args.cpus,
+        "bench_1x": base,
+        "bench_10x": big,
+        "summary": {
+            "urls_per_s_1x": base["urls_per_s"],
+            "urls_per_s_10x": big["urls_per_s"],
+            "speedup_10x_over_1x": round(big["urls_per_s"] / base["urls_per_s"], 3),
+            "commit_share_1x": commit_share(base),
+            "commit_share_10x": commit_share(big),
+            "commit_s_per_1k_urls_1x": round(
+                1000 * base["stage_s"]["commit_s"] / max(base["counters"]["urls_fetched"], 1), 3
+            ),
+            "commit_s_per_1k_urls_10x": round(
+                1000 * big["stage_s"]["commit_s"] / max(big["counters"]["urls_fetched"], 1), 3
+            ),
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE " + args.out)
+    print(json.dumps(out["summary"]))
+
+
+if __name__ == "__main__":
+    main()
