@@ -1499,6 +1499,69 @@ def q_crawl_end_to_end(spark, sf):
     return store.read_crawl_order(spark).orderBy("round", "within_round_rank")
 
 
+def q_wds_roundtrip(spark, sf):
+    """WebDataset tar shard write -> read roundtrip (imaging/wds):
+    deterministic ustar shards built per shard_id with applyInPandas,
+    parsed back with tarfile under mapInPandas. Every compared field
+    is recomputed on the READ side (octet_length + md5 over the bytes
+    that survived the tar roundtrip), so a framing bug anywhere in
+    writer or reader breaks the hash. Oracle: shard membership
+    re-derived as the SQL prefix sum over the independent metadata
+    table; payload length/digest from the builder's pure-Python md5."""
+    from scrapy_products_tracker_spark.imaging import read_wds_shards, write_wds_shards
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).withColumn(
+        "rng", F.substring("image_id", 1, 5)
+    )
+    back = read_wds_shards(write_wds_shards(img, budget_bytes=16384, range_col="rng"))
+    return back.select(
+        "image_id",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        F.coalesce(F.octet_length("payload"), F.lit(0)).cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.coalesce(F.octet_length("caption"), F.lit(0)).cast("long").alias("caption_len"),
+    ).orderBy("image_id")
+
+
+def q_cdx_page_index(spark, sf):
+    """CDX-style capture index (crawl/cdx.cdx_index) over the T1 page
+    store: SURT urlkey, hex-md5 payload digest, status, stored octet
+    length — pure column algebra, zero Python, the archive-index
+    surface a 10^10-URL page store is range-scanned through. Oracle:
+    the same derivation relationally in DuckDB over the generator's
+    ground-truth page table."""
+    from scrapy_products_tracker_spark.crawl import cdx_index
+
+    _, paths = _crawl_store(spark)
+    return cdx_index(spark.read.parquet(paths["pages"])).orderBy("urlkey", "url")
+
+
+def q_temperature_sample(spark, sf):
+    """sqrt-temperature re-balanced corpus sample (functions/sampling.
+    temperature_sample): per-source counts -> integer milli-unit
+    weights -> int64 quota split -> md5-keyed deterministic per-group
+    selection. The multilingual/per-source re-balancing idiom
+    (XLM-R/Gopher) as an exact, reproducible operator."""
+    from scrapy_products_tracker_spark.functions import temperature_sample
+
+    d = _t(spark, sf, "documents")
+    out = temperature_sample(d, "source", "doc_id", total_target=120)
+    return out.select("source", "doc_id", "sample_rank", "group_quota").orderBy(
+        "source", "doc_id"
+    )
+
+
+def q_clip_alignment(spark, sf):
+    """CLIP-score-style image<->caption alignment filter (functions/
+    similarity.paired_alignment) over the paired embeddings layout
+    (even vec_id = image vector, odd vec_id = caption vector): cosine
+    per pair at 6 dp, keep flag at threshold 0 — LAION's headline
+    curation filter as a co-partitioned equi-join."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.paired_alignment(e, threshold_micro=0).orderBy("pair_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_claim_topk": q_frontier_claim_topk,
@@ -1568,6 +1631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_cap_survivors": q_template_cap_survivors,
         "adaptive_budget_step": q_adaptive_budgets,
         "caption_frequency_survivors": q_caption_frequency,
+        "wds_roundtrip_members": q_wds_roundtrip,
+        "cdx_page_index": q_cdx_page_index,
+        "temperature_sample_rows": q_temperature_sample,
+        "clip_alignment_filter": q_clip_alignment,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1590,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
     p_bands = OB.build_band_assignments()
     p_mm = OB.build_multimodal_expected()
     p_icm = OB.build_image_caption_meta()
+    p_pcdx = OB.build_pages_table()
     p_ph = OB.build_phash_pairs_inputs()
     p_imgdd = OB.build_image_dedup_inputs()
     p_hdr = OB.build_header_audit_inputs()
@@ -2302,6 +2370,58 @@ def oracle_sql() -> dict[str, str]:
                    MIN(image_id) AS first_id,
                    MAX(image_id) AS last_id
             FROM c GROUP BY 1 ORDER BY shard_id
+        """,
+        "wds_roundtrip_members": f"""
+            WITH c AS (SELECT image_id, n_img_bytes, img_md5,
+                              n_payload_bytes - n_img_bytes AS cap_bytes,
+                              COALESCE(SUM(n_payload_bytes) OVER (ORDER BY image_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4
+                       FROM read_parquet('{p_icm}'))
+            SELECT image_id, CAST(b4 // 16384 AS INT) AS shard_id,
+                   CAST(n_img_bytes AS BIGINT) AS payload_len,
+                   img_md5 AS payload_md5,
+                   CAST(cap_bytes AS BIGINT) AS caption_len
+            FROM c ORDER BY image_id
+        """,
+        "cdx_page_index": f"""
+            WITH d AS (SELECT url, status_code, body,
+                         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                         CASE WHEN regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) = ''
+                              THEN '/' ELSE regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)
+                              END AS path,
+                         CASE WHEN strpos(url, '?') > 0
+                              THEN substr(url, strpos(url, '?') + 1) END AS query
+                       FROM read_parquet('{p_pcdx}'))
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+                     (CASE WHEN query IS NULL THEN path ELSE path || '?' || query END) AS urlkey,
+                   url,
+                   CAST(status_code AS INT) AS status,
+                   md5(body) AS digest,
+                   CAST(COALESCE(octet_length(encode(body)), 0) AS BIGINT) AS length
+            FROM d ORDER BY urlkey, url
+        """,
+        "temperature_sample_rows": r"""
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+            w AS (SELECT source, CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+                  FROM c),
+            q AS (SELECT source, CAST((120 * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS group_quota
+                  FROM w),
+            r AS (SELECT d.source, d.doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY d.source
+                           ORDER BY md5('ts1' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+                  FROM documents d)
+            SELECT r.source, r.doc_id, CAST(rnk AS BIGINT) AS sample_rank, q.group_quota
+            FROM r JOIN q USING (source) WHERE rnk <= q.group_quota
+            ORDER BY source, doc_id
+        """,
+        "clip_alignment_filter": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            i AS (SELECT vec_id // 2 AS pair_id, vec_id AS img_id, v FROM e WHERE vec_id % 2 = 0),
+            t AS (SELECT vec_id // 2 AS pair_id, vec_id AS txt_id, v FROM e WHERE vec_id % 2 = 1)
+            SELECT i.pair_id, i.img_id, t.txt_id,
+                   round(list_cosine_similarity(i.v, t.v), 6) AS cosine,
+                   round(list_cosine_similarity(i.v, t.v), 6) >= 0.0 AS keep
+            FROM i JOIN t USING (pair_id) ORDER BY pair_id
         """,
         "bm25_topk": r"""
             WITH w AS (SELECT doc_id,

@@ -1,3 +1,4 @@
+from .sampling import temperature_sample
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
     canonicalize_series,
@@ -9,6 +10,7 @@ from .urls import (
 )
 
 __all__ = [
+    "temperature_sample",
     "bloom_hash_cols",
     "murmur3_32",
     "murmur3_col",

@@ -1,0 +1,83 @@
+"""Deterministic corpus re-sampling: temperature-flattened group quotas.
+
+Web-crawled corpora are wildly imbalanced across sources (one hot
+domain can be 100× the median — the same skew the politeness
+scheduler fights on the way in). Pre-training pipelines re-balance at
+sampling time with *temperature* weighting: group g with ``n_g`` rows
+gets sampling weight ``n_g^alpha`` for ``alpha in (0,1]`` — alpha=1
+is natural sampling, alpha→0 is uniform-over-groups (the multilingual
+T=alpha^-1 trick from mBERT/XLM-R; CC-derived corpora like Gopher/
+MassiveText use the same idiom for per-source weights).
+
+:func:`temperature_sample` turns that into an exact, deterministic,
+engine-portable operator:
+
+1. per-group counts (one map-side-combinable aggregate),
+2. integer quota per group: ``quota_g = total_target * w_g // sum(w)``
+   with ``w_g = floor(sqrt_milli(n_g))`` held in integer milli-units
+   (alpha fixed at 0.5, the common choice) — every step integer so
+   the split is bit-identical across engines and partitionings,
+3. deterministic selection: rank rows in each group by
+   ``md5(id)`` (a keyed uniform permutation both engines compute
+   byte-identically) and keep ``rank <= quota_g``.
+
+The md5 rank *is* the sampling randomness — stable under re-runs,
+insertion order, and partitioning, so the sample is reproducible and
+auditable (the property a 100 TB curation run needs: re-executing the
+job selects the same rows).
+
+Scale notes: one shuffle on the group key for the ranking window
+(unavoidable for exact per-group quotas — same exchange any
+per-domain top-k does); counts/quotas ride a tiny broadcast join. A
+pathologically hot group serializes its own window task; at that
+point switch the rank to a threshold probe (keep rows with
+``md5(id) < quota/n * 2^128``, approximate but shuffle-free) — the
+exact window is the right default for quota-exact splits.
+
+Parity contract: ``sqrt`` of a BIGINT is correctly rounded IEEE
+double on both engines (hardware sqrt), so ``floor`` of it is
+deterministic; everything after is int64 arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    salt: str = "ts1",
+) -> DataFrame:
+    """Keep ~``total_target`` rows re-balanced across ``group_col`` by
+    sqrt-temperature weights. Returns the input columns plus
+    ``sample_rank`` (1-based md5 rank within the group) and
+    ``group_quota``. Exact: ``sum(quota_g) <= total_target`` (floor
+    division; the remainder is deliberately dropped, not
+    redistributed, so quotas are a pure per-group function of the
+    count table)."""
+    if total_target <= 0:
+        raise ValueError("total_target must be > 0")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    # w = floor(sqrt(n * 1e6)): sqrt in milli-units so small groups
+    # keep resolution; int64-exact thereafter
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
+    )
+    total_w = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        # integer div, NOT float `/`: double quotients round differently
+        # from DuckDB's // on large counts — div() keeps it int64-exact
+        F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+    ranked = df.join(F.broadcast(quotas), group_col).withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.filter(F.col("sample_rank") <= F.col("group_quota"))

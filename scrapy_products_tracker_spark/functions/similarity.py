@@ -505,3 +505,51 @@ def ann_topk_ivf(
     assigned = corpus.withColumn("cell_id", _ivf_cell_expr(rows, vec_col))
     cand = assigned.join(F.broadcast(probed), "cell_id")
     return ann_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def paired_alignment(
+    emb: DataFrame,
+    threshold_micro: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """CLIP-score-style image↔caption alignment over paired embeddings.
+
+    LAION/DataComp's single most important curation filter is the CLIP
+    score: cosine(image_embedding, text_embedding) per pair, dropping
+    rows below a threshold (LAION-400M kept cos >= 0.3). This is that
+    filter as a Spark operator over a table where pair members share a
+    pair id — here the conventional layout of one embeddings table
+    holding both modalities, image rows at even ids and caption rows
+    at odd ids, pair p = rows (2p, 2p+1).
+
+    Returns ``(pair_id, img_id, txt_id, cosine, keep)`` with cosine
+    rounded to 6 dp (the established cross-engine float contract —
+    both engines compute the same correctly-rounded double sum over
+    the same element order, and 6 dp absorbs the final-ulp wiggle) and
+    ``keep = cosine >= threshold_micro/1e6``.
+
+    Plan shape / scale: splitting even/odd rows is a narrow filter on
+    the SAME scan (Catalyst reuses it); the pair join is an equi-join
+    on ``pair_id`` — with the table written bucketed/sorted by
+    ``div(id,2)`` (the natural layout for paired modalities) it is a
+    zero-shuffle zip; unbucketed it is one co-partitioned exchange of
+    each side, the floor for re-pairing. No driver state, no Python."""
+    half = (F.col(id_col) / 2).cast("long").alias("pair_id")
+    img = emb.filter(F.col(id_col) % 2 == 0).select(
+        half, F.col(id_col).alias("img_id"), F.col(vec_col).cast("array<double>").alias("_iv")
+    )
+    txt = emb.filter(F.col(id_col) % 2 == 1).select(
+        half, F.col(id_col).alias("txt_id"), F.col(vec_col).cast("array<double>").alias("_tv")
+    )
+    cos = F.round(cosine_sim(F.col("_iv"), F.col("_tv")), 6)
+    return (
+        img.join(txt, "pair_id")
+        .select(
+            "pair_id",
+            "img_id",
+            "txt_id",
+            cos.alias("cosine"),
+            (cos >= F.lit(threshold_micro) / F.lit(1_000_000.0)).alias("keep"),
+        )
+    )

@@ -26,6 +26,7 @@ from .neardup import (
     phash_neardup_pairs,
 )
 from .png import decode_png, encode_png
+from .wds import read_wds_shards, write_wds_shards
 
 __all__ = [
     "DEFAULT_ASPECT_BUCKETS",
@@ -44,6 +45,8 @@ __all__ = [
     "psnr",
     "decode_png",
     "encode_png",
+    "read_wds_shards",
+    "write_wds_shards",
     "image_caption_dedup",
     "image_dedup_survivors",
     "phash_band_cols",

@@ -23,6 +23,7 @@ execution order.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -537,6 +538,11 @@ def build_image_caption_meta() -> str:
                 "caption": caption,
                 "n_cap_tokens": len(cap.split()),
                 "n_payload_bytes": len(data) + len(cap.encode("utf-8")),
+                # wds-roundtrip oracle fields: image-only byte length
+                # and pure-Python md5 of the image payload — checked
+                # against what the Spark tar writer/reader hands back
+                "n_img_bytes": len(data),
+                "img_md5": hashlib.md5(bytes(data)).hexdigest(),
             }
         )
     schema = pa.schema(
@@ -548,6 +554,8 @@ def build_image_caption_meta() -> str:
             ("caption", pa.string()),
             ("n_cap_tokens", pa.int32()),
             ("n_payload_bytes", pa.int64()),
+            ("n_img_bytes", pa.int64()),
+            ("img_md5", pa.string()),
         ]
     )
     return _write(pd.DataFrame(rows), "image_caption_meta.parquet", schema)
@@ -1002,3 +1010,26 @@ def build_adaptive_inputs() -> tuple[str, str]:
         b_schema,
     )
     return p_out, p_bud
+
+
+def build_pages_table() -> str:
+    """(url, status_code, body) slice of the T1 world's page store —
+    generator ground truth shared by both engines. The CDX oracle
+    recomputes SURT urlkey / digest / length relationally in DuckDB
+    from these rows; the engine computes them with Spark column
+    algebra over the same parquet the crawl driver reads."""
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    p = world.pages
+    df = pd.DataFrame(
+        {
+            "url": p["url"].astype(str),
+            "status_code": p["status_code"].astype("int64"),
+            "body": p["body"],
+        }
+    )
+    schema = pa.schema(
+        [("url", pa.string()), ("status_code", pa.int32()), ("body", pa.string())]
+    )
+    return _write(df, "pages_cdx.parquet", schema)

@@ -1,0 +1,133 @@
+"""Round-3 operators: WebDataset tar shard sink/source (imaging/wds),
+CDX capture index (crawl/cdx), temperature re-sampling
+(functions/sampling), paired CLIP-style alignment (functions/
+similarity.paired_alignment)."""
+
+import hashlib
+import io
+import tarfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.crawl import cdx_index, surt_key
+from scrapy_products_tracker_spark.functions import temperature_sample
+from scrapy_products_tracker_spark.functions.similarity import paired_alignment
+from scrapy_products_tracker_spark.imaging import read_wds_shards, write_wds_shards
+
+
+@pytest.fixture(scope="module")
+def ic(spark, t1_paths):
+    return spark.read.parquet(t1_paths["image_caption"]).withColumn(
+        "rng", F.substring("image_id", 1, 5)
+    )
+
+
+def test_wds_roundtrip_exact(spark, ic):
+    """write -> read returns every sample byte-exactly (payload AND
+    caption), once, with the pack_shards assignment."""
+    src = {
+        r["image_id"]: (bytes(r["bytes"]), r["caption"])
+        for r in ic.select("image_id", "bytes", "caption").collect()
+    }
+    back = read_wds_shards(write_wds_shards(ic, 16384, range_col="rng")).collect()
+    assert len(back) == len(src)
+    for r in back:
+        payload, caption = src[r["image_id"]]
+        assert bytes(r["payload"]) == payload
+        assert r["caption"] == caption
+
+
+def test_wds_deterministic_and_valid_tar(spark, ic):
+    """Shard bytes are a pure function of the rows: identical across
+    partitionings; archives parse with stock tarfile and members are
+    in id order with zeroed stat fields."""
+    a = {r["shard_id"]: bytes(r["tar_bytes"])
+         for r in write_wds_shards(ic, 16384, range_col="rng").collect()}
+    b = {r["shard_id"]: bytes(r["tar_bytes"])
+         for r in write_wds_shards(ic.repartition(7), 16384, range_col="rng").collect()}
+    assert a == b and len(a) > 1
+    for blob in a.values():
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            members = tf.getmembers()
+            stems = [m.name.rpartition(".")[0] for m in members if m.name.endswith(".img")]
+            assert stems == sorted(stems)
+            assert all(m.mtime == 0 and m.uid == 0 and m.uname == "" for m in members)
+
+
+def test_wds_null_caption_roundtrip(spark):
+    rows = [("a1", b"\x00\x01", None), ("a2", b"", "hi there")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+    back = {r["image_id"]: r for r in read_wds_shards(write_wds_shards(df, 1 << 20)).collect()}
+    assert back["a1"]["caption"] is None
+    assert bytes(back["a1"]["payload"]) == b"\x00\x01"
+    assert back["a2"]["caption"] == "hi there"
+    assert bytes(back["a2"]["payload"]) == b""
+
+
+def test_cdx_surt_and_digest(spark):
+    rows = [
+        ("https://shop.example.com/p/1?x=2&y=3", 200, "<html>one</html>"),
+        ("https://example.com/", 200, None),
+        ("https://a.b.c.example.org/deep/path", 404, ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, status_code int, body string")
+    out = {r["url"]: r for r in cdx_index(df).collect()}
+    r = out["https://shop.example.com/p/1?x=2&y=3"]
+    assert r["urlkey"] == "com,example,shop)/p/1?x=2&y=3"
+    assert r["digest"] == hashlib.md5(b"<html>one</html>").hexdigest()
+    assert r["length"] == 16 and r["status"] == 200
+    r = out["https://example.com/"]
+    assert r["urlkey"] == "com,example)/"
+    assert r["digest"] is None and r["length"] == 0
+    r = out["https://a.b.c.example.org/deep/path"]
+    assert r["urlkey"] == "org,example,c,b,a)/deep/path"
+    assert r["digest"] == hashlib.md5(b"").hexdigest() and r["status"] == 404
+
+
+def test_cdx_no_python_in_plan(spark):
+    df = spark.createDataFrame([("https://x.com/a", 200, "b")],
+                               "url string, status_code int, body string")
+    plan = cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    # skew: group g0 has 160 rows, g1 40, g2 10 -> sqrt weights flatten
+    rows = [(f"g{g}", g * 1000 + i) for g, n in ((0, 160), (1, 40), (2, 10))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = temperature_sample(df, "src", "id", total_target=60)
+    got = out.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    quotas = {r["src"]: r["group_quota"]
+              for r in out.select("src", "group_quota").distinct().collect()}
+    assert by == quotas  # every quota met exactly (quota <= group size here)
+    assert sum(by.values()) <= 60
+    # natural share of g0 is 160/210 = 76%; sqrt share must sit well below
+    assert by["g0"] / sum(by.values()) < 0.65
+    assert by["g2"] >= 1
+    # deterministic under partitioning: same ids selected
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in
+                  temperature_sample(df.repartition(13), "src", "id", 60).collect())
+    assert ids1 == ids2
+    with pytest.raises(ValueError):
+        temperature_sample(df, "src", "id", 0)
+
+
+def test_paired_alignment_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["pair_id"]: r for r in paired_alignment(df, threshold_micro=0).collect()}
+    assert len(out) == 10
+    for p in range(10):
+        a = vecs[2 * p].astype(np.float64)
+        b = vecs[2 * p + 1].astype(np.float64)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(out[p]["cosine"] - round(cos, 6)) <= 1e-6
+        assert out[p]["keep"] == (out[p]["cosine"] >= 0.0)
+        assert out[p]["img_id"] == 2 * p and out[p]["txt_id"] == 2 * p + 1
