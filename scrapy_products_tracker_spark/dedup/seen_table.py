@@ -319,6 +319,64 @@ class CuckooTable:
         )
 
 
+FILL_STATS_SCHEMA = (
+    "bucket int, set_bits bigint, bits bigint, fill_milli bigint, "
+    "est_keys bigint, est_fp_micro bigint"
+)
+
+
+def bloom_fill_stats(shards: DataFrame, bits: int, k: int) -> DataFrame:
+    """Per-shard Bloom saturation report — the signal the resize
+    maintenance job (:meth:`frontier.store.SnapshotParquetStore.
+    rebuild_seen`) acts on.
+
+    A Bloom filter's false-positive rate is a function of its fill
+    fraction X/m: ``fp = (X/m)^k``; once fill passes ~50% the filter
+    stops earning its keep (every FP costs an exact-confirm anti-join
+    probe downstream). At 10^10 inserts a fixed-size filter WILL
+    saturate — the honest answer is to measure and rebuild, not to
+    pretend the initial sizing holds forever.
+
+    Columns (integer fixed-point so thresholds compare exactly):
+    ``set_bits`` (popcount), ``fill_milli`` (1000*X/m), ``est_keys``
+    (inverted fill expectation ``-(m/k) ln(1 - X/m)``, the standard
+    cardinality estimate), ``est_fp_micro`` (10^6 * (X/m)^k).
+
+    Arrow-batched numpy popcount over the shard payloads (one pass,
+    executor-side, nothing collected); at 2^20 buckets the output is
+    a million tiny rows — aggregate before looking at it."""
+    import pandas as pd  # noqa: F811 (kernel-local, matches module deps)
+
+    m_bits, kk = int(bits), int(k)
+
+    def _stats(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+                x = int(np.unpackbits(arr).sum())
+                fill = x / m_bits
+                est_keys = 0 if fill >= 1.0 else int(round(-(m_bits / kk) * np.log(1.0 - fill)))
+                out.append(
+                    {
+                        "bucket": int(r["bucket"]),
+                        "set_bits": x,
+                        "bits": m_bits,
+                        "fill_milli": (1000 * x) // m_bits,
+                        "est_keys": est_keys,
+                        "est_fp_micro": int(1_000_000 * fill**kk),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "bucket", "set_bits", "bits", "fill_milli", "est_keys", "est_fp_micro",
+                ],
+            )
+
+    return shards.select("bucket", "payload").mapInPandas(_stats, FILL_STATS_SCHEMA)
+
+
 def open_seen_table(spark: SparkSession, kind: str, paths: list[str], params: dict):
     if kind == "bloom":
         return BloomTable(spark, paths, params)

@@ -70,6 +70,13 @@ class SnapshotParquetStore:
         self.n_frontier_buckets = n_frontier_buckets
         (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
+        # re-opening an existing store adopts its committed bucket
+        # count (a rebucket_frontier may have outgrown the default) —
+        # otherwise the next FULL frontier rewrite (seed/re-arm) would
+        # silently shrink the layout back
+        m = self.read_manifest()
+        if m and isinstance(m.get("frontier"), dict) and m["frontier"].get("n_buckets"):
+            self.n_frontier_buckets = int(m["frontier"]["n_buckets"])
 
     # --- pointer ---------------------------------------------------------
     def latest_version(self) -> int | None:
@@ -475,6 +482,91 @@ class SnapshotParquetStore:
         tmp.write_text(str(version))
         os.replace(tmp, self.root / "LATEST")  # atomic commit point
         return version
+
+    # --- maintenance (Iceberg table-maintenance analogs) -----------------
+    def rebucket_frontier(self, spark: SparkSession, factor: int = 2) -> int:
+        """Online frontier re-shard: rewrite into ``factor``× hash
+        buckets and commit as a new snapshot (everything else carries
+        forward by reference).
+
+        Why it exists: dirty-bucket delta commits scale with the dirty
+        set, but a FIXED bucket count means per-bucket size grows with
+        the frontier — at 10^10 rows, 32 buckets of 300M rows each make
+        every dirty-bucket rewrite a 300M-row job. The standard fix is
+        epoch doubling (LSM/Dynamo-style): when buckets outgrow a
+        target size, double the count. Because ``bucket = url_hash &
+        (B-1)``, each old bucket splits into exactly ``factor`` new
+        ones — the rewrite is one full-table pass with NO cross-bucket
+        shuffle beyond the split (each row moves to one of ``factor``
+        children of its current bucket), amortized over an entire
+        growth epoch. Crash-safe like every commit: the pointer flips
+        only after all bucket files land; delta commits read the bucket
+        count from the manifest, so in-flight sessions resume correctly
+        on either side of the flip."""
+        prev = self.read_manifest()
+        if prev is None:
+            raise ValueError("rebucket requires an existing snapshot")
+        if factor < 2 or (factor & (factor - 1)) != 0:
+            raise ValueError("factor must be a power of two >= 2")
+        old_b = self.frontier_n_buckets()
+        if old_b is None:
+            raise ValueError("rebucket requires a bucketized frontier")
+        fr = self.read_frontier(spark)
+        new_b = old_b * factor
+        # the crawl driver's claim-scan pruning reads exact per-bucket
+        # PENDING counts from meta, keyed by bucket id — carry-forward
+        # would leave them keyed to the OLD layout (silently skipping
+        # live buckets), so recompute for the new one (O(buckets) rows,
+        # same contract as the seed commit's tally)
+        from ..schemas import PENDING
+
+        rows = (
+            fr.groupBy(frontier_bucket_col(F.col("url_hash"), new_b).alias("fb"))
+            .agg(F.sum(F.when(F.col("status") == PENDING, 1).otherwise(0)).alias("n_pend"))
+            .collect()
+        )
+        ppb = {str(r["fb"]): int(r["n_pend"] or 0) for r in rows}
+        self.n_frontier_buckets = new_b
+        return self.commit(
+            fr,
+            meta={
+                "rebucketed": {"from": old_b, "to": new_b},
+                "pending_per_bucket": ppb,
+            },
+        )
+
+    def rebuild_seen(self, spark: SparkSession, scale: int = 2, params: dict | None = None) -> int:
+        """Resize the Bloom seen pre-filter: rebuild every shard from
+        the frontier's EXACT url set at ``scale``× bits per bucket (or
+        explicit ``params``) and commit.
+
+        Why it is safe: the Bloom table is a *pre*-filter — the exact
+        truth is the frontier itself (maybe-seen candidates are always
+        confirmed by the anti-join). So a rebuild needs no insert log:
+        one distributed pass over frontier urls, the same
+        ``build_shards_df`` path the seed commit used. Run it when
+        :func:`dedup.seen_table.bloom_fill_stats` reports shards past
+        ~500 fill_milli (fp = fill^k stops paying for itself); at
+        10^10 keys this is a periodic maintenance job, exactly like
+        Iceberg compaction."""
+        from ..dedup.seen_table import BloomTable
+
+        prev = self.read_manifest()
+        if prev is None or not prev.get("seen"):
+            raise ValueError("rebuild_seen requires an existing seen table")
+        kind = prev["seen"]["kind"]
+        if kind != "bloom":
+            raise ValueError("rebuild_seen supports the bloom kind (cuckoo resizes via params_for_capacity + re-seed)")
+        old = dict(prev["seen"]["params"])
+        new_params = params or {**old, "bits": int(old["bits"]) * int(scale)}
+        fr = self.read_frontier(spark)
+        shards = BloomTable.build_shards_df(
+            fr, "url", int(new_params["n_buckets"]), int(new_params["bits"]), int(new_params["k"])
+        )
+        return self.commit(
+            seen_build=(kind, new_params, shards),
+            meta={"seen_rebuilt": {"from_bits": int(old["bits"]), "to_bits": int(new_params["bits"])}},
+        )
 
     def rollback(self, version: int) -> None:
         """Time-travel the pointer back (seen-set state rolls back with
