@@ -1562,6 +1562,31 @@ def q_clip_alignment(spark, sf):
     return SIM.paired_alignment(e, threshold_micro=0).orderBy("pair_id")
 
 
+def q_curation_pipeline(spark, sf):
+    """The full curation funnel in ONE lazy plan (imaging/dataset.
+    curate): LAION row filters -> exact-bytes dedup (min-id per md5
+    group) -> sqrt-temperature balance over fmt -> WebDataset shard
+    assignment. Oracle: the identical four stages chained relationally
+    over the independent metadata table (img_md5 from the builder's
+    pure-Python md5). A bug in any stage, or in how stages compose
+    (e.g. sampling before dedup), breaks the hash."""
+    from scrapy_products_tracker_spark.imaging import curate
+
+    _, paths = _crawl_store(spark)
+    ic = spark.read.parquet(paths["image_caption"]).withColumn(
+        "rng", F.substring("image_id", 1, 5)
+    )
+    out = curate(ic, sample_target=40, shard_budget_bytes=16384, range_col="rng")
+    return out.select(
+        "image_id",
+        "fmt",
+        "sample_rank",
+        "group_quota",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+    ).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_claim_topk": q_frontier_claim_topk,
@@ -1635,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_page_index": q_cdx_page_index,
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
+        "curation_pipeline": q_curation_pipeline,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -2413,6 +2439,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.source, r.doc_id, CAST(rnk AS BIGINT) AS sample_rank, q.group_quota
             FROM r JOIN q USING (source) WHERE rnk <= q.group_quota
             ORDER BY source, doc_id
+        """,
+        "curation_pipeline": f"""
+            WITH m AS (SELECT * FROM read_parquet('{p_icm}')),
+            k AS (SELECT * FROM m
+                  WHERE NOT (w IS NULL OR h IS NULL OR w <= 0 OR h <= 0)
+                    AND n_cap_tokens >= 4 AND LEAST(w, h) >= 16
+                    AND (GREATEST(CAST(w AS BIGINT), CAST(h AS BIGINT)) * 1000)
+                        // LEAST(CAST(w AS BIGINT), CAST(h AS BIGINT)) <= 3000),
+            d AS (SELECT * FROM (SELECT k.*, ROW_NUMBER() OVER (PARTITION BY img_md5
+                                   ORDER BY image_id) AS drn FROM k) WHERE drn = 1),
+            c AS (SELECT fmt, COUNT(*) AS n FROM d GROUP BY fmt),
+            w2 AS (SELECT fmt, CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+                   FROM c),
+            q AS (SELECT fmt, CAST((40 * w) // (SELECT SUM(w) FROM w2) AS BIGINT) AS group_quota
+                  FROM w2),
+            r AS (SELECT d.*, ROW_NUMBER() OVER (PARTITION BY fmt
+                    ORDER BY md5('ts1' || image_id), image_id) AS rnk FROM d),
+            s AS (SELECT r.*, CAST(rnk AS BIGINT) AS sample_rank, q.group_quota
+                  FROM r JOIN q USING (fmt) WHERE rnk <= q.group_quota),
+            p AS (SELECT *, COALESCE(SUM(n_payload_bytes) OVER (ORDER BY image_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4 FROM s)
+            SELECT image_id, fmt, sample_rank, group_quota,
+                   CAST(b4 // 16384 AS INT) AS shard_id,
+                   CAST(n_payload_bytes AS BIGINT) AS payload_bytes
+            FROM p ORDER BY image_id
         """,
         "clip_alignment_filter": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -3,6 +3,7 @@ from .dataset import (
     DEFAULT_ASPECT_BUCKETS,
     aspect_bucket_assign,
     caption_frequency_filter,
+    curate,
     laion_filter,
     pack_shards,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "DEFAULT_ASPECT_BUCKETS",
     "aspect_bucket_assign",
     "caption_frequency_filter",
+    "curate",
     "header_integrity_flags",
     "image_quality_stats",
     "quality_metrics",

@@ -278,3 +278,80 @@ def caption_frequency_filter(
     return df.join(
         F.broadcast(hot_caps), has_cap & (norm == F.col("_cap")), "left_anti"
     )
+
+
+def curate(
+    df: DataFrame,
+    *,
+    min_caption_tokens: int = 4,
+    min_side_px: int = 16,
+    max_aspect_milli: int = 3000,
+    balance_col: str = "fmt",
+    sample_target: int | None = None,
+    shard_budget_bytes: int | None = None,
+    range_col: str | None = None,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """The end-to-end curation funnel every image+caption pre-training
+    corpus runs, composed from this module's operators in one lazy
+    plan (no materialization between stages — Catalyst sees the whole
+    funnel and prunes/pushes across stage boundaries):
+
+    1. **filter** — :func:`laion_filter` row rules (caption length,
+       min side, aspect cap; degenerate dims dropped, not fatal);
+    2. **exact dedup** — lowest-id survivor per ``md5(bytes)`` group
+       (the cheap content-identity pass; run
+       :func:`~.neardup.image_dedup_survivors` separately when
+       perceptual near-dup pruning is wanted — it needs the phash
+       column and its own banding plan);
+    3. **balance** — :func:`~..functions.sampling.temperature_sample`
+       over ``balance_col`` when ``sample_target`` is given (sqrt
+       temperature, deterministic md5-keyed selection);
+    4. **pack** — :func:`pack_shards` assignment when
+       ``shard_budget_bytes`` is given (pass ``range_col`` at scale —
+       see pack_shards' contract).
+
+    Returns the surviving rows with ``sample_rank``/``group_quota``
+    (when sampling) and ``shard_id``/``payload_bytes`` (when packing)
+    attached. Scale shape: one narrow flags join (broadcast-free,
+    same-scan), one md5-group shuffle, one balance-group shuffle, and
+    pack_shards' two-phase prefix sum — each stage's exchange is the
+    floor for its semantics; nothing re-shuffles the payload column
+    except the md5 group (which needs the bytes once)."""
+    flags = laion_filter(
+        df,
+        min_caption_tokens=min_caption_tokens,
+        min_side_px=min_side_px,
+        max_aspect_milli=max_aspect_milli,
+        id_col=id_col,
+        caption_col=caption_col,
+    )
+    kept = df.join(
+        flags.filter(F.col("keep")).select(F.col("id").alias(id_col)), id_col
+    )
+    w_dup = Window.partitionBy(F.md5(F.col(bytes_col))).orderBy(id_col)
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = deduped
+    if sample_target is not None:
+        from ..functions.sampling import temperature_sample
+
+        out = temperature_sample(out, balance_col, id_col, sample_target)
+    if shard_budget_bytes is not None:
+        assign = pack_shards(
+            out,
+            shard_budget_bytes,
+            id_col=id_col,
+            payload_cols=(bytes_col, caption_col),
+            range_col=range_col,
+        )
+        out = out.join(
+            assign.select(F.col("id").alias(id_col), "payload_bytes", "shard_id"),
+            id_col,
+        )
+    return out

@@ -131,3 +131,26 @@ def test_paired_alignment_matches_numpy(spark):
         assert abs(out[p]["cosine"] - round(cos, 6)) <= 1e-6
         assert out[p]["keep"] == (out[p]["cosine"] >= 0.0)
         assert out[p]["img_id"] == 2 * p and out[p]["txt_id"] == 2 * p + 1
+
+
+def test_curate_funnel_stages(spark):
+    from scrapy_products_tracker_spark.imaging import curate
+
+    rows = [
+        # (id, bytes, w, h, fmt, caption)
+        ("i0", b"AAA", 64, 64, "png", "a good long caption here"),
+        ("i1", b"AAA", 64, 64, "png", "duplicate payload of i0"),   # exact dup
+        ("i2", b"BBB", 64, 64, "png", "short"),                      # caption_short
+        ("i3", b"CCC", 0, 64, "png", "degenerate width row here"),   # degenerate
+        ("i4", b"DDD", 64, 64, "jpeg", "another good caption here"),
+        ("i5", b"EEE", 8, 64, "jpeg", "tiny image should drop too"), # small_image
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    out = curate(df, sample_target=10, shard_budget_bytes=1 << 20).collect()
+    ids = sorted(r["image_id"] for r in out)
+    assert ids == ["i0", "i4"]  # i1 deduped, i2/i3/i5 filtered
+    for r in out:
+        assert r["shard_id"] == 0 and r["payload_bytes"] > 0
+        assert r["sample_rank"] >= 1 and r["group_quota"] >= 1
