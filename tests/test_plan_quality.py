@@ -192,3 +192,43 @@ def test_scheduler_input_never_carries_payload_bytes(spark, t1_paths):
     claimed = schedule_round(narrow, drv.robots, 50, max_budget=drv._max_budget, force_salted=True)
     plan = _formatted_plan(claimed)
     assert "bytes" not in plan
+
+
+def test_temperature_sample_quota_join_is_broadcast(spark):
+    """The per-group quota table (one row per group) must join back to
+    the data as a broadcast — a shuffle of the corpus against an
+    O(groups) table would be the classic scale mistake."""
+    from scrapy_products_tracker_spark.functions import temperature_sample
+
+    d = entry._t(spark, SF, "documents")
+    plan = _formatted_plan(temperature_sample(d, "source", "doc_id", 100))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paired_alignment_is_equi_join(spark):
+    """Pair re-assembly is an equi-join on pair_id (SMJ/shuffled-hash
+    both fine) — never a cartesian/BNLJ of the two modality slices."""
+    from scrapy_products_tracker_spark.functions.similarity import paired_alignment
+
+    e = entry._t(spark, SF, "embeddings")
+    plan = _formatted_plan(paired_alignment(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wds_write_single_python_group_stage(spark, t1_paths):
+    """The tar builder is ONE applyInPandas stage over the shard
+    groups; the assignment join must not add a second Python stage
+    (payload bytes cross the Python boundary exactly once)."""
+    from scrapy_products_tracker_spark.imaging import write_wds_shards
+
+    ic = spark.read.parquet(t1_paths["image_caption"]).withColumn(
+        "rng", F.substring("image_id", 1, 5)
+    )
+    df = write_wds_shards(ic, 16384, range_col="rng")
+    # executedPlan (not formatted explain, which repeats nodes in the
+    # details section) so the count is the real stage count
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan
