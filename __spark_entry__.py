@@ -1587,6 +1587,34 @@ def q_curation_pipeline(spark, sf):
     ).orderBy("image_id")
 
 
+_BLOCK_TERMS = ["lamp", "granite", "prism"]
+
+
+def q_caption_blocklist(spark, sf):
+    """Word-list caption safety screen (imaging/dataset.
+    caption_blocklist_filter): distinct-term hit counts at word
+    boundaries, case-insensitive, NULL-safe — row-local codegen, no
+    shuffle. Oracle: per-term regexp_matches sums relationally over
+    the ground-truth caption metadata."""
+    from scrapy_products_tracker_spark.imaging import caption_blocklist_filter
+
+    _, paths = _crawl_store(spark)
+    ic = spark.read.parquet(paths["image_caption"])
+    return caption_blocklist_filter(ic, _BLOCK_TERMS).orderBy("id")
+
+
+def q_soft_dedup_weights(spark, sf):
+    """Soft dedup (dedup/exact.soft_dedup_weights): weight_micro =
+    10^6 div exact-text cluster size — the down-weighting alternative
+    to dropping duplicates. NULL-text rows stay singleton clusters via
+    a per-row key fallback (the md5-NULL-folding trap the hard-dedup
+    oracles document, here closed ON BOTH SIDES by construction)."""
+    from scrapy_products_tracker_spark.dedup import soft_dedup_weights
+
+    d = _t(spark, sf, "documents")
+    return soft_dedup_weights(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_claim_topk": q_frontier_claim_topk,
@@ -1661,6 +1689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,
+        "caption_blocklist_flags": q_caption_blocklist,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1684,6 +1714,10 @@ def oracle_sql() -> dict[str, str]:
     p_mm = OB.build_multimodal_expected()
     p_icm = OB.build_image_caption_meta()
     p_pcdx = OB.build_pages_table()
+    _BLOCK_SQL = " + ".join(
+        f"(CASE WHEN caption IS NOT NULL AND regexp_matches(caption, '(?i)\\b{t}\\b') THEN 1 ELSE 0 END)"
+        for t in _BLOCK_TERMS
+    )
     p_ph = OB.build_phash_pairs_inputs()
     p_imgdd = OB.build_image_dedup_inputs()
     p_hdr = OB.build_header_audit_inputs()
@@ -2464,6 +2498,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b4 // 16384 AS INT) AS shard_id,
                    CAST(n_payload_bytes AS BIGINT) AS payload_bytes
             FROM p ORDER BY image_id
+        """,
+        "caption_blocklist_flags": f"""
+            WITH m AS (SELECT image_id, caption FROM read_parquet('{p_icm}'))
+            SELECT image_id AS id,
+                   CAST(COALESCE({_BLOCK_SQL}, 0) AS INT) AS n_hits,
+                   COALESCE({_BLOCK_SQL}, 0) = 0 AS keep
+            FROM m ORDER BY id
+        """,
+        "soft_dedup_weights": r"""
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN text IS NULL THEN 'null:' || CAST(doc_id AS VARCHAR)
+                                   ELSE md5(text) END AS k
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS cluster_size,
+                   CAST(1000000 // COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS weight_micro
+            FROM d ORDER BY doc_id
         """,
         "clip_alignment_filter": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

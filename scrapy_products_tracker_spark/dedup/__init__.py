@@ -1,6 +1,6 @@
 from .bloom import bucket_col, optimal_params, with_bloom_hashes
 from .cuckoo import CuckooFilter
-from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch
+from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch, soft_dedup_weights
 from .seen_table import BloomTable, CuckooTable, open_seen_table
 from .semantic import semdedup
 from .text_corpus import dedup_corpus
@@ -15,6 +15,7 @@ __all__ = [
     "bucket_col",
     "dedup_against_frontier",
     "dedup_within_batch",
+    "soft_dedup_weights",
     "open_seen_table",
     "optimal_params",
     "with_bloom_hashes",

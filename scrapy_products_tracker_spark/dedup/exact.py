@@ -78,3 +78,34 @@ def dedup_against_frontier(
     maybe = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     rescued = anti_join_on_hash(maybe, frontier)
     return unseen.unionByName(rescued), -2
+
+
+def soft_dedup_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft (weighted) exact dedup: instead of DROPPING duplicates,
+    every row gets ``weight_micro = 10^6 div cluster_size`` where the
+    cluster is its exact-text group — so a document repeated k times
+    contributes total weight ~1 to training, the down-weighting
+    alternative to hard dedup (samples stay available, loss weighting
+    restores the deduplicated distribution).
+
+    NULL-text rows are singleton clusters (weight 10^6) — the same
+    pass-every-NULL contract the hard-dedup ops keep; the grouping key
+    is md5 with a per-row NULL fallback so engines that fold NULL
+    hashes into one group (DuckDB) cannot diverge. One shuffle on the
+    16-byte key; integer weights so results are bit-identical."""
+    key = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(F.md5(F.col(text_col)))
+    keyed = docs.withColumn("_skey", key)
+    w = Window.partitionBy("_skey")
+    return (
+        keyed.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .select(
+            F.col(id_col),
+            "cluster_size",
+            F.expr("div(1000000, cluster_size)").cast("long").alias("weight_micro"),
+        )
+    )

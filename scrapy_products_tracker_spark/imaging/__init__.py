@@ -2,6 +2,7 @@ from .codec import decode_image, encode_image, phash64, psnr
 from .dataset import (
     DEFAULT_ASPECT_BUCKETS,
     aspect_bucket_assign,
+    caption_blocklist_filter,
     caption_frequency_filter,
     curate,
     laion_filter,
@@ -32,6 +33,7 @@ from .wds import read_wds_shards, write_wds_shards
 __all__ = [
     "DEFAULT_ASPECT_BUCKETS",
     "aspect_bucket_assign",
+    "caption_blocklist_filter",
     "caption_frequency_filter",
     "curate",
     "header_integrity_flags",

@@ -355,3 +355,43 @@ def curate(
             id_col,
         )
     return out
+
+
+def caption_blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Safety-term blocklist over captions — the NSFW/unsafe-content
+    screening pass LAION/DataComp run before training (Schuhmann et
+    al. §3 run a word-list + classifier stage; this is the word-list
+    half, the classifier being a model-dependent plug-in).
+
+    Returns ``(id, n_hits, keep)``: ``n_hits`` counts how many
+    DISTINCT blocklist terms occur (word-boundary, case-insensitive),
+    ``keep = n_hits == 0``. Counting distinct terms rather than
+    reporting "the" matching term keeps the output order-free and
+    engine-exact (regex alternation tie-breaks differ across engines;
+    a per-term boolean sum cannot).
+
+    Plan shape: one row-local expression per term (codegen'd
+    alternation of ``rlike``s), zero shuffle, NULL caption -> 0 hits.
+    Contract: term lists up to O(100); a 10^4-term lexicon should
+    instead tokenize captions and broadcast-join the term set (the
+    ``caption_frequency_filter`` shape)."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    import re as _re
+
+    hits = None
+    for t in terms:
+        pat = r"(?i)\b" + _re.escape(t.lower()) + r"\b"
+        h = F.when(F.col(caption_col).rlike(pat), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    n_hits = F.coalesce(hits, F.lit(0)).cast("int")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_hits.alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )

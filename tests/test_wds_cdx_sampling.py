@@ -154,3 +154,36 @@ def test_curate_funnel_stages(spark):
     for r in out:
         assert r["shard_id"] == 0 and r["payload_bytes"] > 0
         assert r["sample_rank"] >= 1 and r["group_quota"] >= 1
+
+
+def test_caption_blocklist_edges(spark):
+    from scrapy_products_tracker_spark.imaging import caption_blocklist_filter
+
+    rows = [
+        ("a", "a LAMP on granite"),      # 2 distinct terms, case-insensitive
+        ("b", "lamplight is fine"),       # word boundary: no hit
+        ("c", None),                      # NULL caption -> 0 hits
+        ("d", "prism prism prism"),       # repeated term counts once
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = {r["id"]: r for r in
+           caption_blocklist_filter(df, ["lamp", "granite", "prism"]).collect()}
+    assert out["a"]["n_hits"] == 2 and not out["a"]["keep"]
+    assert out["b"]["n_hits"] == 0 and out["b"]["keep"]
+    assert out["c"]["n_hits"] == 0 and out["c"]["keep"]
+    assert out["d"]["n_hits"] == 1
+    with pytest.raises(ValueError):
+        caption_blocklist_filter(df, [])
+
+
+def test_soft_dedup_weights_nulls_and_clusters(spark):
+    from scrapy_products_tracker_spark.dedup import soft_dedup_weights
+
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "uniq"), (5, None), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in soft_dedup_weights(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["cluster_size"] == 3 and out[i]["weight_micro"] == 333333
+    assert out[4]["cluster_size"] == 1 and out[4]["weight_micro"] == 1_000_000
+    # NULL-text rows are singletons, never folded into one cluster
+    assert out[5]["cluster_size"] == 1 and out[6]["cluster_size"] == 1
