@@ -1615,6 +1615,18 @@ def q_soft_dedup_weights(spark, sf):
     return soft_dedup_weights(d).orderBy("doc_id")
 
 
+def q_latency_percentiles(spark, sf):
+    """Per-domain fetch-latency p50/p95/p99 (politeness/scheduler.
+    latency_percentiles) — exact sort-based percentiles with linear
+    interpolation, the adaptive-politeness observability input.
+    Oracle: quantile_cont (same textbook definition) in DuckDB over
+    the ground-truth page table."""
+    from scrapy_products_tracker_spark.politeness.scheduler import latency_percentiles
+
+    _, paths = _crawl_store(spark)
+    return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "frontier_claim_topk": q_frontier_claim_topk,
@@ -1691,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "caption_blocklist_flags": q_caption_blocklist,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "latency_percentiles": q_latency_percentiles,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -2515,6 +2528,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS cluster_size,
                    CAST(1000000 // COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS weight_micro
             FROM d ORDER BY doc_id
+        """,
+        "latency_percentiles": f"""
+            SELECT domain,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   round(quantile_cont(latency_ms, 0.5), 3) AS p50_ms,
+                   round(quantile_cont(latency_ms, 0.95), 3) AS p95_ms,
+                   round(quantile_cont(latency_ms, 0.99), 3) AS p99_ms
+            FROM read_parquet('{p_pcdx}')
+            GROUP BY domain ORDER BY domain
         """,
         "clip_alignment_filter": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -1027,9 +1027,17 @@ def build_pages_table() -> str:
             "url": p["url"].astype(str),
             "status_code": p["status_code"].astype("int64"),
             "body": p["body"],
+            "domain": p["domain"].astype(str),
+            "latency_ms": p["latency_ms"].astype("int64"),
         }
     )
     schema = pa.schema(
-        [("url", pa.string()), ("status_code", pa.int32()), ("body", pa.string())]
+        [
+            ("url", pa.string()),
+            ("status_code", pa.int32()),
+            ("body", pa.string()),
+            ("domain", pa.string()),
+            ("latency_ms", pa.int32()),
+        ]
     )
     return _write(df, "pages_cdx.parquet", schema)

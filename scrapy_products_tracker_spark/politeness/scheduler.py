@@ -183,3 +183,35 @@ def schedule_round(
     claimed = per_domain.orderBy(*[F.col(c) for c in CLAIM_ORDER]).limit(chunk_size)
     wr = Window.orderBy(*[F.col(c) for c in CLAIM_ORDER])
     return claimed.withColumn("within_round_rank", F.row_number().over(wr).cast("int"))
+
+
+def latency_percentiles(
+    fetched: DataFrame,
+    domain_col: str = "domain",
+    latency_col: str = "latency_ms",
+    percentiles: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-domain fetch-latency percentiles — the observability input
+    adaptive politeness runs on (a p95 that doubles is the back-off
+    signal BEFORE error rates move; pair with
+    :mod:`politeness.adaptive`'s AIMD step).
+
+    Uses EXACT ``percentile`` (sort-based with linear interpolation,
+    the textbook definition DuckDB's ``quantile_cont`` shares — which
+    is what makes this oracle-checkable), not ``approx_percentile``
+    (t-digest, engine-specific). Exact percentile holds each domain's
+    latencies in one aggregation buffer: fine for per-domain
+    cardinalities (a round fetches O(budget) urls/domain); for
+    all-time histories switch to approx_percentile and drop the
+    oracle claim. Map-side partial aggregation still applies; one
+    shuffle on the domain key. Results rounded to 3 dp (interpolation
+    arithmetic is the same IEEE expression on both engines; rounding
+    absorbs the final ulp)."""
+    pcts = ", ".join(str(float(p)) for p in percentiles)
+    exprs = [F.count("*").cast("long").alias("n_fetches")]
+    arr = F.expr(f"percentile({latency_col}, array({pcts}))")
+    for i, p in enumerate(percentiles):
+        exprs.append(
+            F.round(arr[i], 3).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}_ms")
+        )
+    return fetched.groupBy(F.col(domain_col).alias("domain")).agg(*exprs)
