@@ -483,6 +483,35 @@ class SnapshotParquetStore:
         os.replace(tmp, self.root / "LATEST")  # atomic commit point
         return version
 
+    # --- observability ---------------------------------------------------
+    def snapshot_diff(self, spark: SparkSession, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Frontier status-transition counts between two snapshots:
+        ``(from_status, to_status, n)`` with NULL ``from_status`` for
+        rows inserted in the window (and NULL ``to_status`` for the
+        impossible-today deleted case). The time-travel audit surface:
+        "what did session K actually do" as one tiny aggregate.
+
+        Scale shape: a full-outer equi-join of two frontier versions on
+        ``url_hash`` (8-byte shuffle key, url-equality confirm) — both
+        sides share the same bucket layout, so on a bucketized store
+        this is the co-partitioned join pattern; the output is
+        O(status²) rows."""
+        a = self.read_frontier(spark, v_from)
+        b = self.read_frontier(spark, v_to)
+        if a is None or b is None:
+            raise ValueError("both snapshot versions must exist")
+        left = a.select(
+            F.col("url_hash").alias("h"), F.col("url").alias("u"), F.col("status").alias("from_status")
+        )
+        right = b.select(
+            F.col("url_hash").alias("h"), F.col("url").alias("u"), F.col("status").alias("to_status")
+        )
+        return (
+            left.join(right, ["h", "u"], "full_outer")
+            .groupBy("from_status", "to_status")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
     # --- maintenance (Iceberg table-maintenance analogs) -----------------
     def rebucket_frontier(self, spark: SparkSession, factor: int = 2) -> int:
         """Online frontier re-shard: rewrite into ``factor``× hash

@@ -122,3 +122,25 @@ def test_resize_keeps_membership(spark, tmpdir_path):
         spark, [tmpdir_path + "/shards"], {"n_buckets": nb, "bits": bits * 2, "k": k}
     )
     assert table.mark(df, "url").filter(~F.col("_maybe_seen")).count() == 0
+
+
+def test_snapshot_diff_accounts_for_counters(spark, t1_paths, tmpdir_path):
+    """diff(v_seed -> latest) row totals reconcile with the crawl's
+    own counters: inserted rows (NULL from_status) == urls_seen minus
+    the seeded rows, and nothing is ever deleted (NULL to_status)."""
+    from scrapy_products_tracker_spark.schemas import PENDING
+
+    store = SnapshotParquetStore(tmpdir_path)
+    d = _driver(spark, t1_paths, store)
+    v1 = d.seed(spark.read.parquet(t1_paths["seeds"]))
+    final = d.run()
+    diff = store.snapshot_diff(spark, v1).collect()
+    by = {(r["from_status"], r["to_status"]): r["n"] for r in diff}
+    assert all(k[1] is not None for k in by)  # rows never deleted
+    inserted = sum(n for (f, _t), n in by.items() if f is None)
+    seeded = sum(n for (f, _t), n in by.items() if f is not None)
+    assert seeded + inserted == final["counters"]["urls_seen"]
+    # every seeded PENDING row reached a terminal/skip state (T1 drains)
+    assert (PENDING, PENDING) not in by
+    with pytest.raises(ValueError):
+        store.snapshot_diff(spark, 999)
