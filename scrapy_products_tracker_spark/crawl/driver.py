@@ -127,6 +127,14 @@ class CrawlConfig:
     adaptive_distress_milli: int = 200
     adaptive_increase: int = 2
     adaptive_min_budget: int = 1
+    # auto-maintenance (frontier/store.rebucket_frontier): after a
+    # round's commit, double the frontier bucket count whenever any
+    # bucket's PENDING count exceeds this threshold — the epoch-
+    # doubling growth policy, inline. Opt-in; invisible to crawl
+    # semantics (tests/test_maintenance.py). At 10^10 scale pick
+    # threshold ~= target bucket row count (e.g. 10^7).
+    auto_rebucket_pending: int | None = None
+    auto_rebucket_max_buckets: int = 1 << 20
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -639,6 +647,19 @@ class CrawlDriver:
         }
         for df in cached:
             df.unpersist()
+        # opt-in auto-maintenance: grow the bucket layout when the just-
+        # committed pending counts show a bucket past the target size
+        # (one doubling per round bounds maintenance cost; the store
+        # re-keys the pending counts so the next claim prunes correctly)
+        if (
+            self.cfg.auto_rebucket_pending
+            and ppb
+            and max(ppb.values()) > self.cfg.auto_rebucket_pending
+            and (self.store.frontier_n_buckets() or 0) * 2
+            <= self.cfg.auto_rebucket_max_buckets
+        ):
+            self.store.rebucket_frontier(self.spark, 2)
+            meta["rebucketed_to"] = self.store.frontier_n_buckets()
         return meta
 
     def run(self, max_rounds: int | None = None) -> dict:

@@ -1,4 +1,4 @@
-from .sampling import temperature_sample
+from .sampling import temperature_sample, temperature_sample_threshold
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
     canonicalize_series,
@@ -11,6 +11,7 @@ from .urls import (
 
 __all__ = [
     "temperature_sample",
+    "temperature_sample_threshold",
     "bloom_hash_cols",
     "murmur3_32",
     "murmur3_col",

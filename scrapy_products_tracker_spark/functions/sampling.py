@@ -81,3 +81,53 @@ def temperature_sample(
         "sample_rank", F.row_number().over(w).cast("long")
     )
     return ranked.filter(F.col("sample_rank") <= F.col("group_quota"))
+
+
+def temperature_sample_threshold(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    salt: str = "ts1",
+) -> DataFrame:
+    """Shuffle-free APPROXIMATE variant of :func:`temperature_sample`
+    — the hot-group scale path its docstring points to.
+
+    Same integer quota computation, but selection keeps rows whose
+    md5-derived uniform draw ``u in [0,1)`` satisfies ``u * n_g <
+    quota_g`` instead of ranking: expected kept per group = quota_g,
+    variance ~ binomial, and NO per-group exchange exists anywhere in
+    the plan — group counts/quotas broadcast back onto the unshuffled
+    scan, so a single 10^9-row hot group costs the same as a thousand
+    small ones. Trade-off: per-group counts are only *expected* to hit
+    quota (a quota-exact split needs the rank, hence the shuffle); the
+    draw is still deterministic (same md5 key as the exact variant),
+    so re-runs select identical rows.
+
+    Use exact for quota-critical splits (eval sets, billing), this
+    for statistical re-balancing at scale."""
+    if total_target <= 0:
+        raise ValueError("total_target must be > 0")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
+    )
+    total_w = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        F.col("_n"),
+        F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
+    )
+    # u = first 13 hex chars of md5 as a fraction of 16^13 (52 bits —
+    # exact in a double); deterministic, uniform, engine-portable
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    return (
+        df.join(F.broadcast(quotas), group_col)
+        .withColumn("_u", u)
+        .filter(F.col("_u") * F.col("_n") < F.col("group_quota"))
+        .drop("_n", "_u")
+    )

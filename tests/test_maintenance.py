@@ -144,3 +144,29 @@ def test_snapshot_diff_accounts_for_counters(spark, t1_paths, tmpdir_path):
     assert (PENDING, PENDING) not in by
     with pytest.raises(ValueError):
         store.snapshot_diff(spark, 999)
+
+
+def test_auto_rebucket_mid_crawl(spark, t1_paths, tmpdir_path):
+    """CrawlConfig(auto_rebucket_pending=...) grows the layout inline
+    and stays parity-invisible."""
+    seeds = spark.read.parquet(t1_paths["seeds"])
+    control = SnapshotParquetStore(tmpdir_path + "/c")
+    d = _driver(spark, t1_paths, control)
+    d.seed(seeds)
+    d.run()
+    expected = _snapshot(spark, control)
+
+    store = SnapshotParquetStore(tmpdir_path + "/a")
+    d = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]),
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        CrawlConfig(chunk_size=50, auto_rebucket_pending=1, auto_rebucket_max_buckets=256),
+    )
+    d.seed(seeds)
+    d.run()
+    assert store.frontier_n_buckets() == 256  # grew and respected the cap
+    got = _snapshot(spark, store)
+    assert got[0] == expected[0] and got[1] == expected[1] and got[2] == expected[2]

@@ -187,3 +187,29 @@ def test_soft_dedup_weights_nulls_and_clusters(spark):
     assert out[4]["cluster_size"] == 1 and out[4]["weight_micro"] == 1_000_000
     # NULL-text rows are singletons, never folded into one cluster
     assert out[5]["cluster_size"] == 1 and out[6]["cluster_size"] == 1
+
+
+def test_temperature_threshold_variant(spark):
+    from scrapy_products_tracker_spark.functions import temperature_sample_threshold
+
+    rows = [(f"g{g}", g * 100000 + i) for g, n in ((0, 3000), (1, 800), (2, 200))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = temperature_sample_threshold(df, "src", "id", total_target=400)
+    by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    quotas = {r["src"]: r["group_quota"]
+              for r in out.select("src", "group_quota").distinct().collect()}
+    # binomial tolerance: |kept - quota| <= 4*sqrt(quota)
+    for g, q in quotas.items():
+        assert abs(by.get(g, 0) - q) <= 4 * (q ** 0.5) + 1, (g, by.get(g), q)
+    # deterministic: identical selection on re-run and under repartition
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in temperature_sample_threshold(
+        df.repartition(11), "src", "id", 400).collect())
+    assert ids1 == ids2
+    # plan: NO exchange other than the tiny aggregates — the data path
+    # is scan -> broadcast join -> filter (no window/sort on the corpus)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    with pytest.raises(ValueError):
+        temperature_sample_threshold(df, "src", "id", 0)
