@@ -640,6 +640,11 @@ class CrawlDriver:
             frontier_dirty=sorted(frontier_dirty) if frontier_dirty else None,
             seen_dirty=sorted(seen_dirty) if seen_dirty else None,
             meta=meta,
+            # optimistic concurrency: this round's deltas were computed
+            # against the manifest read at round start — refuse the flip
+            # if another writer advanced the store since (lost-update
+            # guard; the loser re-reads and re-runs the round)
+            expected_version=manifest["version"],
         )
         meta["timings"] = {
             "stats_s": round(t_stats, 2),

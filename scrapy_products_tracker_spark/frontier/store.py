@@ -56,6 +56,15 @@ from ..dedup.seen_table import (
 )
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced LATEST since this commit's base snapshot
+    was read (Iceberg optimistic-concurrency semantics): the commit's
+    deltas were computed against a stale base, so applying them would
+    silently lose the other writer's updates. The loser re-reads and
+    retries; its already-written data files are orphans the next
+    ``expire_snapshots`` GC sweeps."""
+
+
 def frontier_bucket_col(url_hash_col, n_buckets: int):
     """Bucket key for the frontier layout; same two's-complement AND the
     Bloom shards use, exact for power-of-two bucket counts."""
@@ -365,6 +374,7 @@ class SnapshotParquetStore:
         frontier_dirty: list[int] | None = None,
         seen_dirty: list[int] | None = None,
         meta: dict | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """One atomic snapshot. Exactly one of ``frontier`` (full
         rewrite: seeding, session re-arm) or ``frontier_updates``/
@@ -477,6 +487,16 @@ class SnapshotParquetStore:
         }
         if delta_mode:
             manifest["meta"]["dirty_frontier_buckets"] = len(dirty_frontier)
+        # optimistic concurrency (Iceberg commit semantics): refuse the
+        # pointer flip if another writer advanced LATEST past the base
+        # this commit's deltas were computed against. Checked at the
+        # last possible moment — all data writes above are version-
+        # namespaced, so a losing commit leaves only GC-able orphans.
+        if expected_version is not None and self.latest_version() != expected_version:
+            raise CommitConflictError(
+                f"base snapshot v{expected_version} is stale "
+                f"(LATEST is v{self.latest_version()}); re-read and retry"
+            )
         self._manifest_path(version).write_text(json.dumps(manifest, indent=1))
         tmp = self.root / "LATEST.tmp"
         tmp.write_text(str(version))
@@ -562,6 +582,7 @@ class SnapshotParquetStore:
                 "rebucketed": {"from": old_b, "to": new_b},
                 "pending_per_bucket": ppb,
             },
+            expected_version=prev["version"],
         )
 
     def rebuild_seen(self, spark: SparkSession, scale: int = 2, params: dict | None = None) -> int:
@@ -595,6 +616,7 @@ class SnapshotParquetStore:
         return self.commit(
             seen_build=(kind, new_params, shards),
             meta={"seen_rebuilt": {"from_bits": int(old["bits"]), "to_bits": int(new_params["bits"])}},
+            expected_version=prev["version"],
         )
 
     def rollback(self, version: int) -> None:

@@ -48,3 +48,29 @@ def test_expire_snapshots_keeps_live_data(spark, tmpdir_path):
     res = {r["k"] for r in store.read_results(spark).collect()}
     assert res == {0, 1, 2, 3, 4}  # appended files are live in the head manifest
     assert store.read_manifest(1) is None  # old manifest gone
+
+
+def test_commit_optimistic_concurrency(spark, tmpdir_path):
+    """Iceberg-style lost-update guard: a commit whose base snapshot is
+    stale must refuse the pointer flip; the winning snapshot stays
+    intact and the loser's retry (fresh base) succeeds."""
+    import pytest
+
+    from scrapy_products_tracker_spark.frontier import CommitConflictError, SnapshotParquetStore
+
+    store = SnapshotParquetStore(tmpdir_path + "/occ")
+    fr = spark.createDataFrame(
+        [("https://a.com/x", 1, "a.com", "0", 0, 0, 0, 0)],
+        "url string, url_hash long, domain string, tier string, "
+        "priority int, depth int, discovered_seq long, status int",
+    ).withColumn("attempt", F.lit(0))
+    v1 = store.commit(fr, meta={"round": 0})
+    base = store.read_manifest()["version"]
+    v2 = store.commit(fr, meta={"round": 1}, expected_version=base)  # wins
+    with pytest.raises(CommitConflictError):
+        store.commit(fr, meta={"round": 1}, expected_version=base)  # stale base
+    assert store.latest_version() == v2
+    assert store.read_manifest()["meta"]["round"] == 1
+    # retry against the fresh base succeeds
+    v3 = store.commit(fr, meta={"round": 2}, expected_version=v2)
+    assert store.latest_version() == v3 == v2 + 1
