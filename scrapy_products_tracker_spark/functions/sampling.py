@@ -45,6 +45,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _null_safe_key(group_col: str):
+    """String group key with a NULL sentinel: atomic group values map
+    1:1 onto their string form, and NULL becomes its own group instead
+    of vanishing through an equi-join (NULL never equals NULL)."""
+    return F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,
@@ -58,10 +65,13 @@ def temperature_sample(
     ``group_quota``. Exact: ``sum(quota_g) <= total_target`` (floor
     division; the remainder is deliberately dropped, not
     redistributed, so quotas are a pure per-group function of the
-    count table)."""
+    count table). NULL groups form ONE group of their own (the quota
+    join runs on a null-safe string key, so a plain equi-join's
+    silent NULL-row drop cannot happen)."""
     if total_target <= 0:
         raise ValueError("total_target must be > 0")
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    keyed = df.withColumn("_gkey", _null_safe_key(group_col))
+    counts = keyed.groupBy("_gkey").agg(F.count("*").alias("_n"))
     # w = floor(sqrt(n * 1e6)): sqrt in milli-units so small groups
     # keep resolution; int64-exact thereafter
     weights = counts.withColumn(
@@ -69,18 +79,18 @@ def temperature_sample(
     )
     total_w = weights.agg(F.sum("_w").alias("_tw"))
     quotas = weights.crossJoin(F.broadcast(total_w)).select(
-        group_col,
+        "_gkey",
         # integer div, NOT float `/`: double quotients round differently
         # from DuckDB's // on large counts — div() keeps it int64-exact
         F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
     )
-    w = Window.partitionBy(group_col).orderBy(
+    w = Window.partitionBy("_gkey").orderBy(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
     )
-    ranked = df.join(F.broadcast(quotas), group_col).withColumn(
+    ranked = keyed.join(F.broadcast(quotas), "_gkey").withColumn(
         "sample_rank", F.row_number().over(w).cast("long")
     )
-    return ranked.filter(F.col("sample_rank") <= F.col("group_quota"))
+    return ranked.filter(F.col("sample_rank") <= F.col("group_quota")).drop("_gkey")
 
 
 def temperature_sample_threshold(
@@ -108,13 +118,14 @@ def temperature_sample_threshold(
     for statistical re-balancing at scale."""
     if total_target <= 0:
         raise ValueError("total_target must be > 0")
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    keyed = df.withColumn("_gkey", _null_safe_key(group_col))
+    counts = keyed.groupBy("_gkey").agg(F.count("*").alias("_n"))
     weights = counts.withColumn(
         "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
     )
     total_w = weights.agg(F.sum("_w").alias("_tw"))
     quotas = weights.crossJoin(F.broadcast(total_w)).select(
-        group_col,
+        "_gkey",
         F.col("_n"),
         F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
     )
@@ -126,8 +137,8 @@ def temperature_sample_threshold(
         10,
     ).cast("double") / F.lit(float(16**13))
     return (
-        df.join(F.broadcast(quotas), group_col)
+        keyed.join(F.broadcast(quotas), "_gkey")
         .withColumn("_u", u)
         .filter(F.col("_u") * F.col("_n") < F.col("group_quota"))
-        .drop("_n", "_u")
+        .drop("_n", "_u", "_gkey")
     )

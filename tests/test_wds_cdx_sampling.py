@@ -213,3 +213,15 @@ def test_temperature_threshold_variant(spark):
     assert "Window" not in plan
     with pytest.raises(ValueError):
         temperature_sample_threshold(df, "src", "id", 0)
+
+
+def test_temperature_sample_null_group_survives(spark):
+    from scrapy_products_tracker_spark.functions import temperature_sample
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", 4), (None, 10), (None, 11)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = temperature_sample(df, "src", "id", total_target=6)
+    srcs = [r["src"] for r in out.collect()]
+    # NULL rows form their own group and take their quota share —
+    # a plain equi-join would have dropped them silently
+    assert None in srcs and "a" in srcs
