@@ -534,7 +534,10 @@ def paired_alignment(
     on ``pair_id`` — with the table written bucketed/sorted by
     ``div(id,2)`` (the natural layout for paired modalities) it is a
     zero-shuffle zip; unbucketed it is one co-partitioned exchange of
-    each side, the floor for re-pairing. No driver state, no Python."""
+    each side, the floor for re-pairing. No driver state, no Python.
+    Unpaired rows (an even id with no odd sibling, or vice versa) drop
+    via the inner join; a NULL vector yields NULL cosine and NULL
+    keep — report-don't-crash, filter on ``keep`` explicitly."""
     half = (F.col(id_col) / 2).cast("long").alias("pair_id")
     img = emb.filter(F.col(id_col) % 2 == 0).select(
         half, F.col(id_col).alias("img_id"), F.col(vec_col).cast("array<double>").alias("_iv")

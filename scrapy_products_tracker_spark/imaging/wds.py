@@ -142,12 +142,14 @@ def read_wds_shards(shards: DataFrame) -> DataFrame:
                 with tarfile.open(fileobj=io.BytesIO(bytes(r["tar_bytes"]))) as tf:
                     samples: dict[str, dict] = {}
                     for m in tf.getmembers():
-                        stem, dot, kind = m.name.rpartition(".")
+                        stem, _, kind = m.name.rpartition(".")
+                        if not stem or kind not in ("img", "txt"):
+                            continue  # foreign member (WDS readers skip unknown extensions)
                         data = tf.extractfile(m).read()
                         s = samples.setdefault(stem, {"payload": None, "caption": None})
                         if kind == "img":
                             s["payload"] = data
-                        elif kind == "txt":
+                        else:
                             s["caption"] = data.decode("utf-8")
                     for stem, s in samples.items():
                         out.append(
