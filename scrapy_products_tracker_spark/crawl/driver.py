@@ -613,7 +613,11 @@ class CrawlDriver:
                 increase=self.cfg.adaptive_increase,
                 min_budget=self.cfg.adaptive_min_budget,
             ).localCheckpoint()
-            self._max_budget += self.cfg.adaptive_increase
+            # phase-1 scalar cap: recompute from the (tiny, checkpointed)
+            # budget table rather than advancing a never-shrinking scalar
+            # — after thousands of distress-halved rounds a drifting cap
+            # would make phase 1 over-claim by the whole drift
+            self._max_budget = max_effective_budget(self.robots, self.cfg.round_ms)
 
         meta = {
             "round": round_no,

@@ -72,20 +72,35 @@ def frontier_bucket_col(url_hash_col, n_buckets: int):
 
 
 class SnapshotParquetStore:
-    def __init__(self, root: str, n_frontier_buckets: int = 32):
-        if n_frontier_buckets < 1 or (n_frontier_buckets & (n_frontier_buckets - 1)) != 0:
+    def __init__(self, root: str, n_frontier_buckets: int | None = None):
+        if n_frontier_buckets is not None and (
+            n_frontier_buckets < 1 or (n_frontier_buckets & (n_frontier_buckets - 1)) != 0
+        ):
             raise ValueError("n_frontier_buckets must be a power of two")
         self.root = Path(root)
-        self.n_frontier_buckets = n_frontier_buckets
         (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
-        # re-opening an existing store adopts its committed bucket
-        # count (a rebucket_frontier may have outgrown the default) —
-        # otherwise the next FULL frontier rewrite (seed/re-arm) would
-        # silently shrink the layout back
+        # re-opening an existing store adopts its committed bucket count
+        # (a rebucket_frontier may have outgrown the default); an
+        # EXPLICIT mismatching value is refused rather than silently
+        # overridden — resharding is rebucket_frontier's job, and a
+        # silent 32-vs-1024 downgrade would make every dirty-bucket
+        # rewrite 32x larger than the caller asked for
         m = self.read_manifest()
-        if m and isinstance(m.get("frontier"), dict) and m["frontier"].get("n_buckets"):
-            self.n_frontier_buckets = int(m["frontier"]["n_buckets"])
+        committed = (
+            int(m["frontier"]["n_buckets"])
+            if m and isinstance(m.get("frontier"), dict) and m["frontier"].get("n_buckets")
+            else None
+        )
+        if committed is not None:
+            if n_frontier_buckets is not None and n_frontier_buckets != committed:
+                raise ValueError(
+                    f"store already committed with {committed} frontier buckets; "
+                    f"use rebucket_frontier() to change the layout"
+                )
+            self.n_frontier_buckets = committed
+        else:
+            self.n_frontier_buckets = n_frontier_buckets if n_frontier_buckets is not None else 32
 
     # --- pointer ---------------------------------------------------------
     def latest_version(self) -> int | None:
@@ -101,7 +116,10 @@ class SnapshotParquetStore:
         version = self.latest_version() if version is None else version
         if version is None or not self._manifest_path(version).exists():
             return None
-        return json.loads(self._manifest_path(version).read_text())
+        m = json.loads(self._manifest_path(version).read_text())
+        if "version" not in m:
+            return None  # claim placeholder of an in-flight/crashed commit
+        return m
 
     # --- readers ---------------------------------------------------------
     def _frontier_paths(self, m: dict, buckets=None) -> list[str]:
@@ -383,7 +401,22 @@ class SnapshotParquetStore:
         commit point; a crash before it leaves the previous snapshot
         fully intact (reference nack-redelivery semantics, X4/X5)."""
         prev = self.read_manifest()
+        # reserve a UNIQUE version number before any data write (O_EXCL
+        # create of the manifest path): concurrent committers therefore
+        # write to disjoint v{n} data dirs, so the loser of the
+        # expected_version race really does leave only GC-able orphans
+        # (without this, two writers computing the same prev+1 would
+        # overwrite each other's files before the flip check runs).
+        # A crashed claim leaves a placeholder manifest that LATEST
+        # never points to; readers and GC skip it.
         version = (prev["version"] + 1) if prev else 1
+        while True:
+            try:
+                with open(self._manifest_path(version), "x") as fh:
+                    fh.write('{"claimed": true}')
+                break
+            except FileExistsError:
+                version += 1
         delta_mode = frontier_updates is not None or frontier_inserts is not None
         if delta_mode and frontier is not None:
             raise ValueError("pass either frontier or frontier_updates/inserts, not both")
@@ -497,7 +530,9 @@ class SnapshotParquetStore:
                 f"base snapshot v{expected_version} is stale "
                 f"(LATEST is v{self.latest_version()}); re-read and retry"
             )
-        self._manifest_path(version).write_text(json.dumps(manifest, indent=1))
+        mtmp = self.root / "snapshots" / f"v{version}.json.tmp"
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(mtmp, self._manifest_path(version))
         tmp = self.root / "LATEST.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self.root / "LATEST")  # atomic commit point
@@ -641,8 +676,8 @@ class SnapshotParquetStore:
         live: set[str] = set()
         for v in keep:
             m = self.read_manifest(v)
-            if not m:
-                continue
+            if not m or "frontier" not in m:
+                continue  # missing or claim placeholder (crashed commit)
             fr = m["frontier"]
             if isinstance(fr, str):
                 live.add(fr)

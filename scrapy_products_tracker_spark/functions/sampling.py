@@ -45,6 +45,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _group_quotas(keyed: DataFrame, total_target: int) -> DataFrame:
+    """(_gkey, _n, group_quota) — the shared integer quota arithmetic
+    both sampling variants promise is identical: per-group counts,
+    sqrt weights in milli-units, int64 ``div`` split of the target."""
+    counts = keyed.groupBy("_gkey").agg(F.count("*").alias("_n"))
+    # w = floor(sqrt(n * 1e6)): sqrt in milli-units so small groups
+    # keep resolution; int64-exact thereafter
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
+    )
+    total_w = weights.agg(F.sum("_w").alias("_tw"))
+    return weights.crossJoin(F.broadcast(total_w)).select(
+        "_gkey",
+        F.col("_n"),
+        # integer div, NOT float `/`: double quotients round differently
+        # from DuckDB's // on large counts — div() keeps it int64-exact
+        F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
+    )
+
+
 def _null_safe_key(group_col: str):
     """String group key with a NULL sentinel: atomic group values map
     1:1 onto their string form, and NULL becomes its own group instead
@@ -71,19 +91,7 @@ def temperature_sample(
     if total_target <= 0:
         raise ValueError("total_target must be > 0")
     keyed = df.withColumn("_gkey", _null_safe_key(group_col))
-    counts = keyed.groupBy("_gkey").agg(F.count("*").alias("_n"))
-    # w = floor(sqrt(n * 1e6)): sqrt in milli-units so small groups
-    # keep resolution; int64-exact thereafter
-    weights = counts.withColumn(
-        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
-    )
-    total_w = weights.agg(F.sum("_w").alias("_tw"))
-    quotas = weights.crossJoin(F.broadcast(total_w)).select(
-        "_gkey",
-        # integer div, NOT float `/`: double quotients round differently
-        # from DuckDB's // on large counts — div() keeps it int64-exact
-        F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
-    )
+    quotas = _group_quotas(keyed, total_target).drop("_n")
     w = Window.partitionBy("_gkey").orderBy(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
     )
@@ -119,16 +127,7 @@ def temperature_sample_threshold(
     if total_target <= 0:
         raise ValueError("total_target must be > 0")
     keyed = df.withColumn("_gkey", _null_safe_key(group_col))
-    counts = keyed.groupBy("_gkey").agg(F.count("*").alias("_n"))
-    weights = counts.withColumn(
-        "_w", F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1_000_000.0))).cast("long")
-    )
-    total_w = weights.agg(F.sum("_w").alias("_tw"))
-    quotas = weights.crossJoin(F.broadcast(total_w)).select(
-        "_gkey",
-        F.col("_n"),
-        F.expr(f"div({int(total_target)} * _w, _tw)").cast("long").alias("group_quota"),
-    )
+    quotas = _group_quotas(keyed, total_target)
     # u = first 13 hex chars of md5 as a fraction of 16^13 (52 bits —
     # exact in a double); deterministic, uniform, engine-portable
     u = F.conv(

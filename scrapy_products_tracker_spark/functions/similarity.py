@@ -538,7 +538,9 @@ def paired_alignment(
     Unpaired rows (an even id with no odd sibling, or vice versa) drop
     via the inner join; a NULL vector yields NULL cosine and NULL
     keep — report-don't-crash, filter on ``keep`` explicitly."""
-    half = (F.col(id_col) / 2).cast("long").alias("pair_id")
+    # integer div, not float `/`: double division loses low bits for
+    # ids >= 2^53 (hash/snowflake ids), collapsing adjacent pairs
+    half = F.expr(f"`{id_col}` div 2").cast("long").alias("pair_id")
     img = emb.filter(F.col(id_col) % 2 == 0).select(
         half, F.col(id_col).alias("img_id"), F.col(vec_col).cast("array<double>").alias("_iv")
     )

@@ -315,11 +315,17 @@ def curate(
 
     Returns the surviving rows with ``sample_rank``/``group_quota``
     (when sampling) and ``shard_id``/``payload_bytes`` (when packing)
-    attached. Scale shape: one narrow flags join (broadcast-free,
-    same-scan), one md5-group shuffle, one balance-group shuffle, and
-    pack_shards' two-phase prefix sum — each stage's exchange is the
-    floor for its semantics; nothing re-shuffles the payload column
-    except the md5 group (which needs the bytes once)."""
+    attached.
+
+    Scale shape — the WIDE rows (payload bytes) shuffle on exactly one
+    key, ``id_col``: every stage runs over a NARROW projection (ids,
+    16-byte dedup keys, group labels, byte lengths — md5/octet_length
+    are computed at the scan, so the bytes themselves never enter a
+    stage exchange), and the narrow survivors join back onto the wide
+    scan by id at the end. AQE reuses the id-partitioning across the
+    stacked id-joins. NULL-``bytes`` rows are singleton dedup clusters
+    (per-row key fallback — the md5-NULL-folding trap documented at
+    ``dedup/exact.soft_dedup_weights``), never folded and dropped."""
     flags = laion_filter(
         df,
         min_caption_tokens=min_caption_tokens,
@@ -328,21 +334,31 @@ def curate(
         id_col=id_col,
         caption_col=caption_col,
     )
-    kept = df.join(
-        flags.filter(F.col("keep")).select(F.col("id").alias(id_col)), id_col
-    )
-    w_dup = Window.partitionBy(F.md5(F.col(bytes_col))).orderBy(id_col)
-    deduped = (
-        kept.withColumn("_rn", F.row_number().over(w_dup))
+    dkey = F.when(
+        F.col(bytes_col).isNull(),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    ).otherwise(F.md5(F.col(bytes_col)))
+    w_dup = Window.partitionBy("_dk").orderBy(id_col)
+    survivors = (
+        df.select(F.col(id_col), dkey.alias("_dk"))
+        .join(flags.filter(F.col("keep")).select(F.col("id").alias(id_col)), id_col)
+        .withColumn("_rn", F.row_number().over(w_dup))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(id_col)
     )
-    out = deduped
     if sample_target is not None:
         from ..functions.sampling import temperature_sample
 
-        out = temperature_sample(out, balance_col, id_col, sample_target)
+        survivors = temperature_sample(
+            df.select(id_col, balance_col).join(survivors, id_col),
+            balance_col,
+            id_col,
+            sample_target,
+        ).select(id_col, "sample_rank", "group_quota")
+    out = df.join(survivors, id_col)
     if shard_budget_bytes is not None:
+        # pack_shards projects narrow (range, id, byte-length) itself;
+        # only its tiny assignment joins back onto the wide rows
         assign = pack_shards(
             out,
             shard_budget_bytes,
@@ -386,7 +402,12 @@ def caption_blocklist_filter(
 
     hits = None
     for t in terms:
-        pat = r"(?i)\b" + _re.escape(t.lower()) + r"\b"
+        # \b only binds between a word char and a non-word char: a term
+        # whose edge is non-word ("c++", "18+") would make \b...\b
+        # unmatchable, so anchor each edge conditionally
+        lead = r"\b" if _re.match(r"\w", t) else r"(?<!\w)"
+        tail = r"\b" if _re.search(r"\w$", t) else r"(?!\w)"
+        pat = "(?i)" + lead + _re.escape(t.lower()) + tail
         h = F.when(F.col(caption_col).rlike(pat), 1).otherwise(0)
         hits = h if hits is None else hits + h
     n_hits = F.coalesce(hits, F.lit(0)).cast("int")

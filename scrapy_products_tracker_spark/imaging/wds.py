@@ -143,8 +143,11 @@ def read_wds_shards(shards: DataFrame) -> DataFrame:
                     samples: dict[str, dict] = {}
                     for m in tf.getmembers():
                         stem, _, kind = m.name.rpartition(".")
-                        if not stem or kind not in ("img", "txt"):
-                            continue  # foreign member (WDS readers skip unknown extensions)
+                        if not m.isfile() or not stem or kind not in ("img", "txt"):
+                            # foreign member: unknown extension, or a
+                            # non-regular entry (dir/symlink — extractfile
+                            # returns None for those and would crash)
+                            continue
                         data = tf.extractfile(m).read()
                         s = samples.setdefault(stem, {"payload": None, "caption": None})
                         if kind == "img":

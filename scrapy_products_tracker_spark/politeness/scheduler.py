@@ -211,7 +211,12 @@ def latency_percentiles(
     exprs = [F.count("*").cast("long").alias("n_fetches")]
     arr = F.expr(f"percentile({latency_col}, array({pcts}))")
     for i, p in enumerate(percentiles):
-        exprs.append(
-            F.round(arr[i], 3).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}_ms")
-        )
+        # name from milli-units, not str() surgery: 0.5 -> p50, 0.95 ->
+        # p95, 0.999 -> p999, 1.0 -> p100 — never a dot in a column name
+        # (dots parse as struct access) and never ambiguous
+        milli = int(round(float(p) * 1000))
+        if not 0 <= milli <= 1000:
+            raise ValueError(f"percentile {p} outside [0, 1]")
+        label = milli // 10 if milli % 10 == 0 else milli
+        exprs.append(F.round(arr[i], 3).alias(f"p{label}_ms"))
     return fetched.groupBy(F.col(domain_col).alias("domain")).agg(*exprs)

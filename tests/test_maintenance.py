@@ -170,3 +170,13 @@ def test_auto_rebucket_mid_crawl(spark, t1_paths, tmpdir_path):
     assert store.frontier_n_buckets() == 256  # grew and respected the cap
     got = _snapshot(spark, store)
     assert got[0] == expected[0] and got[1] == expected[1] and got[2] == expected[2]
+
+
+def test_explicit_bucket_mismatch_refused(spark, t1_paths, tmpdir_path):
+    store = SnapshotParquetStore(tmpdir_path, n_frontier_buckets=16)
+    d = _driver(spark, t1_paths, store)
+    d.seed(spark.read.parquet(t1_paths["seeds"]))
+    with pytest.raises(ValueError, match="rebucket_frontier"):
+        SnapshotParquetStore(tmpdir_path, n_frontier_buckets=64)
+    # default adoption still works
+    assert SnapshotParquetStore(tmpdir_path).n_frontier_buckets == 16

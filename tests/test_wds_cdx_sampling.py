@@ -225,3 +225,43 @@ def test_temperature_sample_null_group_survives(spark):
     # NULL rows form their own group and take their quota share —
     # a plain equi-join would have dropped them silently
     assert None in srcs and "a" in srcs
+
+
+def test_blocklist_nonword_edge_terms(spark):
+    from scrapy_products_tracker_spark.imaging import caption_blocklist_filter
+
+    rows = [("a", "rated 18+ content"), ("b", "learn c++ today"), ("c", "18 plus")]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    out = {r["id"]: r for r in caption_blocklist_filter(df, ["18+", "c++"]).collect()}
+    assert out["a"]["n_hits"] == 1   # \b...\b would never match '18+'
+    assert out["b"]["n_hits"] == 1
+    assert out["c"]["n_hits"] == 0
+
+
+def test_latency_percentile_names(spark):
+    from scrapy_products_tracker_spark.politeness.scheduler import latency_percentiles
+
+    df = spark.createDataFrame(
+        [("d", i) for i in range(100)], "domain string, latency_ms int"
+    )
+    out = latency_percentiles(df, percentiles=(0.5, 0.999, 1.0))
+    assert set(out.columns) == {"domain", "n_fetches", "p50_ms", "p999_ms", "p100_ms"}
+    r = out.collect()[0]
+    assert r["p100_ms"] == 99.0
+    with pytest.raises(ValueError):
+        latency_percentiles(df, percentiles=(1.5,)).collect()
+
+
+def test_curate_null_bytes_rows_are_singletons(spark):
+    from scrapy_products_tracker_spark.imaging import curate
+
+    rows = [
+        ("i0", None, 64, 64, "png", "caption for first null row"),
+        ("i1", None, 64, 64, "png", "caption for second null row"),
+        ("i2", b"XX", 64, 64, "png", "caption for a real payload"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    ids = sorted(r["image_id"] for r in curate(df).collect())
+    assert ids == ["i0", "i1", "i2"]  # NULL-bytes rows never folded as dups
