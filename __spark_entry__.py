@@ -650,6 +650,19 @@ def q_paragraph_dedup(spark, sf):
     return TX.paragraph_dedup_stats(chunked, id_col="doc_id", paras_col="paras")
 
 
+def q_substring_dedup(spark, sf):
+    """Cross-document exact SUBSTRING dedup (Lee et al. 2022
+    ExactSubstr idiom): sliding 12-token windows at EVERY position (not
+    the stride-12 chunks of paragraph_dedup_stats), global first-wins
+    canonical, overlap-merged duplicated spans per doc. Oracle-exact
+    mode groups on the gram text; the narrow-shuffle xxhash64 mode is
+    property-tested equal in tests/test_substring_dedup.py."""
+    from scrapy_products_tracker_spark.dedup.substring import substring_dedup_stats
+
+    d = _t(spark, sf, "documents")
+    return substring_dedup_stats(d, k=12, hash_grams=False)
+
+
 def q_revisit_priority(spark, sf):
     """O5+ adaptive re-crawl scheduling over the REAL engine history
     table (Cho/Garcia-Molina change-frequency policy): per-URL price-
@@ -1656,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_payload_stats": q_binary_payload_stats,
         "gopher_repetition": q_gopher_repetition,
         "paragraph_dedup_stats": q_paragraph_dedup,
+        "substring_dedup_stats": q_substring_dedup,
         "corpus_split_counts": q_corpus_split_counts,
         "bm25_topk": q_bm25_topk,
         "decontaminate_overlap": q_decontaminate,
@@ -2277,6 +2291,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.n_paras IS NOT NULL
                         THEN round(s.n_dup * 1.0 / s.n_paras, 6) END AS dup_para_frac
             FROM w LEFT JOIN s USING (doc_id)
+        """,
+        "substring_dedup_stats": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            base AS (SELECT doc_id, len(w) AS n_tokens, w FROM w),
+            occ AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+11], ' ') AS g
+                    FROM base, unnest(generate_series(1, len(w) - 12 + 1)) AS t(i)
+                    WHERE len(w) >= 12),
+            d AS (SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+                    FROM occ) WHERE rn > 1),
+            sp AS (SELECT doc_id, pos AS s, pos + 11 AS e FROM d),
+            isl AS (SELECT doc_id, s, e,
+                           CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS ni
+                    FROM sp),
+            isl2 AS (SELECT doc_id, s, e,
+                            sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS island
+                     FROM isl),
+            gi AS (SELECT doc_id, island, max(e) - min(s) + 1 AS cov FROM isl2 GROUP BY 1, 2),
+            pd AS (SELECT doc_id, CAST(sum(cov) AS INT) AS n_dup_tokens,
+                          CAST(count(*) AS INT) AS n_dup_spans FROM gi GROUP BY 1)
+            SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+                   COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+                   COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+                   CASE WHEN b.n_tokens > 0
+                        THEN round(COALESCE(p.n_dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+                   END AS dup_token_frac
+            FROM base b LEFT JOIN pd p USING (doc_id)
         """,
         "kmeans_refine_cells": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -3,11 +3,14 @@ from .cuckoo import CuckooFilter
 from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch, soft_dedup_weights
 from .seen_table import BloomTable, CuckooTable, open_seen_table
 from .semantic import semdedup
+from .substring import substring_dedup_clean, substring_dedup_stats
 from .text_corpus import dedup_corpus
 
 __all__ = [
     "dedup_corpus",
     "semdedup",
+    "substring_dedup_clean",
+    "substring_dedup_stats",
     "BloomTable",
     "CuckooFilter",
     "CuckooTable",
