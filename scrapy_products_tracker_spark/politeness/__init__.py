@@ -1,5 +1,11 @@
 from .adaptive import adaptive_budget_step, round_outcome_counts
-from .robots import load_robots, parse_robots_body, robots_from_bodies, sitemap_lines
+from .robots import (
+    load_robots,
+    parse_robots_body,
+    parse_robots_rules,
+    robots_from_bodies,
+    sitemap_lines,
+)
 from .scheduler import (
     CLAIM_ORDER,
     apply_robots,
@@ -14,6 +20,7 @@ __all__ = [
     "round_outcome_counts",
     "load_robots",
     "parse_robots_body",
+    "parse_robots_rules",
     "robots_from_bodies",
     "sitemap_lines",
     "CLAIM_ORDER",

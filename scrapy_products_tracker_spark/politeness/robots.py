@@ -32,6 +32,7 @@ def load_robots(spark, path: str) -> DataFrame:
         "disallow_regexes",
         "site",
         "sitemap_urls",
+        "rules",
     }
     missing = required - set(df.columns)
     if missing:
@@ -51,6 +52,13 @@ def load_robots(spark, path: str) -> DataFrame:
         if "sitemap_urls" in df.columns
         else F.array().cast("array<string>")
     )
+    # full Allow+Disallow rule list — optional (pre-Allow tables have
+    # only the conservative disallow columns); NULL rows keep NULL so
+    # the scheduler can route them to the disallow-only fallback
+    rules_t = ROBOTS_SCHEMA["rules"].dataType.simpleString()
+    rules = (
+        F.col("rules") if "rules" in df.columns else F.lit(None).cast(rules_t)
+    )
     return df.select(
         "domain",
         F.coalesce("disallow_prefixes", F.array()).alias("disallow_prefixes"),
@@ -59,6 +67,7 @@ def load_robots(spark, path: str) -> DataFrame:
         F.coalesce("max_per_round", F.lit(8)).alias("max_per_round"),
         site.alias("site"),
         sm.alias("sitemap_urls"),
+        rules.alias("rules"),
     )
 
 
@@ -73,12 +82,15 @@ def rule_to_regex(rule: str) -> str:
     return "^" + ".*".join(re.escape(p) for p in core.split("*")) + ("$" if anchored else "")
 
 
-def parse_robots_body(
+def parse_robots_rules(
     body: str | None, agent: str = "sparkbot"
-) -> tuple[list[str], list[str], int]:
-    """(disallow_prefixes, disallow_regexes, crawl_delay_ms) for
-    ``agent`` from one robots.txt body — the RFC 9309 subset the
-    scheduler enforces.
+) -> tuple[list[dict], int]:
+    """(rules, crawl_delay_ms) for ``agent`` from one robots.txt body —
+    the full RFC 9309 subset. Each rule is a dict matching the
+    ``ROBOTS_SCHEMA.rules`` struct: ``pat`` (original value), ``rx``
+    (anchored Java regex for §2.2.3 ``*``/``$`` rules, None = literal
+    prefix), ``spec`` (rule length in octets — the §2.2.2 longest-match
+    key), ``allow`` (Allow vs Disallow).
 
     Group selection: groups whose ``User-agent`` token is the longest
     case-insensitive prefix of ``agent`` win; ``*`` is the fallback.
@@ -87,24 +99,19 @@ def parse_robots_body(
     lists concatenate in document order and the largest Crawl-delay
     applies. Consecutive ``User-agent`` lines share one group.
 
-    Rule values: plain values are literal path prefixes
-    (``disallow_prefixes``); values using the §2.2.3 special characters
-    ``*`` (any sequence) or a trailing ``$`` (end anchor) become
-    anchored regexes (``disallow_regexes``) so ``/*.php``-style rules
-    actually block. ``Disallow:`` with an empty value allows everything
-    (dropped); ``Allow:`` is dropped — strictly conservative
-    (over-blocking only, never under-blocking). ``Crawl-delay``
+    ``Allow:``/``Disallow:`` with an empty value are no-ops (dropped;
+    an empty Disallow means allow-all per §2.2.2). ``Crawl-delay``
     (de-facto extension) is seconds, possibly fractional. Unparseable
     lines are ignored (robots.txt is untrusted remote content — never
     an exception path). An absent/empty body means allow-all, delay 0
     (RFC 9309 §2.3.1.4 fetch-failure rule).
     """
     if not body:
-        return [], [], 0
+        return [], 0
     body = body.lstrip("\ufeff")  # UTF-8 BOM would mask the first User-agent line
     agent_l = agent.lower()
-    # groups: list of (ua_tokens, disallows, crawl_delay_s)
-    groups: list[tuple[list[str], list[str], float | None]] = []
+    # groups: list of (ua_tokens, rules=(allow, value), crawl_delay_s)
+    groups: list[tuple[list[str], list[tuple[bool, str]], float | None]] = []
     cur_uas: list[str] = []
     in_group_body = False
     for raw in body.splitlines():
@@ -124,9 +131,9 @@ def parse_robots_body(
             if not groups:
                 continue  # directive before any user-agent line: ignore
             in_group_body = True
-            uas, dis, delay = groups[-1]
-            if key == "disallow" and val:
-                dis.append(val)
+            uas, rls, delay = groups[-1]
+            if key in ("disallow", "allow") and val:
+                rls.append((key == "allow", val))
             elif key == "crawl-delay":
                 try:
                     delay = float(val)
@@ -135,7 +142,7 @@ def parse_robots_body(
                 # hostile/garbage values: inf/nan/negative are ignored,
                 # huge delays clamp to a day (never-raise contract)
                 if delay == delay and 0 <= delay < float("inf"):
-                    groups[-1] = (uas, dis, min(delay, 86_400.0))
+                    groups[-1] = (uas, rls, min(delay, 86_400.0))
     def group_score(uas: list[str]) -> int:
         score = -1
         for ua in uas:
@@ -147,18 +154,41 @@ def parse_robots_body(
 
     best = max((group_score(uas) for uas, _, _ in groups), default=-1)
     if best < 0:
-        return [], [], 0
+        return [], 0
     # merge every group tied at the winning specificity, document order
-    rules: list[str] = []
+    merged: list[tuple[bool, str]] = []
     delay_s = 0.0
-    for uas, dis, delay in groups:
+    for uas, rls, delay in groups:
         if group_score(uas) == best:
-            rules.extend(dis)
+            merged.extend(rls)
             if delay is not None:
                 delay_s = max(delay_s, delay)
-    prefixes = [r for r in rules if "*" not in r and not r.endswith("$")]
-    regexes = [rule_to_regex(r) for r in rules if "*" in r or r.endswith("$")]
-    return prefixes, regexes, int(round(delay_s * 1000))
+    rules = [
+        {
+            "pat": v,
+            "rx": rule_to_regex(v) if ("*" in v or v.endswith("$")) else None,
+            "spec": len(v),
+            "allow": allow,
+        }
+        for allow, v in merged
+    ]
+    return rules, int(round(delay_s * 1000))
+
+
+def parse_robots_body(
+    body: str | None, agent: str = "sparkbot"
+) -> tuple[list[str], list[str], int]:
+    """(disallow_prefixes, disallow_regexes, crawl_delay_ms) — the
+    conservative disallow-only projection of ``parse_robots_rules``
+    (Allow lines dropped: over-blocking only, never under-blocking).
+    Kept for stored tables / callers that predate the full rule list;
+    the scheduler prefers the ``rules`` column when present (RFC 9309
+    §2.2.2 longest-match with allow-wins-ties)."""
+    rules, delay_ms = parse_robots_rules(body, agent)
+    dis = [r for r in rules if not r["allow"]]
+    prefixes = [r["pat"] for r in dis if r["rx"] is None]
+    regexes = [r["rx"] for r in dis if r["rx"] is not None]
+    return prefixes, regexes, delay_ms
 
 
 def sitemap_lines(body: str | None) -> list[str]:
@@ -198,9 +228,19 @@ def robots_from_bodies(
         for pdf in batches:
             rows = []
             for dom, body in zip(pdf["domain"], pdf["body"]):
-                dis, rx, delay_ms = parse_robots_body(body, agent)
+                rules, delay_ms = parse_robots_rules(body, agent)
+                dis = [r for r in rules if not r["allow"]]
                 rows.append(
-                    (dom, dis, rx, delay_ms, default_max_per_round, "default", sitemap_lines(body))
+                    (
+                        dom,
+                        [r["pat"] for r in dis if r["rx"] is None],
+                        [r["rx"] for r in dis if r["rx"] is not None],
+                        delay_ms,
+                        default_max_per_round,
+                        "default",
+                        sitemap_lines(body),
+                        rules,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
@@ -212,6 +252,7 @@ def robots_from_bodies(
                     "max_per_round",
                     "site",
                     "sitemap_urls",
+                    "rules",
                 ],
             )
 

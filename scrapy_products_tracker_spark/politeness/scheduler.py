@@ -57,31 +57,70 @@ def mark_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     (pre-translated to anchored regexes at parse time, robots.py) use
     regexp_like — both higher-order functions, no UDF. Callers needing
     both branches should mark once and filter twice — the two-filter
-    split form re-executes the upstream subtree per branch."""
+    split form re-executes the upstream subtree per branch.
+
+    Rows whose robots entry carries the full ``rules`` list get RFC
+    9309 §2.2.2 longest-match evaluation (one F.aggregate fold over the
+    tiny rule array: max matching spec per side; Disallow wins only
+    when strictly more specific than the best matching Allow — allow
+    wins ties and no-match). Rows without it (pre-Allow stored tables,
+    unknown domains) fall back to the conservative disallow-only test.
+    """
     rx_col = (
         F.col("disallow_regexes")
         if "disallow_regexes" in robots.columns
         else F.array().cast("array<string>")
     )
+    rules_t = "array<struct<pat:string,rx:string,spec:int,allow:boolean>>"
+    rules_col = (
+        F.col("rules") if "rules" in robots.columns else F.lit(None).cast(rules_t)
+    )
     joined = candidates.join(
         F.broadcast(
-            robots.select("domain", "disallow_prefixes", rx_col.alias("disallow_regexes"))
+            robots.select(
+                "domain",
+                "disallow_prefixes",
+                rx_col.alias("disallow_regexes"),
+                rules_col.alias("_rb_rules"),
+            )
         ),
         "domain",
         "left",
     )
     path = F.parse_url(F.col("url"), F.lit("PATH"))
-    blocked = F.exists(
+    legacy_blocked = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: F.startswith(path, p),
     ) | F.exists(
         F.coalesce(F.col("disallow_regexes"), F.array()),
         lambda p: F.regexp_like(path, p),
     )
+
+    def _match(r):
+        return F.when(
+            r["rx"].isNotNull(), F.regexp_like(path, r["rx"])
+        ).otherwise(F.startswith(path, r["pat"]))
+
+    best = F.aggregate(
+        F.col("_rb_rules"),
+        F.struct(F.lit(-1).alias("d"), F.lit(-1).alias("a")),
+        lambda acc, r: F.struct(
+            F.when(_match(r) & ~r["allow"] & (r["spec"] > acc["d"]), r["spec"])
+            .otherwise(acc["d"])
+            .alias("d"),
+            F.when(_match(r) & r["allow"] & (r["spec"] > acc["a"]), r["spec"])
+            .otherwise(acc["a"])
+            .alias("a"),
+        ),
+    )
+    blocked = F.when(
+        F.col("_rb_rules").isNotNull(), best["d"] > best["a"]
+    ).otherwise(legacy_blocked)
     return (
         joined.withColumn("_robots_blocked", blocked)
         .drop("disallow_prefixes")
         .drop("disallow_regexes")
+        .drop("_rb_rules")
     )
 
 

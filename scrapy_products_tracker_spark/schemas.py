@@ -91,6 +91,27 @@ ROBOTS_SCHEMA = T.StructType(
         # RFC 9309 §2.3 Sitemap: directives (global, group-independent) —
         # discovery seeds for crawl/sitemap.py; optional in stored tables
         T.StructField("sitemap_urls", T.ArrayType(T.StringType()), True),
+        # full RFC 9309 rule list in document order (Allow + Disallow,
+        # longest-match precedence — §2.2.2): pat = original rule value,
+        # rx = anchored Java regex for '*'/'$' rules (NULL = literal
+        # prefix), spec = rule length in octets (the longest-match key;
+        # allow wins spec ties), allow = Allow vs Disallow. Optional in
+        # stored tables: rows/tables without it fall back to the
+        # conservative disallow-only columns above.
+        T.StructField(
+            "rules",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("pat", T.StringType(), False),
+                        T.StructField("rx", T.StringType(), True),
+                        T.StructField("spec", T.IntegerType(), False),
+                        T.StructField("allow", T.BooleanType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

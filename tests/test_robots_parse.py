@@ -235,3 +235,140 @@ def test_load_robots_defaults_sitemap_urls(spark, tmp_path):
     pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p)
     row = load_robots(spark, p).collect()[0]
     assert row["sitemap_urls"] == [] and row["site"] == "default"
+
+
+def test_allow_rules_longest_match_precedence():
+    """RFC 9309 §2.2.2: the most specific (longest) matching rule wins;
+    Allow wins spec ties. parse_robots_rules keeps both rule kinds with
+    their octet lengths."""
+    from scrapy_products_tracker_spark.politeness import parse_robots_rules
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /shop\n"
+        "Allow: /shop/public\n"
+        "Allow: /\n"
+    )
+    rules, delay = parse_robots_rules(body)
+    assert [(r["pat"], r["allow"], r["spec"]) for r in rules] == [
+        ("/shop", False, 5),
+        ("/shop/public", True, 12),
+        ("/", True, 1),
+    ]
+    assert all(r["rx"] is None for r in rules)
+    assert delay == 0
+    # the conservative projection still drops Allow lines
+    assert parse_robots_body(body) == (["/shop"], [], 0)
+
+
+def test_allow_wildcards_and_empty_values():
+    from scrapy_products_tracker_spark.politeness import parse_robots_rules
+
+    body = (
+        "User-agent: *\n"
+        "Allow:\n"              # empty: no-op
+        "Allow: /*.html$\n"     # wildcard allow -> regex
+        "Disallow: /docs\n"
+    )
+    rules, _ = parse_robots_rules(body)
+    assert len(rules) == 2
+    assert rules[0]["allow"] and rules[0]["rx"] == rule_to_regex("/*.html$")
+    assert rules[0]["spec"] == len("/*.html$")
+    assert not rules[1]["allow"] and rules[1]["rx"] is None
+
+
+def test_mark_robots_allow_overrides_disallow(spark):
+    """End-to-end §2.2.2 enforcement: /shop blocked, /shop/public
+    re-allowed by the more specific Allow; a wildcard Allow re-opens
+    .html files under a blocked tree; equal-spec tie goes to Allow;
+    unknown domains and rule-less rows keep the legacy behavior."""
+    bodies = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /shop\nAllow: /shop/public\n",
+            ),
+            (
+                "b.com",
+                "User-agent: *\nDisallow: /docs\nAllow: /*.html$\n",
+            ),
+            ("c.com", "User-agent: *\nDisallow: /tie\nAllow: /tie\n"),
+        ],
+        "domain string, body string",
+    )
+    table = robots_from_bodies(bodies, agent="sparkbot")
+    cands = spark.createDataFrame(
+        [
+            ("https://a.com/shop/item1", "a.com"),
+            ("https://a.com/shop/public/item2", "a.com"),
+            ("https://a.com/other", "a.com"),
+            ("https://b.com/docs/guide.html", "b.com"),
+            ("https://b.com/docs/guide.pdf", "b.com"),
+            ("https://c.com/tie/x", "c.com"),
+            ("https://unknown.com/shop/x", "unknown.com"),
+        ],
+        "url string, domain string",
+    )
+    marked = {r["url"]: r["_robots_blocked"] for r in mark_robots(cands, table).collect()}
+    assert marked == {
+        "https://a.com/shop/item1": True,
+        "https://a.com/shop/public/item2": False,
+        "https://a.com/other": False,
+        "https://b.com/docs/guide.html": False,
+        "https://b.com/docs/guide.pdf": True,
+        "https://c.com/tie/x": False,  # tie -> least restrictive (allow)
+        "https://unknown.com/shop/x": False,
+    }
+
+
+def test_mark_robots_mixed_rules_and_legacy_rows(spark):
+    """A robots table mixing full-rule rows with legacy NULL-rules rows
+    routes each row to the right evaluator."""
+    rules_t = (
+        "array<struct<pat:string,rx:string,spec:int,allow:boolean>>"
+    )
+    robots = spark.createDataFrame(
+        [
+            (
+                "new.com",
+                ["/shop"],
+                [("/shop", None, 5, False), ("/shop/ok", None, 8, True)],
+            ),
+            ("old.com", ["/private"], None),
+        ],
+        f"domain string, disallow_prefixes array<string>, rules {rules_t}",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("https://new.com/shop/ok/x", "new.com"),
+            ("https://new.com/shop/no", "new.com"),
+            ("https://old.com/private/x", "old.com"),
+            ("https://old.com/ok", "old.com"),
+        ],
+        "url string, domain string",
+    )
+    marked = {r["url"]: r["_robots_blocked"] for r in mark_robots(cands, robots).collect()}
+    assert marked == {
+        "https://new.com/shop/ok/x": False,
+        "https://new.com/shop/no": True,
+        "https://old.com/private/x": True,
+        "https://old.com/ok": False,
+    }
+
+
+def test_load_robots_roundtrips_rules_column(spark, tmp_path):
+    """robots_from_bodies -> parquet -> load_robots keeps the rule list
+    (and absent-column tables load with NULL rules)."""
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    bodies = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /shop\nAllow: /shop/public\n")],
+        "domain string, body string",
+    )
+    p = str(tmp_path / "robots_rules.parquet")
+    robots_from_bodies(bodies).write.parquet(p)
+    row = load_robots(spark, p).collect()[0]
+    assert [(r["pat"], r["allow"]) for r in row["rules"]] == [
+        ("/shop", False),
+        ("/shop/public", True),
+    ]
