@@ -1333,6 +1333,29 @@ def q_sitemap_ingest(spark, sf):
     return sitemap_seed_candidates(entries, seen=seen).orderBy("url")
 
 
+def q_robots_allow_eval(spark, sf):
+    """P5 robots evaluation as a standalone oracled operator: parse
+    hostile robots.txt bodies (robots_from_bodies Arrow kernel — groups,
+    tied-group merge, Allow+Disallow, '*'/'$' rules, garbage tolerance)
+    and evaluate URL probes with mark_robots' RFC 9309 §2.2.2
+    longest-match fold. Oracle: an INDEPENDENT mini-evaluator in
+    builders.py (two-phase tokenize/group + translate-every-rule +
+    max-(spec, allow) selection) over the same shared fixture."""
+    from scrapy_products_tracker_spark.politeness import mark_robots, robots_from_bodies
+
+    p_bodies, p_urls, _ = OB.build_robots_fixture()
+    table = robots_from_bodies(spark.read.parquet(p_bodies), agent="sparkbot")
+    marked = mark_robots(spark.read.parquet(p_urls), table)
+    return marked.join(
+        F.broadcast(table.select("domain", "crawl_delay_ms")), "domain"
+    ).select(
+        "domain",
+        "url",
+        F.col("_robots_blocked").cast("int").alias("blocked"),
+        "crawl_delay_ms",
+    )
+
+
 def q_url_template_stats(spark, sf):
     """URL-template mining (crawl/traps.url_template_stats): collapse
     digit/hex runs and sort query-param names into per-(domain,
@@ -1706,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_scores": q_image_quality,
         "image_caption_dedup_survivors": q_image_caption_dedup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
+        "robots_allow_decisions": q_robots_allow_eval,
         "url_template_stats": q_url_template_stats,
         "template_cap_survivors": q_template_cap_survivors,
         "adaptive_budget_step": q_adaptive_budgets,
@@ -1753,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
     p_qual = OB.build_quality_expected()
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
+    _, _, p_robx = OB.build_robots_fixture()
     p_fru = OB.build_frontier_urls()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
@@ -2025,6 +2050,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS image_id FROM reach
             GROUP BY node HAVING min(label) = node
             ORDER BY image_id
+        """,
+        "robots_allow_decisions": f"""
+            SELECT domain, url, blocked, crawl_delay_ms
+            FROM read_parquet('{p_robx}')
         """,
         "sitemap_ingest_candidates": rf"""
             WITH ent AS (

@@ -1041,3 +1041,168 @@ def build_pages_table() -> str:
         ]
     )
     return _write(df, "pages_cdx.parquet", schema)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt decision fixture: hostile bodies + URL probes + expected
+# longest-match verdicts from an INDEPENDENT mini-evaluator (structured
+# as translate-all-rules-to-regexes + max-(spec, allow) selection —
+# sharing no code with politeness/robots.py's line-state parser or the
+# scheduler's F.aggregate fold)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_AGENT = "sparkbot"
+
+_ROBOTS_BODIES: list[tuple[str, str | None]] = [
+    (
+        "allowpath.test",
+        "User-agent: *\nDisallow: /shop\nAllow: /shop/public\nAllow: /\nCrawl-delay: 2\n",
+    ),
+    (
+        "wildallow.test",
+        "User-agent: *\nDisallow: /docs\nAllow: /*.html$\nDisallow: /*.cgi\n",
+    ),
+    ("tie.test", "User-agent: *\nDisallow: /tie\nAllow: /tie\n"),
+    (
+        "groups.test",
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\n"
+        "User-agent: *\nAllow: /a/sub\nCrawl-delay: 3\n\n"
+        "User-agent: sparkbot\nDisallow: /only\nAllow: /only/yes\nCrawl-delay: 0.25\n",
+    ),
+    ("empty.test", None),
+    ("junk.test", "random garbage\nDisallow: /pre-group\nCrawl-delay: NaN\n"),
+    ("bom.test", "﻿User-agent: *\nDisallow: /private\n"),
+    (
+        "deep.test",
+        "User-agent: *\nAllow: /p\nDisallow: /p/q\nAllow: /p/q/r\nDisallow: /p/q/r/s\n",
+    ),
+    ("star.test", "User-agent: *\nDisallow: /*.php\nAllow: /cgi/*.php$\n"),
+]
+
+_ROBOTS_PROBES: dict[str, list[str]] = {
+    "allowpath.test": ["/shop/item", "/shop/public/x", "/other", "/shoppy"],
+    "wildallow.test": ["/docs/a.html", "/docs/a.pdf", "/x/y.cgi", "/a.html", "/docs/a.html.bak"],
+    "tie.test": ["/tie/x", "/other"],
+    "groups.test": ["/only/no", "/only/yes/x", "/a/anything"],
+    "empty.test": ["/anything"],
+    "junk.test": ["/pre-group/x"],
+    "bom.test": ["/private/x", "/public"],
+    "deep.test": ["/p/x", "/p/q/x", "/p/q/r/x", "/p/q/r/s/x", "/z"],
+    "star.test": ["/cgi/x.php", "/lib/x.php", "/cgi/x.phpX", "/plain"],
+}
+
+
+def _robots_groups(body: str) -> list[tuple[list[str], list[tuple[bool, str]], float]]:
+    """Record-split pass, written as a two-phase tokenize-then-group
+    (the engine parser is a single-pass line state machine)."""
+    import re as _re
+
+    toks = []
+    for raw in body.lstrip("﻿").splitlines():
+        m = _re.match(r"^\s*([A-Za-z-]+)\s*:\s*([^#]*?)\s*(?:#.*)?$", raw)
+        if m:
+            toks.append((m.group(1).lower(), m.group(2).strip()))
+    groups, i = [], 0
+    while i < len(toks):
+        if toks[i][0] != "user-agent":
+            i += 1
+            continue
+        agents = []
+        while i < len(toks) and toks[i][0] == "user-agent":
+            agents.append(toks[i][1].lower())
+            i += 1
+        rules, delay = [], 0.0
+        while i < len(toks) and toks[i][0] != "user-agent":
+            k, v = toks[i]
+            if k in ("allow", "disallow") and v:
+                rules.append((k == "allow", v))
+            elif k == "crawl-delay":
+                try:
+                    d = float(v)
+                    if d == d and 0 <= d < float("inf"):
+                        delay = max(delay, min(d, 86_400.0))
+                except ValueError:
+                    pass
+            i += 1
+        groups.append((agents, rules, delay))
+    return groups
+
+
+def _robots_verdict(body: str | None, agent: str, path: str) -> tuple[int, int]:
+    """(blocked, crawl_delay_ms) by translating every selected rule to a
+    regex and taking max((spec, allow)) over the matches — tuple order
+    makes allow win specificity ties, per RFC 9309 §2.2.2."""
+    import re as _re
+
+    if not body:
+        return 0, 0
+    groups = _robots_groups(body)
+
+    def score(agents):
+        best = -1
+        for a in agents:
+            if a == "*":
+                best = max(best, 0)
+            elif a and agent.lower().startswith(a):
+                best = max(best, len(a))
+        return best
+
+    win = max((score(a) for a, _, _ in groups), default=-1)
+    if win < 0:
+        return 0, 0
+    rules: list[tuple[bool, str]] = []
+    delay = 0.0
+    for agents, rls, d in groups:
+        if score(agents) == win:
+            rules.extend(rls)
+            delay = max(delay, d)
+    matches = []
+    for allow, pat in rules:
+        end = pat.endswith("$")
+        core = pat[:-1] if end else pat
+        rx = ".*".join(_re.escape(seg) for seg in core.split("*"))
+        if _re.match(rx + ("$" if end else ""), path):
+            matches.append((len(pat), allow))
+    blocked = 0
+    if matches and not max(matches)[1]:
+        blocked = 1
+    return blocked, int(round(delay * 1000))
+
+
+def build_robots_fixture() -> tuple[str, str, str]:
+    """(bodies_path, urls_path, expected_path): shared robots bodies +
+    URL probes, and the independent evaluator's expected verdicts
+    (blocked as INT per the nullable-boolean roundtrip rule)."""
+    import pyarrow as pa
+
+    bodies = pd.DataFrame(_ROBOTS_BODIES, columns=["domain", "body"])
+    urls, expected = [], []
+    for dom, body in _ROBOTS_BODIES:
+        for p in _ROBOTS_PROBES[dom]:
+            url = f"https://{dom}{p}"
+            urls.append((url, dom))
+            blocked, delay_ms = _robots_verdict(body, _ROBOTS_AGENT, p)
+            expected.append((dom, url, blocked, delay_ms))
+    p_bodies = _write(
+        bodies,
+        "robots_bodies.parquet",
+        pa.schema([("domain", pa.string()), ("body", pa.string())]),
+    )
+    p_urls = _write(
+        pd.DataFrame(urls, columns=["url", "domain"]),
+        "robots_urls.parquet",
+        pa.schema([("url", pa.string()), ("domain", pa.string())]),
+    )
+    p_exp = _write(
+        pd.DataFrame(expected, columns=["domain", "url", "blocked", "crawl_delay_ms"]),
+        "robots_expected.parquet",
+        pa.schema(
+            [
+                ("domain", pa.string()),
+                ("url", pa.string()),
+                ("blocked", pa.int32()),
+                ("crawl_delay_ms", pa.int64()),
+            ]
+        ),
+    )
+    return p_bodies, p_urls, p_exp
