@@ -1560,6 +1560,35 @@ def q_wds_roundtrip(spark, sf):
     ).orderBy("image_id")
 
 
+def q_warc_roundtrip(spark, sf):
+    """WARC shard write -> read roundtrip (crawl/warc.py): ISO 28500
+    response records framed per shard with applyInPandas, stream-parsed
+    back under mapInPandas. Every compared field is recomputed on the
+    READ side (octet_length + md5 over bytes that survived the WARC
+    framing; digest_ok re-verifies the WARC-Payload-Digest header), so
+    a framing bug in writer or parser breaks the hash. Oracle: shard
+    membership as the SQL prefix sum over body byte lengths; lengths/
+    digests straight off the shared pages fixture."""
+    from scrapy_products_tracker_spark.crawl.warc import (
+        read_warc_shards,
+        write_warc_shards,
+    )
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    rows = pages.select(
+        "url", "status_code", F.coalesce("body", F.lit("")).alias("body")
+    ).withColumn("rng", F.substring("url", 1, 16))
+    back = read_warc_shards(write_warc_shards(rows, budget_bytes=65536, range_col="rng"))
+    return back.select(
+        "url",
+        F.col("shard_id").cast("int").alias("shard_id"),
+        F.col("status").cast("int").alias("status"),
+        F.octet_length("body").cast("long").alias("body_len"),
+        F.md5("body").alias("body_md5"),
+        F.col("digest_ok").cast("int").alias("digest_ok"),
+    ).orderBy("url")
+
+
 def q_cdx_page_index(spark, sf):
     """CDX-style capture index (crawl/cdx.cdx_index) over the T1 page
     store: SURT urlkey, hex-md5 payload digest, status, stored octet
@@ -1735,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_budget_step": q_adaptive_budgets,
         "caption_frequency_survivors": q_caption_frequency,
         "wds_roundtrip_members": q_wds_roundtrip,
+        "warc_roundtrip_records": q_warc_roundtrip,
         "cdx_page_index": q_cdx_page_index,
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
@@ -2532,6 +2562,20 @@ def oracle_sql() -> dict[str, str]:
                    img_md5 AS payload_md5,
                    CAST(cap_bytes AS BIGINT) AS caption_len
             FROM c ORDER BY image_id
+        """,
+        "warc_roundtrip_records": f"""
+            WITH c AS (SELECT url, status_code, COALESCE(body, '') AS b,
+                              octet_length(encode(COALESCE(body, ''))) AS nb
+                       FROM read_parquet('{p_pcdx}')),
+            s AS (SELECT url, status_code, b, nb,
+                         COALESCE(SUM(nb) OVER (ORDER BY url
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4
+                  FROM c)
+            SELECT url, CAST(b4 // 65536 AS INT) AS shard_id,
+                   CAST(status_code AS INT) AS status,
+                   CAST(nb AS BIGINT) AS body_len, md5(b) AS body_md5,
+                   CAST(1 AS INT) AS digest_ok
+            FROM s ORDER BY url
         """,
         "cdx_page_index": f"""
             WITH d AS (SELECT url, status_code, body,
