@@ -1560,6 +1560,57 @@ def q_wds_roundtrip(spark, sf):
     ).orderBy("image_id")
 
 
+def q_registrable_rollup(spark, sf):
+    """Registrable-domain (eTLD+1) politeness rollup: collapse
+    hostnames to the public-suffix longest-match registrable domain
+    (functions/urls.py:registrable_domain — the PSL rule as a row-local
+    literal-array fold) and count URLs + distinct hosts per budget
+    group. Hosts derive deterministically from doc_id in BOTH engines;
+    the oracle re-evaluates longest-match relationally (suffix VALUES
+    join + row_number by length)."""
+    from scrapy_products_tracker_spark.functions import registrable_domain
+
+    d = _t(spark, sf, "documents")
+    sub = F.element_at(
+        F.array(F.lit("a.b."), F.lit("www."), F.lit(""), F.lit("x.")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(F.lit("co.uk"), F.lit("com"), F.lit("org"), F.lit("uk"), F.lit("corp")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    host = F.concat(sub, F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit("."), tld)
+    return (
+        d.select(host.alias("host"))
+        .groupBy(registrable_domain(F.col("host")).alias("registrable"))
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+        )
+        .orderBy("registrable")
+    )
+
+
+def q_html_text(spark, sf):
+    """HTML -> corpus text (functions/html.py): boilerplate strip +
+    link-density quality signal, pure JVM regexp column algebra (zero
+    Python / zero Exchange, plan-pinned). Oracle: the identical
+    RE2-compatible regex pipeline in DuckDB over the shared pages
+    fixture; the extracted text is compared by md5, so a one-character
+    divergence anywhere in the strip chain fails the gate."""
+    from scrapy_products_tracker_spark.functions.html import html_text_stats
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    s = html_text_stats(pages)
+    return s.select(
+        "url",
+        F.md5("text").alias("text_md5"),
+        "text_len",
+        "n_links",
+        "link_density",
+    ).orderBy("url")
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC shard write -> read roundtrip (crawl/warc.py): ISO 28500
     response records framed per shard with applyInPandas, stream-parsed
@@ -1764,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_budget_step": q_adaptive_budgets,
         "caption_frequency_survivors": q_caption_frequency,
         "wds_roundtrip_members": q_wds_roundtrip,
+        "html_text_extract": q_html_text,
+        "registrable_domain_rollup": q_registrable_rollup,
         "warc_roundtrip_records": q_warc_roundtrip,
         "cdx_page_index": q_cdx_page_index,
         "temperature_sample_rows": q_temperature_sample,
@@ -1809,6 +1862,28 @@ def oracle_sql() -> dict[str, str]:
     p_smb = OB.build_sitemap_bodies()
     _, _, p_robx = OB.build_robots_fixture()
     p_fru = OB.build_frontier_urls()
+
+    def _html_strip_sql(expr: str) -> str:
+        # mirrors functions/html.py::_strip — kill regions, tags,
+        # entity subset (amp LAST), whitespace collapse — in RE2
+        out = expr
+        for pat in (
+            r"(?is)<script\b[^>]*>.*?(</script>|$)",
+            r"(?is)<style\b[^>]*>.*?(</style>|$)",
+            r"(?s)<!--.*?(-->|$)",
+            r"(?s)<[^>]*>",
+        ):
+            out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+        for ent, rep in (
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "''"),
+            ("&amp;", "&"),
+        ):
+            out = f"replace({out}, '{ent}', '{rep}')"
+        return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -2562,6 +2637,52 @@ def oracle_sql() -> dict[str, str]:
                    img_md5 AS payload_md5,
                    CAST(cap_bytes AS BIGINT) AS caption_len
             FROM c ORDER BY image_id
+        """,
+        "registrable_domain_rollup": """
+            WITH h AS (SELECT (CASE doc_id % 4 WHEN 0 THEN 'a.b.' WHEN 1 THEN 'www.'
+                                WHEN 2 THEN '' ELSE 'x.' END)
+                              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+                              (CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+                                WHEN 2 THEN 'org' WHEN 3 THEN 'uk' ELSE 'corp' END) AS host
+                       FROM documents),
+            hd AS (SELECT DISTINCT host FROM h),
+            s(sfx) AS (VALUES ('co.uk'), ('ac.uk'), ('com.au'), ('co.jp'), ('com'),
+                              ('org'), ('net'), ('io'), ('uk'), ('test')),
+            m AS (SELECT hd.host, s.sfx FROM hd JOIN s
+                    ON hd.host = s.sfx OR hd.host LIKE '%.' || s.sfx),
+            best AS (SELECT host, sfx FROM (
+                       SELECT host, sfx,
+                              row_number() OVER (PARTITION BY host
+                                ORDER BY length(sfx) DESC, sfx) AS rn
+                       FROM m) WHERE rn = 1),
+            reg AS (SELECT hd.host,
+                           CASE WHEN b.sfx IS NULL OR hd.host = b.sfx THEN hd.host
+                                ELSE list_extract(string_split(
+                                       substr(hd.host, 1, length(hd.host) - length(b.sfx) - 1),
+                                       '.'), -1) || '.' || b.sfx
+                           END AS registrable
+                    FROM hd LEFT JOIN best b USING (host))
+            SELECT r.registrable, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT h.host) AS BIGINT) AS n_hosts
+            FROM h JOIN reg r USING (host)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "html_text_extract": f"""
+            WITH p AS (SELECT url, COALESCE(body, '') AS b
+                       FROM read_parquet('{p_pcdx}')),
+            t AS (SELECT url, b, {_html_strip_sql("b")} AS text FROM p),
+            a AS (SELECT t.url,
+                         SUM(length({_html_strip_sql("u.anchor")})) AS link_len
+                  FROM t, unnest(regexp_extract_all(t.b,
+                         '(?is)<a\\b[^>]*>(.*?)</a>', 1)) AS u(anchor)
+                  GROUP BY t.url)
+            SELECT t.url, md5(t.text) AS text_md5,
+                   CAST(length(t.text) AS INT) AS text_len,
+                   CAST(len(regexp_extract_all(t.b, '(?i)<a\\b', 0)) AS INT) AS n_links,
+                   CASE WHEN length(t.text) > 0
+                        THEN round(COALESCE(a.link_len, 0) * 1.0 / length(t.text), 6)
+                   END AS link_density
+            FROM t LEFT JOIN a USING (url) ORDER BY t.url
         """,
         "warc_roundtrip_records": f"""
             WITH c AS (SELECT url, status_code, COALESCE(body, '') AS b,

@@ -7,6 +7,7 @@ from .urls import (
     domain_of,
     domain_of_str,
     path_of_str,
+    registrable_domain,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "domain_of",
     "domain_of_str",
     "path_of_str",
+    "registrable_domain",
 ]

@@ -171,3 +171,55 @@ def next_page_url(url: Column, name: str = "page", first: int = 2) -> Column:
     sane = cur.isNotNull() & (cur >= 0) & (cur < F.lit(1 << 31))
     nxt = F.when(sane, cur + 1).otherwise(F.lit(first))
     return with_query_param(url, name, nxt)
+
+
+# a compact default public-suffix set for tests/sandbox runs; at scale
+# callers pass the full Mozilla PSL (publicsuffix.org) — the algorithm
+# (longest-suffix match, one extra label) is the PSL's normal rule
+DEFAULT_PUBLIC_SUFFIXES = (
+    "co.uk",
+    "ac.uk",
+    "com.au",
+    "co.jp",
+    "com",
+    "org",
+    "net",
+    "io",
+    "uk",
+    "test",
+)
+
+
+def registrable_domain(
+    host: Column, suffixes: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES
+) -> Column:
+    """eTLD+1 of a hostname column (the public-suffix longest-match
+    rule): the label immediately left of the longest matching public
+    suffix, joined back to it — ``shop.books.co.uk -> books.co.uk``,
+    ``a.b.example.com -> example.com``.
+
+    Politeness at web scale groups budgets by REGISTRABLE domain, not
+    hostname (ten thousand ``*.blogspot.com``-style subdomains of one
+    operator must share one budget, while ``a.co.uk`` and ``b.co.uk``
+    must not); feed this as the scheduler's domain key to get that.
+
+    Pure fold over a broadcast-literal suffix array (row-local, zero
+    shuffle, codegen). Hosts matching NO suffix — internal TLDs,
+    IP-ish strings — return unchanged (conservative: distinct budget
+    per host). A host that IS a bare public suffix also returns
+    unchanged."""
+    h = F.lower(host)
+    best = F.aggregate(
+        F.array(*[F.lit(s) for s in suffixes]),
+        F.lit(""),
+        lambda acc, s: F.when(
+            ((h == s) | h.endswith(F.concat(F.lit("."), s)))
+            & (F.length(s) > F.length(acc)),
+            s,
+        ).otherwise(acc),
+    )
+    prefix = F.substring(h, F.lit(1), F.length(h) - F.length(best) - 1)
+    label = F.element_at(F.split(prefix, r"\."), -1)
+    return F.when(
+        (best == "") | (prefix == "") | (label == ""), h
+    ).otherwise(F.concat(label, F.lit("."), best))

@@ -1,0 +1,74 @@
+"""HTML -> corpus text (functions/html.py): boilerplate strip, entity
+decode, link density, hostile fragments, and the zero-Python /
+zero-Exchange plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions.html import html_text_stats
+
+
+def _stats(spark, body):
+    df = spark.createDataFrame([("u", body)], "url string, body string")
+    return html_text_stats(df).collect()[0]
+
+
+def test_strip_scripts_styles_comments_tags(spark):
+    r = _stats(
+        spark,
+        "<html><head><script>var x = '<b>not text</b>';</script>"
+        "<style>.a{color:red}</style><!-- hidden --></head>"
+        "<body><h1>Title</h1><p>Hello <b>world</b></p></body></html>",
+    )
+    assert r["text"] == "Title Hello world"
+    assert r["text_len"] == len("Title Hello world")
+    assert r["n_links"] == 0 and r["link_density"] == 0.0
+
+
+def test_entities_and_whitespace(spark):
+    r = _stats(spark, "<p>a&nbsp;&amp;&nbsp;b &amp;lt; &lt;tag&gt;</p>\n\t <p>c</p>")
+    # &amp; decodes LAST, so &amp;lt; yields the literal text '&lt;'
+    # (correct HTML semantics) while a bare &lt; becomes '<'
+    assert r["text"] == "a & b &lt; <tag> c"
+
+
+def test_link_density(spark):
+    body = '<p>intro text here</p><a href="/x">click</a><a href="/y">me</a>'
+    r = _stats(spark, body)
+    text = "intro text here click me"
+    assert r["text"] == text
+    assert r["n_links"] == 2
+    assert abs(r["link_density"] - round((len("click") + len("me")) / len(text), 6)) < 1e-9
+    # nav-like page: almost all anchor text
+    nav = "".join(f'<a href="/{i}">item {i}</a>' for i in range(10)) + "<p>x</p>"
+    assert _stats(spark, nav)["link_density"] > 0.8
+
+
+def test_hostile_fragments_never_raise(spark):
+    cases = [
+        None,
+        "",
+        "<script>never closed",
+        "<a href='/x'>unclosed anchor",
+        "<<<>>>",
+        "plain text no tags",
+        "<style>html{<!--</style>ok",
+    ]
+    df = spark.createDataFrame(
+        [(str(i), c) for i, c in enumerate(cases)], "url string, body string"
+    )
+    rows = {r["url"]: r for r in html_text_stats(df).collect()}
+    assert rows["0"]["text"] == "" and rows["0"]["text_len"] == 0
+    assert rows["0"]["link_density"] is None
+    assert rows["2"]["text"] == ""  # unterminated script swallows to EOF
+    assert rows["3"]["n_links"] == 1 and rows["3"]["link_density"] == 0.0
+    assert rows["5"]["text"] == "plain text no tags"
+    assert rows["6"]["text"] == "ok"
+
+
+def test_plan_zero_python_zero_exchange(spark):
+    df = spark.createDataFrame([("u", "<p>x</p>")], "url string, body string")
+    plan = html_text_stats(df)._jdf.queryExecution().executedPlan().toString()
+    for banned in ("Exchange", "Python", "FlatMap", "Arrow"):
+        assert banned not in plan, banned

@@ -1,4 +1,5 @@
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -122,3 +123,44 @@ def test_query_param_hostile_values(spark):
     }
     assert nxt["https://s.com/cat?page=99999999999"] == "https://s.com/cat?page=2"
     assert nxt["https://s.com/cat?page=x"] == "https://s.com/cat?page=2"
+
+
+def test_registrable_domain_psl_rule(spark):
+    from scrapy_products_tracker_spark.functions import registrable_domain
+
+    cases = [
+        ("shop.books.co.uk", "books.co.uk"),
+        ("books.co.uk", "books.co.uk"),
+        ("co.uk", "co.uk"),          # bare public suffix: unchanged
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("WWW.EXAMPLE.COM", "example.com"),  # lowercased
+        ("deep.sub.x.com.au", "x.com.au"),
+        ("example.uk", "example.uk"),  # uk matches, co.uk does not
+        ("internal.corp", "internal.corp"),  # no suffix match: unchanged
+        ("10.0.0.1", "10.0.0.1"),
+        ("mycom", "mycom"),           # suffix must match on a dot boundary
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = {
+        r["host"]: r["reg"]
+        for r in df.select(
+            F.col("host"),
+            registrable_domain(F.col("host")).alias("reg"),
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_registrable_domain_plan_row_local(spark):
+    from scrapy_products_tracker_spark.functions import registrable_domain
+
+    df = spark.createDataFrame([("a.b.com",)], ["host"])
+    plan = (
+        df.select(registrable_domain(F.col("host")).alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
