@@ -1611,6 +1611,19 @@ def q_html_text(spark, sf):
     ).orderBy("url")
 
 
+def q_anchor_index(spark, sf):
+    """Backlink anchor-text index (functions/html.py): per link target,
+    total refs / source pairs / modal stripped anchor text — the
+    web-graph aggregation ranking and link-spam filters consume.
+    Zero-Python link extraction; two narrow exchanges. Oracle: the
+    identical RE2 extraction + relational mode over the shared pages
+    fixture."""
+    from scrapy_products_tracker_spark.functions.html import anchor_text_index
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    return anchor_text_index(pages).orderBy("target_url")
+
+
 def q_warc_roundtrip(spark, sf):
     """WARC shard write -> read roundtrip (crawl/warc.py): ISO 28500
     response records framed per shard with applyInPandas, stream-parsed
@@ -1817,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_roundtrip_members": q_wds_roundtrip,
         "html_text_extract": q_html_text,
         "registrable_domain_rollup": q_registrable_rollup,
+        "anchor_text_index": q_anchor_index,
         "warc_roundtrip_records": q_warc_roundtrip,
         "cdx_page_index": q_cdx_page_index,
         "temperature_sample_rows": q_temperature_sample,
@@ -2683,6 +2697,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(COALESCE(a.link_len, 0) * 1.0 / length(t.text), 6)
                    END AS link_density
             FROM t LEFT JOIN a USING (url) ORDER BY t.url
+        """,
+        "anchor_text_index": f"""
+            WITH p AS (SELECT url, COALESCE(body, '') AS b
+                       FROM read_parquet('{p_pcdx}')),
+            e AS (SELECT url,
+                         regexp_extract_all(b, $$(?is)<a\\b[^>]*href\\s*=\\s*['"]([^'"]*)['"][^>]*>(.*?)</a>$$, 1) AS hs,
+                         regexp_extract_all(b, $$(?is)<a\\b[^>]*href\\s*=\\s*['"]([^'"]*)['"][^>]*>(.*?)</a>$$, 2) AS ts
+                  FROM p),
+            l AS (SELECT url AS source,
+                         regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
+                         hs[i] AS href, ts[i] AS txt
+                  FROM e, unnest(generate_series(1, len(hs))) AS g(i)),
+            r AS (SELECT source,
+                         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                              WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                                THEN origin || href END AS target,
+                         {_html_strip_sql("txt")} AS anchor
+                  FROM l),
+            f AS (SELECT * FROM r WHERE target IS NOT NULL),
+            ba AS (SELECT target, anchor, count(*) AS anchor_refs,
+                          count(DISTINCT source) AS anchor_sources
+                   FROM f GROUP BY 1, 2),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY target
+                     ORDER BY anchor_refs DESC, anchor) AS rn FROM ba)
+            SELECT target AS target_url,
+                   CAST(sum(anchor_refs) AS BIGINT) AS n_refs,
+                   CAST(sum(anchor_sources) AS BIGINT) AS n_source_pairs,
+                   max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+                   CAST(max(CASE WHEN rn = 1 THEN anchor_refs END) AS BIGINT) AS top_anchor_refs
+            FROM rk GROUP BY 1 ORDER BY 1
         """,
         "warc_roundtrip_records": f"""
             WITH c AS (SELECT url, status_code, COALESCE(body, '') AS b,

@@ -93,3 +93,77 @@ def html_text_stats(
         n_links.cast("int").alias("n_links"),
         link_density_col(body).alias("link_density"),
     )
+
+
+def anchor_text_index(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Backlink anchor-text index — the classic web-graph aggregation
+    (search ranking + link-spam filters key on it): for every link
+    TARGET, how many referring pages/links point at it and what anchor
+    text they use most.
+
+    Link extraction is the same zero-Python regexp algebra as
+    ``html_text_stats`` (href + inner text via two same-pattern
+    ``regexp_extract_all`` calls zipped positionally). Resolution is
+    the JVM subset of urljoin: absolute http(s) hrefs kept as-is,
+    root-relative ``/...`` hrefs resolved against the page's scheme +
+    host; anything else (protocol-relative, dot-relative, javascript:,
+    fragments) is dropped — crawl frontiers at scale only follow the
+    first two forms anyway (dot-relative resolution needs the
+    path-stack urljoin in ``crawl/extract.py``'s Arrow kernel).
+
+    Output: ``(target_url, n_refs, n_sources, top_anchor,
+    top_anchor_refs)`` where top_anchor is the modal stripped anchor
+    text (ties broken lexicographically — deterministic). Plan: one
+    exchange keyed on (target, anchor) for the mode, one on target for
+    the rollup; link rows are narrow (two strings) because payloads
+    never pass the explode."""
+    pat = r"(?is)<a\b[^>]*href\s*=\s*['\"]([^'\"]*)['\"][^>]*>(.*?)</a>"
+    b = F.coalesce(F.col(body_col), F.lit(""))
+    hrefs = F.regexp_extract_all(b, F.lit(pat), F.lit(1))
+    texts = F.regexp_extract_all(b, F.lit(pat), F.lit(2))
+    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
+    origin = F.concat(
+        F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
+        F.lit("://"),
+        F.parse_url(F.col(url_col), F.lit("HOST")),
+    )
+    links = (
+        df.select(F.col(url_col).alias("source"), origin.alias("_origin"), F.explode(pairs).alias("p"))
+        .select(
+            "source",
+            F.col("p.href").alias("href"),
+            _strip(F.col("p.txt")).alias("anchor"),
+            "_origin",
+        )
+        .withColumn(
+            "target",
+            F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href")).when(
+                F.col("href").startswith("/") & ~F.col("href").startswith("//"),
+                F.concat(F.col("_origin"), F.col("href")),
+            ),
+        )
+        .filter(F.col("target").isNotNull())
+        .select("source", "target", "anchor")
+    )
+    by_anchor = links.groupBy("target", "anchor").agg(
+        F.count("*").alias("anchor_refs"),
+        F.countDistinct("source").alias("anchor_sources"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("target").orderBy(F.desc("anchor_refs"), "anchor")
+    return (
+        by_anchor.withColumn("_rn", F.row_number().over(w))
+        .groupBy("target")
+        .agg(
+            F.sum("anchor_refs").cast("long").alias("n_refs"),
+            F.sum("anchor_sources").cast("long").alias("n_source_pairs"),
+            F.max(F.when(F.col("_rn") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("_rn") == 1, F.col("anchor_refs"))).cast("long").alias(
+                "top_anchor_refs"
+            ),
+        )
+        .withColumnRenamed("target", "target_url")
+    )

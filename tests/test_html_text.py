@@ -72,3 +72,37 @@ def test_plan_zero_python_zero_exchange(spark):
     plan = html_text_stats(df)._jdf.queryExecution().executedPlan().toString()
     for banned in ("Exchange", "Python", "FlatMap", "Arrow"):
         assert banned not in plan, banned
+
+
+def test_anchor_text_index(spark):
+    from scrapy_products_tracker_spark.functions.html import anchor_text_index
+
+    rows = [
+        ("https://a.test/1", '<a href="/t">Buy Now</a><a href="/t">Buy Now</a>'
+                              '<a href="https://b.test/x">ext</a>'),
+        ("https://a.test/2", "<a href='/t'>buy <b>now</b></a>"
+                              '<a href="//cdn.test/asset">proto-rel dropped</a>'
+                              '<a href="javascript:void(0)">js dropped</a>'
+                              '<a href="rel/path">dot-rel dropped</a>'),
+        ("https://b.test/1", '<a href="https://a.test/t">Other Anchor</a>'),
+        ("https://c.test/1", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, body string")
+    out = {r["target_url"]: r for r in anchor_text_index(df).collect()}
+    t = out["https://a.test/t"]
+    # 2x "Buy Now" (page 1) + 1x "buy now" (page 2, tags stripped) +
+    # 1x "Other Anchor" (absolute href from b.test)
+    assert t["n_refs"] == 4
+    assert t["top_anchor"] == "Buy Now" and t["top_anchor_refs"] == 2
+    assert out["https://b.test/x"]["n_refs"] == 1
+    assert "https://cdn.test/asset" not in out
+    assert not any("javascript" in k or "rel/path" in k for k in out)
+
+
+def test_anchor_index_plan_no_cartesian(spark):
+    from scrapy_products_tracker_spark.functions.html import anchor_text_index
+
+    df = spark.createDataFrame([("https://a.test/1", "<a href='/t'>x</a>")],
+                               "url string, body string")
+    plan = anchor_text_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Python" not in plan
