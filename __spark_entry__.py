@@ -989,6 +989,25 @@ def q_ivf_ann_topk(spark, sf):
     )
 
 
+def q_pq_ann(spark, sf):
+    """Product-quantization ANN (Jégou et al. 2011 — IVF's standard
+    companion at 10^10-vector scale): 64-dim vectors compress to 4
+    subspace codes (argmin-L2 against deterministic seed codebooks),
+    query ranks by the asymmetric-distance LUT sum. All arithmetic is
+    int64 on round(x*1000) quantized components — exact and order-free
+    — so the DuckDB twin unrolls encode + LUT + ADC relationally and
+    must match bit-for-bit."""
+    from scrapy_products_tracker_spark.functions.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    cb = pq_codebooks(e, m=4, k=16)
+    qrow = e.orderBy("vec_id").select("embedding").first()
+    return pq_ann_topk(e, [float(x) for x in qrow["embedding"]], cb, topk=10)
+
+
 def q_winnow_fingerprints(spark, sf):
     """Rolling-hash document fingerprints (winnowing, SIGMOD'03 MOSS):
     k-gram hash -> sliding-window min -> distinct; returns per-doc
@@ -1811,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "pq_ann_topk": q_pq_ann,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
@@ -3066,6 +3086,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN assign a ON e.vec_id = a.vec_id
             JOIN probed p ON a.cell_id = p.cell_id
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        "pq_ann_topk": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            iv AS (SELECT vec_id,
+                          list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                   FROM e),
+            cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, w
+                   FROM iv ORDER BY vec_id LIMIT 16),
+            subs AS (SELECT s FROM unnest(generate_series(0, 3)) AS t(s)),
+            cbs AS (SELECT s, code, w[s*16+1 : s*16+16] AS c FROM cb, subs),
+            ivs AS (SELECT vec_id, s, w[s*16+1 : s*16+16] AS u FROM iv, subs),
+            d2 AS (SELECT ivs.vec_id, ivs.s, cbs.code,
+                          list_sum(list_transform(list_zip(ivs.u, cbs.c),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM ivs JOIN cbs USING (s)),
+            enc AS (SELECT vec_id, s, code FROM (
+                      SELECT vec_id, s, code,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, code) AS rn
+                      FROM d2) WHERE rn = 1),
+            q AS (SELECT s, u AS qs FROM ivs
+                  WHERE vec_id = (SELECT min(vec_id) FROM iv)),
+            lut AS (SELECT q.s, cbs.code,
+                           list_sum(list_transform(list_zip(q.qs, cbs.c),
+                             x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                    FROM q JOIN cbs ON q.s = cbs.s),
+            adc AS (SELECT enc.vec_id, SUM(lut.d) AS adc FROM enc
+                    JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                    GROUP BY 1)
+            SELECT vec_id, CAST(adc AS BIGINT) AS adc_units
+            FROM adc ORDER BY adc_units, vec_id LIMIT 10
         """,
         "winnow_fingerprints": """
             WITH t AS (

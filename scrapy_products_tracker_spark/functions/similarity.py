@@ -22,6 +22,8 @@ algebra that shuffles only narrow keys:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -557,4 +559,141 @@ def paired_alignment(
             cos.alias("cosine"),
             (cos >= F.lit(threshold_micro) / F.lit(1_000_000.0)).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — IVF's standard companion at 10^10-vector
+# scale (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"; the FAISS IVFPQ building block)
+# ---------------------------------------------------------------------------
+
+
+def _pq_int_vec(vec_col, scale: int = 1000):
+    """Element-wise int64 quantization (``round(x * scale)``): all PQ
+    arithmetic below runs on these ints, so distances are EXACT and
+    order-free — the determinism trick every oracle-exact operator in
+    this repo uses (micro-unit integers instead of float folds)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> list[list[list[int]]]:
+    """Deterministic seed codebooks: the first ``k`` vectors by id
+    donate their sub-vectors as centroids for each of the ``m`` equal
+    subspaces (codebooks[s][code] = int sub-vector). Production
+    refinement would run ``kmeans_refine`` per subspace; the seed is
+    the oracle-stable baseline (same contract as
+    ``ivf_centroids_first``). Driver materialization is m*k*(dim/m)
+    ints — tiny by the ivf_assign collect contract."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), _pq_int_vec(vec_col, scale).alias("_iv"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty corpus")
+    dim = len(rows[0]["_iv"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ds = dim // m
+    return [
+        [[int(x) for x in r["_iv"][s * ds : (s + 1) * ds]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, codes) — each vector compressed to ``m`` small ints (the
+    64-float row becomes m bytes at scale). Row-local argmin-L2 per
+    subspace via the struct/array_min fold (``_ivf_cell_expr``'s shape
+    — never a CASE-WHEN accumulator fold, see its docstring), zero
+    Exchange, plan-pinned in tests."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    iv = _pq_int_vec(vec_col, scale)
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(iv, s * ds + 1, ds)
+        cands = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(int(c)) for c in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(code).alias("code"),
+            )
+            for code, cvec in enumerate(codebooks[s])
+        ]
+        code_cols.append(F.array_min(F.array(*cands))["code"].alias(f"c{s}"))
+    enc = corpus.select(F.col(id_col), *code_cols)
+    return enc.select(
+        id_col, F.array(*[F.col(f"c{s}") for s in range(m)]).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, each corpus vector is its codes; distance = sum over
+    subspaces of the precomputed (subspace, code) -> L2 lookup table.
+    The LUT is m*k ints built driver-side from the query and shipped
+    as literal maps — the scan never touches the original vectors, the
+    tail is TakeOrderedAndProject. Distances are int64 (exact), ties
+    break on id."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    # half-away-from-zero, matching Spark round (HALF_UP) and DuckDB
+    # round — Python's round() is banker's and would diverge on ties
+    qi = [
+        int(math.floor(x * scale + 0.5)) if x >= 0 else int(math.ceil(x * scale - 0.5))
+        for x in query_vec
+    ]
+    if len(qi) != m * ds:
+        raise ValueError("query dim mismatch")
+    luts = []
+    for s in range(m):
+        qsub = qi[s * ds : (s + 1) * ds]
+        pairs = []
+        for code, cvec in enumerate(codebooks[s]):
+            d2 = sum((a - b) * (a - b) for a, b in zip(qsub, cvec))
+            pairs += [F.lit(code), F.lit(int(d2))]
+        luts.append(F.create_map(*pairs))
+    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col, scale=scale)
+    adc = None
+    for s in range(m):
+        term = F.element_at(luts[s], F.col("codes")[s])
+        adc = term if adc is None else adc + term
+    return (
+        enc.select(id_col, adc.cast("long").alias("adc_units"))
+        .orderBy("adc_units", id_col)
+        .limit(topk)
     )

@@ -233,3 +233,74 @@ def test_kmeans_refine_zero_iters_is_seed_assignment(vectors):
     a = {r["vec_id"]: r["cell_id"] for r in assign.collect()}
     b = {r["vec_id"]: r["cell_id"] for r in base.collect()}
     assert a == b and set(cents) == set(range(4))
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ: codebook donors encode to their own code with ADC 0 against
+    themselves; ADC equals a pure-Python recompute on int-quantized
+    vectors (exact int64 arithmetic, no float folds)."""
+    import numpy as np
+
+    from scrapy_products_tracker_spark.functions.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, m=2, k=4)
+    assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, cb).collect()}
+    # donor vectors reconstruct exactly -> their own code, ADC 0 vs self
+    for donor in range(4):
+        assert codes[donor] == [donor, donor]
+    top = pq_ann_topk(df, [float(x) for x in vecs[2]], cb, topk=5).collect()
+    assert top[0]["vec_id"] == 2 and top[0]["adc_units"] == 0
+
+    # python recompute of the full ADC ranking
+    iv = np.rint(vecs * 1000).astype(np.int64)
+    books = [np.array(cb[s], dtype=np.int64) for s in range(2)]
+    def enc(v):
+        return [int(np.argmin(((books[s] - v[s * 4 : (s + 1) * 4]) ** 2).sum(1)))
+                for s in range(2)]
+    q = iv[2]
+    luts = [((books[s] - q[s * 4 : (s + 1) * 4]) ** 2).sum(1) for s in range(2)]
+    want = sorted(
+        (int(sum(luts[s][c] for s, c in enumerate(enc(v)))), i)
+        for i, v in enumerate(iv)
+    )[:5]
+    got = [(r["adc_units"], r["vec_id"]) for r in
+           pq_ann_topk(df, [float(x) for x in vecs[2]], cb, topk=5).collect()]
+    assert got == want
+
+
+def test_pq_plan_shape(spark):
+    """Encode is row-local (zero Exchange before the top-k); the ADC
+    tail is TakeOrderedAndProject, and neither touches Python."""
+    import numpy as np
+
+    from scrapy_products_tracker_spark.functions.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, m=2, k=4)
+    plan = (
+        pq_ann_topk(df, [float(x) for x in vecs[0]], cb, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan and "CartesianProduct" not in plan
