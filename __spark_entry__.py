@@ -1008,6 +1008,25 @@ def q_pq_ann(spark, sf):
     return pq_ann_topk(e, [float(x) for x in qrow["embedding"]], cb, topk=10)
 
 
+def q_ivfpq_ann(spark, sf):
+    """IVF + PQ composed (the FAISS-IVFPQ shape — THE 10^10-vector
+    structure): coarse cosine cells prune to n_probe=4 of 16, PQ
+    asymmetric distance ranks the survivors on int64 LUTs. Both
+    building blocks are individually oracled (ivf_ann_topk,
+    pq_ann_topk); this oracles the composition end-to-end in pure
+    SQL."""
+    from scrapy_products_tracker_spark.functions.similarity import (
+        ann_topk_ivfpq,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") > 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cb = pq_codebooks(corpus, m=4, k=16)
+    return ann_topk_ivfpq(corpus, qvec, cb, k=10, n_cells=16, n_probe=4)
+
+
 def q_winnow_fingerprints(spark, sf):
     """Rolling-hash document fingerprints (winnowing, SIGMOD'03 MOSS):
     k-gram hash -> sliding-window min -> distinct; returns per-doc
@@ -1831,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "winnow_fingerprints": q_winnow_fingerprints,
         "pq_ann_topk": q_pq_ann,
+        "ivfpq_ann_topk": q_ivfpq_ann,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
@@ -3115,6 +3135,54 @@ def oracle_sql() -> dict[str, str]:
             adc AS (SELECT enc.vec_id, SUM(lut.d) AS adc FROM enc
                     JOIN lut ON enc.s = lut.s AND enc.code = lut.code
                     GROUP BY 1)
+            SELECT vec_id, CAST(adc AS BIGINT) AS adc_units
+            FROM adc ORDER BY adc_units, vec_id LIMIT 10
+        """,
+        "ivfpq_ann_topk": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id > 0),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+            cent AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            assign AS (SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                                  c.cell_id) AS rn
+                FROM e, cent c) WHERE rn = 1),
+            probed AS (SELECT cell_id FROM (
+                SELECT c.cell_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                         round(list_cosine_similarity((SELECT v FROM qv), c.cv), 6) DESC,
+                         c.cell_id) AS rn
+                FROM cent c) WHERE rn <= 4),
+            cand AS (SELECT e.vec_id, e.v FROM e
+                     JOIN assign USING (vec_id) JOIN probed USING (cell_id)),
+            iv AS (SELECT vec_id,
+                          list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                   FROM cand),
+            cbw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                           list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                    FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            subs AS (SELECT s FROM unnest(generate_series(0, 3)) AS t(s)),
+            cbs AS (SELECT s, code, w[s*16+1 : s*16+16] AS c FROM cbw, subs),
+            ivs AS (SELECT vec_id, s, w[s*16+1 : s*16+16] AS u FROM iv, subs),
+            d2 AS (SELECT ivs.vec_id, ivs.s, cbs.code,
+                          list_sum(list_transform(list_zip(ivs.u, cbs.c),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM ivs JOIN cbs USING (s)),
+            enc AS (SELECT vec_id, s, code FROM (
+                      SELECT vec_id, s, code,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, code) AS rn FROM d2) WHERE rn = 1),
+            qiv AS (SELECT list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                    FROM qv),
+            qs AS (SELECT s, (SELECT w FROM qiv)[s*16+1 : s*16+16] AS u FROM subs),
+            lut AS (SELECT qs.s, cbs.code,
+                           list_sum(list_transform(list_zip(qs.u, cbs.c),
+                             x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                    FROM qs JOIN cbs ON qs.s = cbs.s),
+            adc AS (SELECT enc.vec_id, SUM(lut.d) AS adc FROM enc
+                    JOIN lut ON enc.s = lut.s AND enc.code = lut.code GROUP BY 1)
             SELECT vec_id, CAST(adc AS BIGINT) AS adc_units
             FROM adc ORDER BY adc_units, vec_id LIMIT 10
         """,

@@ -697,3 +697,42 @@ def pq_ann_topk(
         .orderBy("adc_units", id_col)
         .limit(topk)
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ shape, THE public structure
+    for 10^10-vector search: the coarse quantizer prunes the corpus to
+    the query's ``n_probe`` cells (row-local argmax-cosine fold, zero
+    Exchange), then PQ asymmetric distance ranks only the survivors
+    against the int64 LUT. Per query this scores ~n_probe/n_cells of
+    the corpus and reads codes, not vectors. Coarse stage is cosine
+    (matching ann_topk_ivf), fine stage is quantized L2 (matching
+    pq_ann_topk) — each reuses its already-oracled building block, and
+    the composition itself is oracled end-to-end (pq_ivf_ann_topk)."""
+    centroids = ivf_centroids_first(corpus, n_cells, id_col, vec_col)
+    rows = centroids.select("cell_id", "cvec").collect()
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probed = (
+        centroids.select(
+            "cell_id", F.round(cosine_sim(F.col("cvec"), q), 6).alias("_qc")
+        )
+        .orderBy(F.desc("_qc"), "cell_id")
+        .limit(n_probe)
+        .select("cell_id")
+    )
+    cand = corpus.withColumn("cell_id", _ivf_cell_expr(rows, vec_col)).join(
+        F.broadcast(probed), "cell_id"
+    )
+    return pq_ann_topk(
+        cand, query_vec, codebooks, topk=k, id_col=id_col, vec_col=vec_col, scale=scale
+    )

@@ -304,3 +304,35 @@ def test_pq_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_all_equals_pq(spark):
+    """n_probe = n_cells -> the coarse stage prunes nothing, so IVFPQ
+    must equal plain PQ ADC exactly (the probe-all==bruteforce style
+    equivalence the IVF-Flat tests use)."""
+    import numpy as np
+
+    from scrapy_products_tracker_spark.functions.similarity import (
+        ann_topk_ivfpq,
+        pq_ann_topk,
+        pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, m=2, k=4)
+    q = [float(x) for x in vecs[5]]
+    full = [(r["vec_id"], r["adc_units"]) for r in pq_ann_topk(df, q, cb, topk=8).collect()]
+    allprobe = [
+        (r["vec_id"], r["adc_units"])
+        for r in ann_topk_ivfpq(df, q, cb, k=8, n_cells=4, n_probe=4).collect()
+    ]
+    assert allprobe == full
+    # pruned probe returns a subset of corpus ids with sane ADC order
+    pruned = ann_topk_ivfpq(df, q, cb, k=8, n_cells=4, n_probe=1).collect()
+    adcs = [r["adc_units"] for r in pruned]
+    assert adcs == sorted(adcs) and 0 < len(pruned) <= 8
