@@ -1209,6 +1209,40 @@ def q_pack_sequences(spark, sf):
     return pack_sequences(d, seq_len=64, range_col="_rng").orderBy("id")
 
 
+def q_curate_corpus(spark, sf):
+    """The end-to-end TEXT curation funnel (dedup/text_corpus.
+    curate_corpus) — quality/token filter → exact+MinHash-LSH dedup →
+    sqrt-temperature source balance → GPT-style sequence packing, one
+    lazy plan. Oracle: the identical four stages chained relationally
+    in DuckDB (filter CTE = the quality_scores formula, dedup CTEs =
+    the dedup_corpus_survivors chain over the independent pure-Python
+    p_sig signatures restricted to the filtered set, sampling/packing
+    = the temperature_sample_rows + pack_sequences_spans arithmetic) —
+    a composition bug in any stage boundary breaks the hash."""
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+
+    d = _t(spark, sf, "documents")
+    out = curate_corpus(
+        d,
+        min_tokens=30,
+        min_quality=0.7,
+        threshold=0.5,
+        balance_col="source",
+        sample_target=80,
+        seq_len=64,
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        "sample_rank",
+        "group_quota",
+        "n_tokens",
+        "tok_before",
+        "first_seq",
+        "last_seq",
+    ).orderBy("doc_id")
+
+
 def q_dsir_importance(spark, sf):
     """DSIR importance scores (functions/text.dsir_importance, Xie et
     al. 2023): per-doc Laplace-smoothed log-likelihood ratio of the
@@ -1876,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,
+        "corpus_curation_pipeline": q_curate_corpus,
         "caption_blocklist_flags": q_caption_blocklist,
         "soft_dedup_weights": q_soft_dedup_weights,
         "latency_percentiles": q_latency_percentiles,
@@ -2837,6 +2872,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b4 // 16384 AS INT) AS shard_id,
                    CAST(n_payload_bytes AS BIGINT) AS payload_bytes
             FROM p ORDER BY image_id
+        """,
+        "corpus_curation_pipeline": rf"""
+            WITH scored AS (
+              SELECT doc_id, text, source, nt0 AS nt,
+                     round((least(nt0 / 50.0, 1.0)
+                       + CASE WHEN (CASE WHEN nt0 > 0 THEN length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / nt0 ELSE 0.0 END) >= 3.0
+                               AND (CASE WHEN nt0 > 0 THEN length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / nt0 ELSE 0.0 END) <= 10.0
+                              THEN 1.0 ELSE 0.5 END
+                       + 1.0 - least((CASE WHEN length(text) > 0
+                                           THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+                                           ELSE 0.0 END) * 5.0, 1.0)
+                       + CASE WHEN nt0 > 0 THEN least(len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10.0 / nt0, 1.0) ELSE 0.0 END) / 4.0, 6) AS quality
+              FROM (SELECT doc_id, text, source, {_NT} AS nt0 FROM documents)),
+            filt AS (SELECT doc_id, text, source FROM scored WHERE nt >= 30 AND quality >= 0.7),
+            exact AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM filt) WHERE rn = 1),
+            sig AS (SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
+                    JOIN exact e ON s.doc = e.doc_id),
+            bands AS (SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+                      FROM sig, unnest(generate_series(0, 7)) AS t(band)),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                     FROM bands a JOIN bands b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc),
+            losers AS (SELECT DISTINCT c.doc_b FROM cand c
+                       JOIN sig sa ON sa.doc = c.doc_a JOIN sig sb ON sb.doc = c.doc_b
+                       WHERE list_sum(list_transform(generate_series(1, 32),
+                               i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) / 32.0 >= 0.5),
+            surv AS (SELECT f.doc_id, f.text, f.source FROM filt f
+                     JOIN exact e USING (doc_id)
+                     LEFT JOIN losers l ON f.doc_id = l.doc_b WHERE l.doc_b IS NULL),
+            c AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY source),
+            w2 AS (SELECT source, CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM c),
+            q AS (SELECT source, CAST((80 * w) // (SELECT SUM(w) FROM w2) AS BIGINT) AS group_quota FROM w2),
+            r AS (SELECT surv.*, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY md5('ts1' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk FROM surv),
+            s AS (SELECT r.source, r.doc_id, r.text, CAST(rnk AS BIGINT) AS sample_rank, q.group_quota
+                  FROM r JOIN q USING (source) WHERE rnk <= q.group_quota),
+            t2 AS (SELECT *, CAST(COALESCE({_NT}, 0) + 1 AS BIGINT) AS n_tokens FROM s),
+            p AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before FROM t2)
+            SELECT source, doc_id, sample_rank, group_quota, n_tokens, tok_before,
+                   CAST(tok_before // 64 AS INT) AS first_seq,
+                   CAST((tok_before + n_tokens - 1) // 64 AS INT) AS last_seq
+            FROM p ORDER BY doc_id
         """,
         "caption_blocklist_flags": f"""
             WITH m AS (SELECT image_id, caption FROM read_parquet('{p_icm}'))

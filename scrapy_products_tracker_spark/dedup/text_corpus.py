@@ -155,3 +155,107 @@ def dedup_corpus(
     return exact.join(
         losers, exact[id_col] == losers["_loser"], "left_anti"
     ).unionByName(no_text)
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    lang: str | None = None,
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    transitive: bool = False,
+    max_iters: int = 50,
+    balance_col: str | None = None,
+    sample_target: int | None = None,
+    salt: str = "ts1",
+    seq_len: int | None = None,
+    range_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end TEXT curation funnel an LM pre-training corpus
+    runs — the documents-table twin of ``imaging/dataset.curate`` —
+    composed from this package's tested operators in one lazy plan:
+
+    1. **filter** — C4-style row rules at the scan: whitespace token
+       count ``>= min_tokens``, composite ``quality_score >=
+       min_quality``, and (when ``lang`` is given) the stopword-density
+       ``lang_guess`` must equal it. NULL/blank text fails the token
+       floor, so contentless docs exit here (contrast
+       :func:`dedup_corpus` standalone, which passes NULL text through
+       — a curation funnel's quality gate IS the place they drop);
+    2. **dedup** — :func:`dedup_corpus` (exact fingerprint first-wins +
+       MinHash-LSH near-dup; ``transitive=True`` for cluster-exact
+       min-label components);
+    3. **balance** — sqrt-temperature per-``balance_col`` re-sampling
+       (:func:`~..functions.sampling.temperature_sample`) when
+       ``sample_target`` is given, attaching ``sample_rank`` /
+       ``group_quota``;
+    4. **pack** — GPT-style concat-and-chunk sequence spans
+       (:func:`~..functions.text.pack_sequences`) when ``seq_len`` is
+       given, attaching ``n_tokens``/``tok_before``/``first_seq``/
+       ``last_seq`` (pass ``range_col`` at scale — see its contract).
+
+    Reference parity: this is the batch analog of the reference's
+    whole pipeline-after-fetch (spider parse → dupefilter → pipeline
+    export, ``src/python/src/pipelines/``), generalized to the
+    training-data curation idiom the north rule targets.
+
+    Scale shape: stage 1 is row-local codegen fused into the scan
+    (filters push down; no Python); stage 2 shuffles one fingerprint
+    window + the banded signature equi-join (never all-pairs); stages
+    3-4 each run over a NARROW (id, group/token-count) projection with
+    one group/range-keyed exchange, then join their tiny verdict
+    columns back on the 8-byte id. The wide text column crosses
+    exactly the exchanges dedup itself needs; everything downstream of
+    the id-joins reuses AQE's id partitioning."""
+    from ..functions.text import lang_guess, quality_score, token_count
+
+    cond = (token_count(F.col(text_col)) >= F.lit(int(min_tokens))) & (
+        quality_score(F.col(text_col)) >= F.lit(float(min_quality))
+    )
+    if lang is not None:
+        cond = cond & (lang_guess(F.col(text_col)) == F.lit(lang))
+    out = dedup_corpus(
+        df.filter(cond),
+        id_col,
+        text_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        bands=bands,
+        k=k,
+        transitive=transitive,
+        max_iters=max_iters,
+    )
+    if sample_target is not None:
+        if balance_col is None:
+            raise ValueError("sample_target requires balance_col")
+        from ..functions.sampling import temperature_sample
+
+        picked = temperature_sample(
+            out.select(id_col, balance_col), balance_col, id_col, sample_target, salt=salt
+        )
+        out = out.join(
+            picked.select(id_col, "sample_rank", "group_quota"), id_col
+        )
+    if seq_len is not None:
+        from ..functions.text import pack_sequences
+
+        spans = pack_sequences(
+            out, seq_len, id_col=id_col, text_col=text_col, range_col=range_col
+        )
+        out = out.join(
+            spans.select(
+                F.col("id").alias(id_col),
+                "n_tokens",
+                "tok_before",
+                "first_seq",
+                "last_seq",
+            ),
+            id_col,
+        )
+    return out

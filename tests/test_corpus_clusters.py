@@ -71,3 +71,113 @@ def test_transitive_keeps_one_per_cluster_pairwise_does_not(spark, chain_df):
     assert pairw == {c * 10 for c in range(OB.N_CHAINS)} | {
         c * 10 + 1 for c in range(OB.N_CHAINS)
     } | singles
+
+
+# --- curate_corpus: the composed text funnel -------------------------------
+
+
+def _funnel_corpus(spark):
+    """40 wordy docs (4 sources) + one too-short doc + one exact dup."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["the", "and", "cargo", "vessel", "market", "price", "of", "to",
+             "report", "quarterly", "index", "value", "is", "for", "with"]
+    rows = []
+    for i in range(40):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(30, 60)))
+        rows.append((i, text, f"src{i % 4}"))
+    rows.append((100, "too short", "src0"))        # fails min_tokens
+    rows.append((101, rows[0][1], "src1"))         # exact dup of doc 0
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_curate_corpus_stage_semantics(spark):
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+
+    df = _funnel_corpus(spark)
+    out = curate_corpus(
+        df,
+        min_tokens=5,
+        min_quality=0.0,
+        threshold=0.99,
+        balance_col="source",
+        sample_target=20,
+        seq_len=16,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    ids = {r["doc_id"] for r in rows}
+    assert 100 not in ids  # quality gate: token floor
+    assert 101 not in ids  # exact dedup: higher id of the dup pair loses
+    # sampling invariants: rank within quota, quota respected per group
+    from collections import Counter
+
+    per_group = Counter(r["source"] for r in rows)
+    for r in rows:
+        assert 1 <= r["sample_rank"] <= r["group_quota"]
+        assert per_group[r["source"]] <= r["group_quota"]
+    assert sum(per_group.values()) <= 20
+    # packing invariants: one contiguous token stream in doc_id order
+    off = 0
+    for r in rows:
+        assert r["tok_before"] == off
+        assert r["first_seq"] == r["tok_before"] // 16
+        assert r["last_seq"] == (r["tok_before"] + r["n_tokens"] - 1) // 16
+        assert r["n_tokens"] == len(r["text"].split()) + 1
+        off += r["n_tokens"]
+
+
+def test_curate_corpus_equals_manual_composition(spark):
+    """The funnel is exactly filter -> dedup -> balance -> pack chained
+    (a stage-order or join-wiring bug breaks this)."""
+    from pyspark.sql import functions as F
+
+    from scrapy_products_tracker_spark.dedup import curate_corpus, dedup_corpus
+    from scrapy_products_tracker_spark.functions.sampling import temperature_sample
+    from scrapy_products_tracker_spark.functions.text import (
+        pack_sequences,
+        quality_score,
+        token_count,
+    )
+
+    df = _funnel_corpus(spark)
+    got = curate_corpus(
+        df,
+        min_tokens=5,
+        min_quality=0.4,
+        threshold=0.99,
+        balance_col="source",
+        sample_target=20,
+        seq_len=16,
+    )
+    filt = df.filter(
+        (token_count(F.col("text")) >= 5) & (quality_score(F.col("text")) >= 0.4)
+    )
+    surv = dedup_corpus(filt, threshold=0.99)
+    picked = surv.join(
+        temperature_sample(surv.select("doc_id", "source"), "source", "doc_id", 20)
+        .select("doc_id", "sample_rank", "group_quota"),
+        "doc_id",
+    )
+    want = picked.join(
+        pack_sequences(picked, 16)
+        .select(
+            F.col("id").alias("doc_id"), "n_tokens", "tok_before", "first_seq", "last_seq"
+        ),
+        "doc_id",
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    a = sorted(got.select(*cols).collect())
+    b = sorted(want.select(*cols).collect())
+    assert a == b
+
+
+def test_curate_corpus_requires_balance_col(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+
+    df = _funnel_corpus(spark)
+    with pytest.raises(ValueError, match="balance_col"):
+        curate_corpus(df, sample_target=5)
