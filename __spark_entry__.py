@@ -620,6 +620,29 @@ def q_lang_id_heuristic(spark, sf):  # stopword-density language ID
     return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_script_profile(spark, sf):
+    """Unicode script histogram + dominant script per doc
+    (functions/text.script_profile): one regexp_count per script
+    class, row-local codegen, argmax with first-listed tie-break.
+    Oracle: the same literal codepoint-range classes via DuckDB
+    regexp_extract_all + a GREATEST cascade."""
+    from scrapy_products_tracker_spark.functions.text import script_profile
+
+    return script_profile(_t(spark, sf, "documents")).orderBy("id")
+
+
+def q_corpus_stats(spark, sf):
+    """ROLLUP corpus accounting (functions/text.corpus_stats): docs /
+    tokens / chars / integer quality mass per (source, lang) group +
+    subtotals + grand total, gid disambiguating subtotal rows. Oracle:
+    GROUP BY ROLLUP with the same integer micro-unit arithmetic."""
+    from scrapy_products_tracker_spark.functions.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"), ("source", "lang")).orderBy(
+        "gid", "source", "lang"
+    )
+
+
 def q_gopher_repetition(spark, sf):
     """Within-doc repetition filters (Gopher/MassiveText repo rules):
     duplicate bigram/trigram fractions + top-bigram share per document,
@@ -1854,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
+        "script_profile": q_script_profile,
+        "corpus_stats_rollup": q_corpus_stats,
         "binary_payload_stats": q_binary_payload_stats,
         "gopher_repetition": q_gopher_repetition,
         "paragraph_dedup_stats": q_paragraph_dedup,
@@ -2467,6 +2492,48 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (CASE WHEN nt > 0 THEN len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 1.0 / nt ELSE 0.0 END) > 0.02
                         THEN 'en' ELSE 'other' END AS lang_guess
             FROM (SELECT doc_id, text, {_NT} AS nt FROM documents)
+        """,
+        "script_profile": """
+            WITH c AS (
+              SELECT doc_id AS id,
+                CAST(COALESCE(len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')), 0) AS BIGINT) AS latin_chars,
+                CAST(COALESCE(len(regexp_extract_all(text, '[Ѐ-ӿ]')), 0) AS BIGINT) AS cyrillic_chars,
+                CAST(COALESCE(len(regexp_extract_all(text, '[Ͱ-Ͽ]')), 0) AS BIGINT) AS greek_chars,
+                CAST(COALESCE(len(regexp_extract_all(text, '[؀-ۿ]')), 0) AS BIGINT) AS arabic_chars,
+                CAST(COALESCE(len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')), 0) AS BIGINT) AS cjk_chars
+              FROM documents)
+            SELECT id, latin_chars, cyrillic_chars, greek_chars, arabic_chars, cjk_chars,
+              CASE WHEN latin_chars + cyrillic_chars + greek_chars + arabic_chars + cjk_chars = 0 THEN NULL
+                   WHEN latin_chars >= GREATEST(cyrillic_chars, greek_chars, arabic_chars, cjk_chars) THEN 'latin'
+                   WHEN cyrillic_chars >= GREATEST(greek_chars, arabic_chars, cjk_chars) THEN 'cyrillic'
+                   WHEN greek_chars >= GREATEST(arabic_chars, cjk_chars) THEN 'greek'
+                   WHEN arabic_chars >= cjk_chars THEN 'arabic'
+                   ELSE 'cjk' END AS dominant_script,
+              CASE WHEN latin_chars + cyrillic_chars + greek_chars + arabic_chars + cjk_chars > 0
+                   THEN CAST(1000 * GREATEST(latin_chars, cyrillic_chars, greek_chars, arabic_chars, cjk_chars)
+                        // (latin_chars + cyrillic_chars + greek_chars + arabic_chars + cjk_chars) AS BIGINT)
+                   END AS script_conf_milli
+            FROM c ORDER BY id
+        """,
+        "corpus_stats_rollup": rf"""
+            WITH q AS (
+              SELECT source, lang, text, nt0 AS nt,
+                     round((least(nt0 / 50.0, 1.0)
+                       + CASE WHEN (CASE WHEN nt0 > 0 THEN length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / nt0 ELSE 0.0 END) >= 3.0
+                               AND (CASE WHEN nt0 > 0 THEN length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 / nt0 ELSE 0.0 END) <= 10.0
+                              THEN 1.0 ELSE 0.5 END
+                       + 1.0 - least((CASE WHEN length(text) > 0
+                                           THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+                                           ELSE 0.0 END) * 5.0, 1.0)
+                       + CASE WHEN nt0 > 0 THEN least(len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10.0 / nt0, 1.0) ELSE 0.0 END) / 4.0, 6) AS quality
+              FROM (SELECT source, lang, text, {_NT} AS nt0 FROM documents))
+            SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(COALESCE(nt, 0)) AS BIGINT) AS total_tokens,
+                   CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
+                   CAST(SUM(COALESCE(CAST(round(quality * 1000000) AS BIGINT), 0)) AS BIGINT) AS sum_quality_micro
+            FROM q GROUP BY ROLLUP (source, lang)
+            ORDER BY gid, source, lang
         """,
         "binary_payload_stats": """
             SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

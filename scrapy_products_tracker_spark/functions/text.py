@@ -643,3 +643,117 @@ def dsir_importance(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("score_unats", F.lit(0)).cast("long").alias("score_unats"),
     )
+
+
+# --- Unicode script profiling (the codepoint-range half of language ID) ----
+
+# (name, literal char-class body). Literal codepoint ranges work
+# identically in Java regex (UTF-16) and DuckDB's RE2 (UTF-8) for BMP
+# ranges, so one table drives both engines.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("cjk", "一-鿿぀-ヿ가-힯"),
+]
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script — the
+    codepoint-range complement to :func:`lang_guess` (a stopword
+    heuristic can only say "en vs other"; script counting is how real
+    pipelines pre-route docs to per-script models, cf. CLD3/fastText
+    feature sets). Returns
+
+    ``(id, latin_chars, cyrillic_chars, greek_chars, arabic_chars,
+    cjk_chars, dominant_script, script_conf_milli)``
+
+    where ``dominant_script`` is the class with the most codepoints
+    (ties -> the earlier class in ``SCRIPT_CLASSES``; NULL when no
+    scripted codepoint occurs, incl. NULL text) and
+    ``script_conf_milli = 1000 * max_count // total_count`` (integer —
+    engine-exact).
+
+    Plan: one ``regexp_count`` per class, pure row-local codegen, zero
+    shuffle, zero Python — a 100 TB corpus pays one scan."""
+    cnts = [
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(f"[{body}]")), F.lit(0))
+        .cast("long")
+        .alias(f"{name}_chars")
+        for name, body in SCRIPT_CLASSES
+    ]
+    out = df.select(F.col(id_col).alias("id"), *cnts)
+    names = [n for n, _ in SCRIPT_CLASSES]
+    total = None
+    for n in names:
+        c = F.col(f"{n}_chars")
+        total = c if total is None else total + c
+    # argmax with first-listed tie-winner: max (count, -index) struct
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"{n}_chars").alias("c"), F.lit(-i).alias("ni")
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    )
+    name_arr = F.array(*[F.lit(n) for n in names])
+    staged = out.withColumn("_total", total).withColumn("_best", best)
+    return staged.select(
+        *(["id"] + [f"{n}_chars" for n in names]),
+        F.when(
+            F.col("_total") > 0,
+            F.element_at(name_arr, (-F.col("_best.ni") + 1).cast("int")),
+        ).alias("dominant_script"),
+        F.when(F.col("_total") > 0, F.expr("div(1000 * _best.c, _total)"))
+        .cast("long")
+        .alias("script_conf_milli"),
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """ROLLUP corpus accounting — the one-scan summary every curation
+    run reports (docs / tokens / chars / quality mass per group plus
+    subtotal and grand-total rows): ``rollup(*group_cols)`` with
+
+    ``(… group cols …, n_docs, total_tokens, total_chars,
+    sum_quality_micro)``
+
+    Quality is summed in integer micro-units of the 6-dp-rounded
+    :func:`quality_score` so the aggregate is bit-identical across
+    engines and partitionings (float sums are order-dependent; integer
+    sums are not). NULL text contributes 0 tokens/chars/quality.
+
+    ``gid`` is the grouping-set bitmask (``grouping_id``): it
+    disambiguates a subtotal row from a genuine NULL group value —
+    without it ``(src, NULL-as-subtotal)`` and ``(src, NULL-lang)``
+    rows are indistinguishable.
+
+    Plan: one map-side-combinable aggregate; ROLLUP expands to
+    len(group_cols)+1 grouping sets in the same exchange."""
+    return df.rollup(*group_cols).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce(token_count(F.col(text_col)), F.lit(0)))
+        .cast("long")
+        .alias("total_tokens"),
+        F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+        .cast("long")
+        .alias("total_chars"),
+        F.sum(
+            F.coalesce(
+                F.round(quality_score(F.col(text_col)) * F.lit(1_000_000.0)), F.lit(0.0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sum_quality_micro"),
+    )

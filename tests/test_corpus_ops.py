@@ -197,3 +197,78 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.range(1).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", weights={"train": 0.5, "valid": 0.1})
+
+
+# --- script_profile / corpus_stats ------------------------------------------
+
+
+def test_script_profile_exact(spark):
+    from scrapy_products_tracker_spark.functions.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет мир"),
+        (3, "γειά σου"),
+        (4, "مرحبا"),
+        (5, "你好 こんにちは 안녕"),
+        (6, "123 %% !!"),        # no scripted codepoints
+        (7, None),               # NULL text
+        (8, "mixa Привет hi"),   # latin 6, cyrillic 6 -> tie -> latin (first)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in script_profile(df).collect()}
+    assert got[1]["latin_chars"] == 10 and got[1]["dominant_script"] == "latin"
+    assert got[1]["script_conf_milli"] == 1000
+    assert got[2]["cyrillic_chars"] == 9 and got[2]["dominant_script"] == "cyrillic"
+    assert got[3]["dominant_script"] == "greek"
+    assert got[4]["dominant_script"] == "arabic"
+    assert got[5]["cjk_chars"] == 9 and got[5]["dominant_script"] == "cjk"
+    for d in (6, 7):
+        assert got[d]["dominant_script"] is None
+        assert got[d]["script_conf_milli"] is None
+        assert got[d]["latin_chars"] == 0
+    r8 = got[8]
+    assert r8["latin_chars"] == 6 and r8["cyrillic_chars"] == 6
+    assert r8["dominant_script"] == "latin"  # tie -> first-listed class
+    assert r8["script_conf_milli"] == 1000 * 6 // 12
+
+
+def test_script_profile_plan_no_shuffle(spark):
+    from scrapy_products_tracker_spark.functions.text import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_corpus_stats_rollup_exact(spark):
+    from scrapy_products_tracker_spark.functions.text import corpus_stats
+
+    rows = [
+        (1, "the cat sat on the mat today just fine", "en", "a"),
+        (2, "the dog ran to the park and back again", "en", "a"),
+        (3, "un deux trois quatre cinq six sept", "fr", "a"),
+        (4, None, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r["source"], r["lang"], r["gid"]): r.asDict()
+        for r in corpus_stats(df, ("source", "lang")).collect()
+    }
+    # grand total: gid=3, both keys NULL
+    gt = got[(None, None, 3)]
+    assert gt["n_docs"] == 4 and gt["total_tokens"] == 9 + 9 + 7 + 0
+    # source subtotal (gid=1) vs leaf rows (gid=0)
+    assert got[("a", None, 1)]["n_docs"] == 3
+    assert got[("a", "en", 0)]["n_docs"] == 2
+    assert got[("a", "fr", 0)]["total_tokens"] == 7
+    # genuine NULL lang leaf is distinguishable from the subtotal row
+    assert got[("b", None, 0)]["n_docs"] == 1
+    assert got[("b", None, 1)]["n_docs"] == 1
+    assert got[("b", None, 0)]["total_chars"] == 0
+    # integer quality mass is additive: leaf sums == subtotal
+    assert (
+        got[("a", "en", 0)]["sum_quality_micro"] + got[("a", "fr", 0)]["sum_quality_micro"]
+        == got[("a", None, 1)]["sum_quality_micro"]
+    )
