@@ -643,6 +643,37 @@ def q_corpus_stats(spark, sf):
     )
 
 
+def q_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (functions/bpe.bpe_train):
+    word histogram -> per-round pair aggregation + deterministic
+    argmax -> row-local fold rewrite. Oracle: an INDEPENDENT pure-
+    Python dict-based trainer (oracle/builders.build_bpe_merges) over
+    the same corpus — the learned merge tables must be identical."""
+    from scrapy_products_tracker_spark.functions.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), n_merges=20).orderBy("rank")
+
+
+def q_bpe_segment(spark, sf):
+    """Train-then-tokenize composition: 10 engine-trained merges
+    applied by the Arrow-batched bpe_segment kernel; compared on
+    (n_bpe_tokens, md5 token-list fingerprint) per doc against a fully
+    independent Python train+segment (build_bpe_segments)."""
+    from scrapy_products_tracker_spark.functions.bpe import bpe_segment, bpe_train
+
+    d = _t(spark, sf, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(d, n_merges=10).orderBy("rank").collect()
+    ]
+    seg = bpe_segment(d, merges)
+    return seg.select(
+        "id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("toks_fp"),
+    ).orderBy("id")
+
+
 def q_gopher_repetition(spark, sf):
     """Within-doc repetition filters (Gopher/MassiveText repo rules):
     duplicate bigram/trigram fractions + top-bigram share per document,
@@ -1879,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": q_lang_id_heuristic,
         "script_profile": q_script_profile,
         "corpus_stats_rollup": q_corpus_stats,
+        "bpe_train_merges": q_bpe_train,
+        "bpe_segment_tokens": q_bpe_segment,
         "binary_payload_stats": q_binary_payload_stats,
         "gopher_repetition": q_gopher_repetition,
         "paragraph_dedup_stats": q_paragraph_dedup,
@@ -1998,6 +2031,8 @@ def oracle_sql() -> dict[str, str]:
         ):
             out = f"replace({out}, '{ent}', '{rep}')"
         return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+    p_bpe = OB.build_bpe_merges()
+    p_bseg = OB.build_bpe_segments()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -2534,6 +2569,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(COALESCE(CAST(round(quality * 1000000) AS BIGINT), 0)) AS BIGINT) AS sum_quality_micro
             FROM q GROUP BY ROLLUP (source, lang)
             ORDER BY gid, source, lang
+        """,
+        "bpe_train_merges": f"""
+            SELECT rank, "left", "right", pair_count
+            FROM read_parquet('{p_bpe}') ORDER BY rank
+        """,
+        "bpe_segment_tokens": f"""
+            SELECT id, n_bpe_tokens, toks_fp
+            FROM read_parquet('{p_bseg}') ORDER BY id
         """,
         "binary_payload_stats": """
             SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -1206,3 +1206,136 @@ def build_robots_fixture() -> tuple[str, str, str]:
         ),
     )
     return p_bodies, p_urls, p_exp
+
+
+def build_bpe_merges(sf_dir: str = CORRECTNESS_SF, n_merges: int = 20, min_pair_count: int = 2) -> str:
+    """Independent pure-Python BPE trainer (Sennrich et al. 2016 word-
+    histogram algorithm; dict-based, no Spark): the engine's
+    functions/bpe.bpe_train must learn the identical merge table —
+    same argmax with (count desc, left asc, right asc) tie-break, same
+    left-to-right non-overlapping rewrite."""
+    import pyarrow as pa
+    from collections import Counter
+
+    docs = _documents(sf_dir)
+    hist: Counter = Counter()
+    for t in docs["text"]:
+        if t is None or not str(t).strip():
+            continue
+        hist.update(str(t).split())
+    pieces = {w: tuple(w) for w in hist}
+    rows = []
+    for rank in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, ps in pieces.items():
+            c = hist[w]
+            for i in range(len(ps) - 1):
+                pair_counts[(ps[i], ps[i + 1])] += c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        if cnt < min_pair_count:
+            break
+        rows.append({"rank": rank, "left": left, "right": right, "pair_count": cnt})
+        merged = left + right
+        new_pieces = {}
+        for w, ps in pieces.items():
+            if len(ps) < 2:
+                new_pieces[w] = ps
+                continue
+            out, i = [], 0
+            while i < len(ps):
+                if i + 1 < len(ps) and ps[i] == left and ps[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(ps[i])
+                    i += 1
+            new_pieces[w] = tuple(out)
+        pieces = new_pieces
+    schema = pa.schema(
+        [("rank", pa.int64()), ("left", pa.string()), ("right", pa.string()), ("pair_count", pa.int64())]
+    )
+    return _write(pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"]), "bpe_merges.parquet", schema)
+
+
+def build_bpe_segments(sf_dir: str = CORRECTNESS_SF, n_merges: int = 10) -> str:
+    """Independent pure-Python BPE SEGMENTATION: train n_merges merges
+    (same independent trainer as build_bpe_merges) and tokenize every
+    doc with them; emit (id, n_bpe_tokens, toks_fp=md5 of the
+    US-joined token list). The engine must reproduce both train AND
+    apply dynamics to hash-match."""
+    import hashlib
+    import pyarrow as pa
+    from collections import Counter
+
+    docs = _documents(sf_dir)
+    hist: Counter = Counter()
+    for t in docs["text"]:
+        if t is None or not str(t).strip():
+            continue
+        hist.update(str(t).split())
+    pieces = {w: tuple(w) for w in hist}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, ps in pieces.items():
+            c = hist[w]
+            for i in range(len(ps) - 1):
+                pair_counts[(ps[i], ps[i + 1])] += c
+        if not pair_counts:
+            break
+        (left, right), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        new_pieces = {}
+        for w, ps in pieces.items():
+            out, i = [], 0
+            while i < len(ps):
+                if i + 1 < len(ps) and ps[i] == left and ps[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(ps[i])
+                    i += 1
+            new_pieces[w] = tuple(out)
+        pieces = new_pieces
+
+    def seg_word(w: str) -> list[str]:
+        ps = list(w)
+        for left, right in merges:
+            if len(ps) < 2:
+                break
+            out, i = [], 0
+            while i < len(ps):
+                if i + 1 < len(ps) and ps[i] == left and ps[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(ps[i])
+                    i += 1
+            ps = out
+        return ps
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks: list[str] = []
+        if t is not None and str(t).strip():
+            for w in str(t).split():
+                toks.extend(seg_word(w))
+        rows.append(
+            {
+                "id": int(did),
+                "n_bpe_tokens": len(toks),
+                "toks_fp": hashlib.md5("\x1f".join(toks).encode()).hexdigest(),
+            }
+        )
+    schema = pa.schema(
+        [("id", pa.int64()), ("n_bpe_tokens", pa.int64()), ("toks_fp", pa.string())]
+    )
+    return _write(pd.DataFrame(rows), "bpe_segments.parquet", schema)
