@@ -1,0 +1,104 @@
+"""spark-submit entry point for the curation funnels: run the image
+or text curation pipeline over parquet in / parquet out.
+
+    spark-submit --master <cluster-master> \
+        --py-files dist/scrapy_products_tracker_spark.zip \
+        jobs/curate_job.py --mode image --input pairs.parquet \
+        --output curated/ [--sample-target N] [--shard-budget-bytes B]
+
+    spark-submit ... jobs/curate_job.py --mode text \
+        --input documents.parquet --output curated/ \
+        [--min-tokens 30] [--min-quality 0.7] [--lang en] \
+        [--threshold 0.8] [--transitive] [--balance-col source] \
+        [--sample-target N] [--seq-len 2048] [--range-col crawl_bucket]
+
+``--mode image`` expects the north-rule input table
+``(image_id, bytes, w, h, fmt, caption, phash)`` and runs
+``imaging/dataset.curate`` (LAION filters -> exact-bytes dedup ->
+temperature balance -> shard packing); ``--mode text`` expects
+``(doc_id, text, …)`` and runs ``dedup/text_corpus.curate_corpus``
+(quality filter -> exact+MinHash-LSH dedup -> temperature balance ->
+sequence packing). Both write the surviving rows (plus the funnel's
+verdict columns) as parquet and print one JSON summary line —
+the same one-process-per-job deployment shape as jobs/crawl_job.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("image", "text"), required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=30)
+    ap.add_argument("--min-quality", type=float, default=0.7)
+    ap.add_argument("--lang", default=None)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--transitive", action="store_true")
+    ap.add_argument("--balance-col", default=None)
+    ap.add_argument("--sample-target", type=int, default=None)
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--range-col", default=None)
+    ap.add_argument("--min-caption-tokens", type=int, default=4)
+    ap.add_argument("--min-side-px", type=int, default=16)
+    ap.add_argument("--max-aspect-milli", type=int, default=3000)
+    ap.add_argument("--shard-budget-bytes", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+
+    if args.mode == "image":
+        from scrapy_products_tracker_spark.imaging.dataset import curate
+
+        out = curate(
+            df,
+            min_caption_tokens=args.min_caption_tokens,
+            min_side_px=args.min_side_px,
+            max_aspect_milli=args.max_aspect_milli,
+            balance_col=args.balance_col or "fmt",
+            sample_target=args.sample_target,
+            shard_budget_bytes=args.shard_budget_bytes,
+            range_col=args.range_col,
+        )
+    else:
+        from scrapy_products_tracker_spark.dedup import curate_corpus
+
+        out = curate_corpus(
+            df,
+            min_tokens=args.min_tokens,
+            min_quality=args.min_quality,
+            lang=args.lang,
+            threshold=args.threshold,
+            transitive=args.transitive,
+            balance_col=args.balance_col,
+            sample_target=args.sample_target,
+            seq_len=args.seq_len,
+            range_col=args.range_col,
+        )
+
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "mode": args.mode,
+                "input": args.input,
+                "output": args.output,
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "kept_frac_milli": (1000 * n_out) // n_in if n_in else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
