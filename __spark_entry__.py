@@ -1737,6 +1737,23 @@ def q_html_text(spark, sf):
     ).orderBy("url")
 
 
+def q_focused_boost(spark, sf):
+    """Focused-crawl priority boost (functions/graph.
+    focused_priority_boost): distinct-term hits over backlink anchor
+    texts -> integer milli boost on the frontier's priority key.
+    Terms chosen so 'cat' must NOT match the 'category' anchors
+    (word-boundary discrimination) and 'shop' never occurs (zero-hit
+    path). Oracle: the anchor_text_index link-extraction CTEs + a
+    per-term MAX fold relationally."""
+    from scrapy_products_tracker_spark.functions.graph import focused_priority_boost
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    frontier = pages.select("url").withColumn("priority", F.lit(100))
+    return focused_priority_boost(
+        frontier, pages, ["cat", "category", "shop"]
+    ).orderBy("url")
+
+
 def q_anchor_index(spark, sf):
     """Backlink anchor-text index (functions/html.py): per link target,
     total refs / source pairs / modal stripped anchor text — the
@@ -1963,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": q_html_text,
         "registrable_domain_rollup": q_registrable_rollup,
         "anchor_text_index": q_anchor_index,
+        "focused_priority_boost": q_focused_boost,
         "warc_roundtrip_records": q_warc_roundtrip,
         "cdx_page_index": q_cdx_page_index,
         "temperature_sample_rows": q_temperature_sample,
@@ -2912,6 +2930,37 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
                    CAST(max(CASE WHEN rn = 1 THEN anchor_refs END) AS BIGINT) AS top_anchor_refs
             FROM rk GROUP BY 1 ORDER BY 1
+        """,
+        "focused_priority_boost": f"""
+            WITH p AS (SELECT url, COALESCE(body, '') AS b
+                       FROM read_parquet('{p_pcdx}')),
+            e AS (SELECT url,
+                         regexp_extract_all(b, $$(?is)<a\\b[^>]*href\\s*=\\s*['"]([^'"]*)['"][^>]*>(.*?)</a>$$, 1) AS hs,
+                         regexp_extract_all(b, $$(?is)<a\\b[^>]*href\\s*=\\s*['"]([^'"]*)['"][^>]*>(.*?)</a>$$, 2) AS ts
+                  FROM p),
+            l AS (SELECT url AS source,
+                         regexp_extract(url, '^(https?://[^/]+)', 1) AS origin,
+                         hs[i] AS href, ts[i] AS txt
+                  FROM e, unnest(generate_series(1, len(hs))) AS g(i)),
+            r AS (SELECT source,
+                         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                              WHEN href LIKE '/%' AND href NOT LIKE '//%'
+                                THEN origin || href END AS target,
+                         {_html_strip_sql("txt")} AS anchor
+                  FROM l),
+            f AS (SELECT * FROM r WHERE target IS NOT NULL),
+            h AS (SELECT target,
+                         MAX(CASE WHEN regexp_matches(anchor, '(?i)\\bcat\\b') THEN 1 ELSE 0 END)
+                       + MAX(CASE WHEN regexp_matches(anchor, '(?i)\\bcategory\\b') THEN 1 ELSE 0 END)
+                       + MAX(CASE WHEN regexp_matches(anchor, '(?i)\\bshop\\b') THEN 1 ELSE 0 END) AS nh
+                  FROM f GROUP BY target),
+            fr AS (SELECT url FROM read_parquet('{p_pcdx}'))
+            SELECT fr.url, CAST(100 AS BIGINT) AS priority,
+                   CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_term_hits,
+                   CAST(1000 * COALESCE(h.nh, 0) // 3 AS BIGINT) AS boost,
+                   CAST(100 + 1000 * COALESCE(h.nh, 0) // 3 AS BIGINT) AS boosted_priority
+            FROM fr LEFT JOIN h ON fr.url = h.target
+            ORDER BY fr.url
         """,
         "warc_roundtrip_records": f"""
             WITH c AS (SELECT url, status_code, COALESCE(body, '') AS b,

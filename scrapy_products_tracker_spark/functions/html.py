@@ -95,6 +95,50 @@ def html_text_stats(
     )
 
 
+def link_edges(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """(source, target, anchor) link edges extracted from page bodies —
+    zero-Python regexp algebra (href + inner text via two same-pattern
+    ``regexp_extract_all`` calls zipped positionally). Resolution is
+    the JVM subset of urljoin: absolute http(s) hrefs kept as-is,
+    root-relative ``/...`` hrefs resolved against the page's scheme +
+    host; anything else (protocol-relative, dot-relative, javascript:,
+    fragments) is dropped — crawl frontiers at scale only follow the
+    first two forms anyway (dot-relative resolution needs the
+    path-stack urljoin in ``crawl/extract.py``'s Arrow kernel).
+    Shared by :func:`anchor_text_index` and
+    ``functions/graph.focused_priority_boost``."""
+    pat = r"(?is)<a\b[^>]*href\s*=\s*['\"]([^'\"]*)['\"][^>]*>(.*?)</a>"
+    b = F.coalesce(F.col(body_col), F.lit(""))
+    hrefs = F.regexp_extract_all(b, F.lit(pat), F.lit(1))
+    texts = F.regexp_extract_all(b, F.lit(pat), F.lit(2))
+    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
+    origin = F.concat(
+        F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
+        F.lit("://"),
+        F.parse_url(F.col(url_col), F.lit("HOST")),
+    )
+    return (
+        df.select(F.col(url_col).alias("source"), origin.alias("_origin"), F.explode(pairs).alias("p"))
+        .select(
+            "source",
+            F.col("p.href").alias("href"),
+            _strip(F.col("p.txt")).alias("anchor"),
+            "_origin",
+        )
+        .withColumn(
+            "target",
+            F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href")).when(
+                F.col("href").startswith("/") & ~F.col("href").startswith("//"),
+                F.concat(F.col("_origin"), F.col("href")),
+            ),
+        )
+        .filter(F.col("target").isNotNull())
+        .select("source", "target", "anchor")
+    )
+
+
 def anchor_text_index(
     df: DataFrame, url_col: str = "url", body_col: str = "body"
 ) -> DataFrame:
@@ -119,34 +163,7 @@ def anchor_text_index(
     exchange keyed on (target, anchor) for the mode, one on target for
     the rollup; link rows are narrow (two strings) because payloads
     never pass the explode."""
-    pat = r"(?is)<a\b[^>]*href\s*=\s*['\"]([^'\"]*)['\"][^>]*>(.*?)</a>"
-    b = F.coalesce(F.col(body_col), F.lit(""))
-    hrefs = F.regexp_extract_all(b, F.lit(pat), F.lit(1))
-    texts = F.regexp_extract_all(b, F.lit(pat), F.lit(2))
-    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))
-    origin = F.concat(
-        F.parse_url(F.col(url_col), F.lit("PROTOCOL")),
-        F.lit("://"),
-        F.parse_url(F.col(url_col), F.lit("HOST")),
-    )
-    links = (
-        df.select(F.col(url_col).alias("source"), origin.alias("_origin"), F.explode(pairs).alias("p"))
-        .select(
-            "source",
-            F.col("p.href").alias("href"),
-            _strip(F.col("p.txt")).alias("anchor"),
-            "_origin",
-        )
-        .withColumn(
-            "target",
-            F.when(F.col("href").rlike(r"(?i)^https?://"), F.col("href")).when(
-                F.col("href").startswith("/") & ~F.col("href").startswith("//"),
-                F.concat(F.col("_origin"), F.col("href")),
-            ),
-        )
-        .filter(F.col("target").isNotNull())
-        .select("source", "target", "anchor")
-    )
+    links = link_edges(df, url_col=url_col, body_col=body_col)
     by_anchor = links.groupBy("target", "anchor").agg(
         F.count("*").alias("anchor_refs"),
         F.countDistinct("source").alias("anchor_sources"),

@@ -106,3 +106,56 @@ def test_anchor_index_plan_no_cartesian(spark):
                                "url string, body string")
     plan = anchor_text_index(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+# --- focused-crawl priority boost -------------------------------------------
+
+
+def test_focused_priority_boost_exact(spark):
+    from scrapy_products_tracker_spark.functions.graph import focused_priority_boost
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.com/p1",
+                '<a href="https://t.com/x">great cat pics</a>'
+                '<a href="https://t.com/x">CAT again</a>'       # same term twice -> 1 hit
+                '<a href="https://t.com/y">category page</a>',   # 'cat' must NOT match
+            ),
+            (
+                "https://b.com/p2",
+                '<a href="/local">dog shop</a>'                  # root-relative resolve
+                '<a href="https://t.com/y">the shop</a>',
+            ),
+        ],
+        "url string, body string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("https://t.com/x", 100),
+            ("https://t.com/y", 100),
+            ("https://b.com/local", 50),
+            ("https://nowhere.com/z", 7),                        # no backlinks
+        ],
+        "url string, priority int",
+    )
+    got = {
+        r["url"]: (r["n_term_hits"], r["boost"], r["boosted_priority"])
+        for r in focused_priority_boost(
+            frontier, pages, ["cat", "category", "shop"]
+        ).collect()
+    }
+    assert got["https://t.com/x"] == (1, 333, 433)       # cat only (distinct terms)
+    assert got["https://t.com/y"] == (2, 666, 766)       # category + shop
+    assert got["https://b.com/local"] == (1, 333, 383)   # shop via root-relative link
+    assert got["https://nowhere.com/z"] == (0, 0, 7)     # untouched
+
+
+def test_focused_priority_boost_validates(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.functions.graph import focused_priority_boost
+
+    df = spark.createDataFrame([("u", 1)], "url string, priority int")
+    with pytest.raises(ValueError):
+        focused_priority_boost(df, df.withColumnRenamed("priority", "body"), [])
