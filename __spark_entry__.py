@@ -956,6 +956,25 @@ def q_dedup_corpus_survivors(spark, sf):
     )
 
 
+def q_dedup_against_corpus(spark, sf):
+    """Incremental-ingestion dedup (dedup/text_corpus.
+    dedup_against_corpus): the NEW half of the documents table
+    (doc_id >= 250) deduped within itself AND against the EXISTING
+    half (doc_id < 250) — exact fingerprint anti-join + cross-set
+    MinHash-LSH band join. Oracle: the dedup_corpus_survivors CTE
+    chain over the new half, then the cross passes relationally over
+    the independent p_sig signatures."""
+    from scrapy_products_tracker_spark.dedup import dedup_against_corpus
+
+    d = _t(spark, sf, "documents")
+    out = dedup_against_corpus(
+        d.filter(F.col("doc_id") >= 250),
+        d.filter(F.col("doc_id") < 250),
+        threshold=0.5,
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def _chain_corpus(spark):
     """The planted-chain corpus (OB.chain_corpus_rows docstring) rebuilt
     as pure JVM column algebra — the oracle builds the identical texts
@@ -1953,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_corpus_survivors": q_dedup_corpus_survivors,
+        "dedup_against_corpus": q_dedup_against_corpus,
         "dedup_corpus_clusters": q_dedup_corpus_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
@@ -3266,6 +3286,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.doc_id FROM exact e
             LEFT JOIN losers l ON e.doc_id = l.doc_b
             WHERE l.doc_b IS NULL
+            ORDER BY doc_id
+        """,
+        "dedup_against_corpus": rf"""
+            WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+            corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+            nexact AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, ROW_NUMBER() OVER (
+                  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM newd WHERE text IS NOT NULL) WHERE rn = 1),
+            nsig AS (SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
+                     JOIN nexact e ON s.doc = e.doc_id),
+            nbands AS (SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+                       FROM nsig, unnest(generate_series(0, 7)) AS t(band)),
+            ncand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                      FROM nbands a JOIN nbands b
+                        ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc),
+            nlosers AS (SELECT DISTINCT c.doc_b FROM ncand c
+                        JOIN nsig sa ON sa.doc = c.doc_a JOIN nsig sb ON sb.doc = c.doc_b
+                        WHERE list_sum(list_transform(generate_series(1, 32),
+                                i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) / 32.0 >= 0.5),
+            nwithin AS (SELECT e.doc_id, e.text FROM nexact e
+                        LEFT JOIN nlosers l ON e.doc_id = l.doc_b WHERE l.doc_b IS NULL),
+            cfp AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                    FROM corp),
+            ex AS (SELECT w.doc_id, w.text FROM nwithin w
+                   LEFT JOIN cfp ON md5(lower(regexp_replace(trim(w.text), '\s+', ' ', 'g'))) = cfp.fp
+                   WHERE cfp.fp IS NULL),
+            esig AS (SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
+                     JOIN ex ON s.doc = ex.doc_id),
+            csig AS (SELECT s.doc, s.sig FROM read_parquet('{p_sig}') s
+                     JOIN corp ON s.doc = corp.doc_id),
+            ebands AS (SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+                       FROM esig, unnest(generate_series(0, 7)) AS t(band)),
+            cbands AS (SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+                       FROM csig, unnest(generate_series(0, 7)) AS t(band)),
+            xcand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                      FROM ebands a JOIN cbands b ON a.band = b.band AND a.bs = b.bs),
+            xlosers AS (SELECT DISTINCT c.doc_a FROM xcand c
+                        JOIN esig sa ON sa.doc = c.doc_a JOIN csig sb ON sb.doc = c.doc_b
+                        WHERE list_sum(list_transform(generate_series(1, 32),
+                                i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) / 32.0 >= 0.5)
+            SELECT ex.doc_id FROM ex
+            LEFT JOIN xlosers l ON ex.doc_id = l.doc_a WHERE l.doc_a IS NULL
+            UNION ALL
+            SELECT doc_id FROM newd WHERE text IS NULL
             ORDER BY doc_id
         """,
         "dedup_corpus_clusters": f"""

@@ -4,10 +4,11 @@ from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch
 from .seen_table import BloomTable, CuckooTable, open_seen_table
 from .semantic import semdedup
 from .substring import substring_dedup_clean, substring_dedup_stats
-from .text_corpus import curate_corpus, dedup_corpus
+from .text_corpus import curate_corpus, dedup_against_corpus, dedup_corpus
 
 __all__ = [
     "curate_corpus",
+    "dedup_against_corpus",
     "dedup_corpus",
     "semdedup",
     "substring_dedup_clean",

@@ -259,3 +259,70 @@ def curate_corpus(
             id_col,
         )
     return out
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    dedup_within: bool = True,
+) -> DataFrame:
+    """Incremental-ingestion dedup: survivors of a NEW batch that
+    duplicate neither each other nor the EXISTING corpus — how a
+    production corpus actually grows (each crawl round's documents are
+    deduped against everything already ingested, the text twin of the
+    URL frontier's seen-set anti-join J5).
+
+    Three passes, all narrow:
+
+    1. within-batch :func:`dedup_corpus` (skippable via
+       ``dedup_within=False`` when the batch is pre-deduped);
+    2. exact cross: anti-join on the content fingerprint against the
+       corpus's DISTINCT fingerprint set (16-byte keys — at 10^10 docs
+       this is the persisted fingerprint table, not a recompute);
+    3. near cross: MinHash signatures for both sides,
+       :func:`~..functions.similarity.lsh_cross_candidates` band
+       equi-join (within-set pairs never emitted), signature Jaccard
+       ``>= threshold`` drops the NEW doc.
+
+    Requires globally unique ids across both inputs (true of any real
+    ingest pipeline; the Jaccard verify joins a union signature
+    table). NULL-text new docs pass through (no content to compare).
+    The corpus side is taken as-is — deduping IT is a separate
+    :func:`dedup_corpus` run, not this operator's job."""
+    from ..functions.similarity import lsh_cross_candidates
+
+    base = (
+        dedup_corpus(
+            new_df, id_col, text_col,
+            threshold=threshold, n_hashes=n_hashes, bands=bands, k=k,
+        )
+        if dedup_within
+        else new_df
+    )
+    no_text = base.filter(F.col(text_col).isNull())
+    cand = base.filter(F.col(text_col).isNotNull())
+    corpus_live = corpus_df.filter(F.col(text_col).isNotNull())
+    corpus_fp = corpus_live.select(fingerprint(F.col(text_col)).alias("_fp")).distinct()
+    ex = (
+        cand.withColumn("_fp", fingerprint(F.col(text_col)))
+        .join(corpus_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+    sig_new = minhash_signature(ex, id_col, text_col, n_hashes=n_hashes, k=k).persist()
+    sig_old = minhash_signature(corpus_live, id_col, text_col, n_hashes=n_hashes, k=k)
+    pairs = lsh_cross_candidates(sig_new, sig_old, n_hashes=n_hashes, bands=bands)
+    near = minhash_jaccard_estimate(
+        sig_new.unionByName(sig_old), pairs, n_hashes=n_hashes
+    ).filter(F.col("jaccard_est") >= threshold)
+    losers = near.select(F.col("doc_a").alias("_loser")).distinct().persist()
+    losers.count()  # materialize narrow loser ids, then free the signatures
+    sig_new.unpersist()
+    return ex.join(losers, ex[id_col] == losers["_loser"], "left_anti").unionByName(
+        no_text
+    )

@@ -111,6 +111,21 @@ def lsh_candidate_pairs(
     re-execute the (expensive) signature subtree once per band. Callers
     should persist ``sig`` if they also verify candidates against it.
     """
+    bands_df = _band_table(sig, n_hashes, bands)
+    left = bands_df.select(F.col("doc").alias("doc_a"), "band", "bh")
+    right = bands_df.select(F.col("doc").alias("doc_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _band_table(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bh) LSH band rows — one explode pass, xxhash64 of
+    the band's signature slice (shared by the within-set and cross-set
+    candidate generators)."""
     r = n_hashes // bands
     band_structs = [
         F.struct(
@@ -121,17 +136,27 @@ def lsh_candidate_pairs(
         )
         for bi in range(bands)
     ]
-    bands_df = sig.select(
+    return sig.select(
         "doc", F.explode(F.array(*band_structs)).alias("_b")
     ).select("doc", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
-    left = bands_df.select(F.col("doc").alias("doc_a"), "band", "bh")
-    right = bands_df.select(F.col("doc").alias("doc_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+
+
+def lsh_cross_candidates(
+    sig_a: DataFrame, sig_b: DataFrame, n_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Cross-set LSH candidates: (doc_a from ``sig_a``, doc_b from
+    ``sig_b``) sharing any band — the incremental-ingestion shape
+    (new batch vs existing corpus) where within-set pairs are
+    deliberately NOT emitted. Same banded equi-join scale contract as
+    :func:`lsh_candidate_pairs`: never all-pairs, candidates bounded
+    by band-bucket occupancy."""
+    ba = _band_table(sig_a, n_hashes, bands).select(
+        F.col("doc").alias("doc_a"), "band", "bh"
     )
+    bb = _band_table(sig_b, n_hashes, bands).select(
+        F.col("doc").alias("doc_b"), "band", "bh"
+    )
+    return ba.join(bb, ["band", "bh"]).select("doc_a", "doc_b").distinct()
 
 
 def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame, n_hashes: int = 32) -> DataFrame:

@@ -181,3 +181,61 @@ def test_curate_corpus_requires_balance_col(spark):
     df = _funnel_corpus(spark)
     with pytest.raises(ValueError, match="balance_col"):
         curate_corpus(df, sample_target=5)
+
+
+# --- dedup_against_corpus: incremental ingestion ----------------------------
+
+
+def test_dedup_against_corpus_planted(spark):
+    from scrapy_products_tracker_spark.dedup import dedup_against_corpus
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely " * 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, base),                             # exact copy of corpus 1
+            (101, base + " extra"),                  # near copy of corpus 1 (LSH cross)
+            (102, "unique new content here " * 12),  # genuinely new
+            (103, "unique new content here " * 12),  # within-batch exact dup of 102
+            (104, None),                             # NULL text passes through
+            (105, "TOK0 " + base[5:]),               # case variant: normalized exact
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup_against_corpus(new, corpus, threshold=0.5).collect()
+    )
+    assert got == [102, 104]
+
+
+def test_dedup_against_corpus_never_drops_corpus_side(spark):
+    """The operator returns only NEW-side survivors and never emits or
+    mutates corpus rows (the corpus is read-only context)."""
+    from scrapy_products_tracker_spark.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} " * 20) for i in range(5)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"fresh doc {i} " * 20) for i in range(4)], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in dedup_against_corpus(new, corpus).collect())
+    assert got == [100, 101, 102, 103]
+
+
+def test_dedup_against_corpus_prededuped_batch(spark):
+    """dedup_within=False trusts the batch: an internal dup pair
+    survives (only cross-corpus dups are dropped)."""
+    from scrapy_products_tracker_spark.dedup import dedup_against_corpus
+
+    t = "some repeated batch text " * 15
+    corpus = spark.createDataFrame([(1, "other corpus text " * 15)], "doc_id long, text string")
+    new = spark.createDataFrame([(10, t), (11, t)], "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(new, corpus, dedup_within=False).collect()
+    )
+    assert got == [10, 11]
