@@ -1220,6 +1220,48 @@ def q_image_dedup_survivors(spark, sf):
     )
 
 
+def q_image_dedup_incremental(spark, sf):
+    """Incremental image ingestion (imaging/neardup.
+    image_dedup_against_corpus): corpus = the T1 payload images; new
+    batch = per corpus image an exact byte copy (~x), a <=2-bit phash
+    near-dup (~v) and a far variant (~n, phash XOR 0xFFFF = dist 16).
+    Within-batch near-dup kills ~x (dist 2 from ~v, higher id), cross
+    passes kill ~v (near the corpus original); only ~n rows survive.
+    Oracle: pure-Python md5/xxhash64 fixture + all-pairs bit_count
+    replays of all four passes."""
+    from scrapy_products_tracker_spark.imaging.neardup import (
+        image_dedup_against_corpus,
+    )
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select(
+        "image_id", "bytes", "phash"
+    )
+    flip = lambda expr: F.expr(f"shiftleft(1L, cast(pmod(xxhash64({expr}), 64) as int))")
+    exact_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~x")).alias("image_id"), "bytes", "phash"
+    )
+    near_dup = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.concat(F.col("bytes"), F.lit(b"v")).alias("bytes"),
+        F.col("phash")
+        .bitwiseXOR(flip("image_id"))
+        .bitwiseXOR(flip("concat(image_id, 'b')"))
+        .alias("phash"),
+    )
+    far = base.select(
+        F.concat(F.col("image_id"), F.lit("~n")).alias("image_id"),
+        F.concat(F.col("bytes"), F.lit(b"nn")).alias("bytes"),
+        F.col("phash").bitwiseXOR(F.lit(65535)).alias("phash"),
+    )
+    new = exact_dup.unionByName(near_dup).unionByName(far)
+    return (
+        image_dedup_against_corpus(new, base, threshold=7)
+        .select("image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_image_dedup_best_caption(spark, sf):
     """Cluster-exact image dedup with a LAION-style keeper policy
     (imaging/neardup.image_dedup_survivors(prefer=...)): within each
@@ -1983,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
+        "image_dedup_incremental": q_image_dedup_incremental,
         "image_dedup_best_caption": q_image_dedup_best_caption,
         "image_header_integrity": q_image_header_integrity,
         "phash_payload_audit": q_phash_audit,
@@ -2069,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         ):
             out = f"replace({out}, '{ent}', '{rep}')"
         return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+    p_inc = OB.build_incremental_image_inputs()
     p_bpe = OB.build_bpe_merges()
     p_bseg = OB.build_bpe_segments()
     p_ao, p_ab = OB.build_adaptive_inputs()
@@ -3334,6 +3378,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id FROM newd WHERE text IS NULL
             ORDER BY doc_id
+        """,
+        "image_dedup_incremental": f"""
+            WITH corp AS (SELECT image_id, fp, phash
+                          FROM read_parquet('{p_inc}') WHERE NOT is_new),
+            newd AS (SELECT image_id, fp, phash
+                     FROM read_parquet('{p_inc}') WHERE is_new),
+            nex AS (SELECT image_id, fp, phash FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY image_id) AS rn
+                      FROM newd) WHERE rn = 1),
+            nlosers AS (SELECT DISTINCT b.image_id FROM nex a JOIN nex b
+                        ON a.image_id < b.image_id
+                        AND bit_count(xor(a.phash, b.phash)) <= 7),
+            nwithin AS (SELECT * FROM nex
+                        WHERE image_id NOT IN (SELECT image_id FROM nlosers)),
+            ex AS (SELECT * FROM nwithin WHERE fp NOT IN (SELECT fp FROM corp)),
+            xlosers AS (SELECT DISTINCT n.image_id FROM ex n JOIN corp c
+                        ON bit_count(xor(n.phash, c.phash)) <= 7)
+            SELECT image_id FROM ex
+            WHERE image_id NOT IN (SELECT image_id FROM xlosers)
+            ORDER BY image_id
         """,
         "dedup_corpus_clusters": f"""
             WITH RECURSIVE sig AS (

@@ -226,3 +226,76 @@ def image_caption_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def image_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    threshold: int = 7,
+    n_bands: int = 8,
+    dedup_within: bool = True,
+) -> DataFrame:
+    """Incremental image ingestion dedup — the image twin of
+    ``dedup/text_corpus.dedup_against_corpus``: survivors of a NEW
+    image batch that duplicate neither each other nor the EXISTING
+    corpus, by exact byte identity (md5 anti-join) then perceptual
+    near-identity (cross-set banded phash Hamming, pigeonhole-EXACT
+    for ``threshold <= n_bands - 1``; within-set pairs never emitted).
+
+    NULL-``bytes`` rows pass through (nothing to compare — same
+    contract as :func:`image_dedup_survivors`); a NULL phash skips
+    only the perceptual pass. The corpus side is read-only context:
+    dedup IT with :func:`image_dedup_survivors` separately.
+
+    Scale shape: md5/band keys are computed at the scan, so payload
+    bytes never enter an exchange; the exact pass anti-joins 16-byte
+    keys, the perceptual pass is the same (band, bits) equi-join as
+    :func:`phash_neardup_pairs` — a 10^10-image corpus never sees a
+    cartesian product."""
+    if threshold > n_bands - 1:
+        raise ValueError(
+            f"threshold={threshold} breaks the pigeonhole exactness bound "
+            f"for n_bands={n_bands}; raise n_bands or lower threshold"
+        )
+    base = (
+        image_dedup_survivors(
+            new_df, id_col=id_col, bytes_col=bytes_col, phash_col=phash_col,
+            threshold=threshold, n_bands=n_bands,
+        )
+        if dedup_within
+        else new_df
+    )
+    no_bytes = base.filter(F.col(bytes_col).isNull())
+    cand = base.filter(F.col(bytes_col).isNotNull())
+    corpus_live = corpus_df.filter(F.col(bytes_col).isNotNull())
+    corpus_md5 = corpus_live.select(F.md5(F.col(bytes_col)).alias("_k")).distinct()
+    ex = (
+        cand.withColumn("_k", F.md5(F.col(bytes_col)))
+        .join(corpus_md5, "_k", "left_anti")
+        .drop("_k")
+    )
+
+    def _bands(df, idc):
+        return df.filter(F.col(phash_col).isNotNull()).select(
+            F.col(id_col).alias(idc),
+            F.col(phash_col).alias(f"_ph_{idc}"),
+            F.posexplode(
+                F.array(*phash_band_cols(F.col(phash_col), n_bands))
+            ).alias("band", "bv"),
+        )
+
+    nb = _bands(ex, "id_new")
+    cb = _bands(corpus_live, "id_old")
+    losers = (
+        nb.join(cb, ["band", "bv"])
+        .withColumn("dist", hamming64(F.col("_ph_id_new"), F.col("_ph_id_old")))
+        .filter(F.col("dist") <= threshold)
+        .select(F.col("id_new").alias("_loser"))
+        .distinct()
+    )
+    return ex.join(losers, ex[id_col] == losers["_loser"], "left_anti").unionByName(
+        no_bytes
+    )

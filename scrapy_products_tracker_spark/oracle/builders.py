@@ -1339,3 +1339,59 @@ def build_bpe_segments(sf_dir: str = CORRECTNESS_SF, n_merges: int = 10) -> str:
         [("id", pa.int64()), ("n_bpe_tokens", pa.int64()), ("toks_fp", pa.string())]
     )
     return _write(pd.DataFrame(rows), "bpe_segments.parquet", schema)
+
+
+def build_incremental_image_inputs() -> str:
+    """(image_id, fp, phash, is_new) table for the incremental image
+    dedup oracle: corpus = the T1 payload images as-is; new batch = per
+    corpus image an exact byte copy (``~x``), a <=2-bit phash
+    near-duplicate with distinct bytes (``~v``, same xxhash64-pinned
+    flips as build_image_dedup_inputs), and a far variant (``~n`` —
+    bytes + b'nn', phash XOR 0xFFFF = Hamming 16 from its source).
+    ``fp`` is the pure-Python md5 of the variant's bytes."""
+    import hashlib
+
+    import pyarrow as pa
+
+    world, _ = _sim_world()
+    rows = []
+    for image_id, data, ph in zip(
+        world.image_caption["image_id"],
+        world.image_caption["bytes"],
+        world.image_caption["phash"],
+    ):
+        ph = int(ph)
+        data = bytes(data)
+        rows.append((image_id, hashlib.md5(data).hexdigest(), ph, False))
+        rows.append((image_id + "~x", hashlib.md5(data).hexdigest(), ph, True))
+        b1 = xxhash64_str(image_id) % 64
+        b2 = xxhash64_str(image_id + "b") % 64
+        rows.append(
+            (
+                image_id + "~v",
+                hashlib.md5(data + b"v").hexdigest(),
+                _signed64((ph & _MASK64) ^ (1 << b1) ^ (1 << b2)),
+                True,
+            )
+        )
+        rows.append(
+            (
+                image_id + "~n",
+                hashlib.md5(data + b"nn").hexdigest(),
+                _signed64((ph & _MASK64) ^ 0xFFFF),
+                True,
+            )
+        )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fp", pa.string()),
+            ("phash", pa.int64()),
+            ("is_new", pa.bool_()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "fp", "phash", "is_new"]),
+        "incremental_image_inputs.parquet",
+        schema,
+    )

@@ -129,3 +129,53 @@ def test_image_caption_dedup_caption_star_not_quadratic(spark):
     df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
     out = image_caption_dedup(df, threshold=2).collect()
     assert [r["image_id"] for r in out] == ["x00"]
+
+
+# --- image_dedup_against_corpus: incremental ingestion -----------------------
+
+
+def test_image_dedup_against_corpus_planted(spark):
+    from scrapy_products_tracker_spark.imaging.neardup import (
+        image_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", b"imgbytes-one", 0), ("c2", b"imgbytes-two", 1 << 40)],
+        "image_id string, bytes binary, phash long",
+    )
+    new = spark.createDataFrame(
+        [
+            ("n1", b"imgbytes-one", 0),          # exact byte copy of c1
+            ("n2", b"imgbytes-one-x", 3),        # dist 2 from c1 -> cross near
+            ("n3", b"fresh-bytes", 0xFFFF << 24),# far from both -> survives
+            ("n4", b"fresh-bytes", 0xFFFF << 24),# within-batch exact dup of n3
+            ("n5", None, 5),                     # NULL bytes pass through
+        ],
+        "image_id string, bytes binary, phash long",
+    )
+    got = sorted(
+        r["image_id"]
+        for r in image_dedup_against_corpus(new, corpus, threshold=7).collect()
+    )
+    assert got == ["n3", "n5"]
+
+
+def test_image_dedup_against_corpus_null_phash_survives_perceptual(spark):
+    """A new row with bytes but NULL phash can only be dropped by the
+    exact pass, never the perceptual one."""
+    from scrapy_products_tracker_spark.imaging.neardup import (
+        image_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", b"aa", 0)], "image_id string, bytes binary, phash long"
+    )
+    new = spark.createDataFrame(
+        [("n1", b"bb", None), ("n2", b"aa", None)],
+        "image_id string, bytes binary, phash long",
+    )
+    got = sorted(
+        r["image_id"]
+        for r in image_dedup_against_corpus(new, corpus, threshold=7).collect()
+    )
+    assert got == ["n1"]  # n2 killed by exact bytes; n1 immune to phash pass
