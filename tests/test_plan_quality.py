@@ -232,3 +232,56 @@ def test_wds_write_single_python_group_stage(spark, t1_paths):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "ArrowEvalPython" not in plan
+
+
+def test_cross_set_lsh_candidates_equi_join_only(spark):
+    """Incremental text dedup's cross-set candidate generator joins on
+    (band, bh) — never a cartesian/BNLJ pair enumeration."""
+    from scrapy_products_tracker_spark.functions.similarity import (
+        lsh_cross_candidates,
+        minhash_signature,
+    )
+
+    d = entry._t(spark, SF, "documents")
+    sa = minhash_signature(d.filter("doc_id < 50"), "doc_id", "text")
+    sb = minhash_signature(d.filter("doc_id >= 450"), "doc_id", "text")
+    plan = _formatted_plan(lsh_cross_candidates(sa, sb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_cross_dedup_equi_join_only(spark):
+    """Incremental image dedup: both the exact anti-join and the
+    cross-set banded phash join are equi-joins; payload bytes never
+    shuffle (md5/band keys computed at the scan)."""
+    from scrapy_products_tracker_spark.imaging.neardup import (
+        image_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", b"aa", 0)], "image_id string, bytes binary, phash long"
+    )
+    new = spark.createDataFrame(
+        [("n1", b"bb", 1)], "image_id string, bytes binary, phash long"
+    )
+    plan = _formatted_plan(
+        image_dedup_against_corpus(new, corpus, dedup_within=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_focused_boost_no_cartesian(spark):
+    """Focused priority boost: one target-keyed aggregate + one url
+    equi-join back onto the frontier."""
+    from scrapy_products_tracker_spark.functions.graph import focused_priority_boost
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p", '<a href="https://t.com/x">cat</a>')],
+        "url string, body string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://t.com/x", 1)], "url string, priority int"
+    )
+    plan = _formatted_plan(focused_priority_boost(frontier, pages, ["cat"]))
+    assert "CartesianProduct" not in plan
