@@ -41,6 +41,7 @@ exchange.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,9 +61,32 @@ WARC_RECORD_SCHEMA = (
 
 _CRLF = b"\r\n"
 
+# WARC headers are CRLF-framed: a CR/LF (or any C0 control byte) smuggled
+# into a frontier URL by a hostile page (link_edges' href class admits
+# them) would let the page inject arbitrary header lines into the record.
+# Percent-encode control bytes so the header block stays attacker-free
+# AND the URL still roundtrips uniquely through the member index.
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+_WARC_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z$")
+_FALLBACK_DATE = "1970-01-01T00:00:00Z"
+
+
+def _safe_header_url(url: str) -> str:
+    return _CTRL_RE.sub(lambda m: "%%%02X" % ord(m.group(0)), url)
+
+
+def _safe_header_date(date: str) -> str:
+    return date if _WARC_DATE_RE.match(date) else _FALLBACK_DATE
+
 
 def _response_record(url: str, status: int, body: bytes, date: str) -> tuple[bytes, str]:
-    """One WARC/1.0 response record (bytes, payload sha1-hex)."""
+    """One WARC/1.0 response record (bytes, payload sha1-hex).
+
+    ``url`` is sanitized (control bytes percent-encoded) and ``date``
+    validated (strict ISO-8601 Z form, else a fixed epoch constant) so
+    no input row can inject header lines into the CRLF-framed block."""
+    url = _safe_header_url(url)
+    date = _safe_header_date(date)
     digest = hashlib.sha1(body).hexdigest()
     rec_id = hashlib.sha1(url.encode("utf-8") + b"\x00" + body).hexdigest()
     http = (
@@ -132,10 +156,11 @@ def write_warc_shards(
         data_bytes = 0
         for url, status, body in zip(pdf["_wurl"], pdf["_wstatus"], pdf["_wbody"]):
             b = bytes(body) if body is not None else b""
-            rec, digest = _response_record(str(url), int(status), b, date)
+            safe_url = _safe_header_url(str(url))
+            rec, digest = _response_record(safe_url, int(status), b, date)
             members.append(
                 {
-                    "url": str(url),
+                    "url": safe_url,
                     "offset": offset,
                     "length": len(rec),
                     "digest": digest,

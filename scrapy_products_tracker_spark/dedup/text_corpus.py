@@ -314,8 +314,12 @@ def dedup_against_corpus(
         .join(corpus_fp, "_fp", "left_anti")
         .drop("_fp")
     )
+    # Persist BOTH signature sides: each feeds two consumers (the band
+    # candidate join and the Jaccard verify union), and the corpus side
+    # is the expensive subtree at 10^10 docs — without the persist it
+    # would be shingled+hashed twice.
     sig_new = minhash_signature(ex, id_col, text_col, n_hashes=n_hashes, k=k).persist()
-    sig_old = minhash_signature(corpus_live, id_col, text_col, n_hashes=n_hashes, k=k)
+    sig_old = minhash_signature(corpus_live, id_col, text_col, n_hashes=n_hashes, k=k).persist()
     pairs = lsh_cross_candidates(sig_new, sig_old, n_hashes=n_hashes, bands=bands)
     near = minhash_jaccard_estimate(
         sig_new.unionByName(sig_old), pairs, n_hashes=n_hashes
@@ -323,6 +327,13 @@ def dedup_against_corpus(
     losers = near.select(F.col("doc_a").alias("_loser")).distinct().persist()
     losers.count()  # materialize narrow loser ids, then free the signatures
     sig_new.unpersist()
+    sig_old.unpersist()
+    # `losers` stays persisted until the survivors DataFrame is
+    # materialized by the caller: it is a narrow (8-byte id) set sized
+    # by the duplicate count, and releasing it here would recompute the
+    # whole signature pipeline on first action. Callers that loop over
+    # many ingest rounds should checkpoint/write the survivors and then
+    # spark.catalog.clearCache() (the funnel entrypoints do).
     return ex.join(losers, ex[id_col] == losers["_loser"], "left_anti").unionByName(
         no_text
     )

@@ -151,6 +151,8 @@ def focused_priority_boost(
     bodies never pass the explode."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    if boost_milli < 0:
+        raise ValueError("boost_milli must be >= 0 (boost, not demotion)")
     import re as _re
 
     from .html import link_edges
@@ -169,16 +171,22 @@ def focused_priority_boost(
     for i in range(len(terms)):
         c = F.coalesce(F.col(f"_h{i}"), F.lit(0))
         n_hits = c if n_hits is None else n_hits + c
+    # Collision-proof names + bound Column objects: the caller's
+    # frontier may legitimately carry `n_term_hits`/`target` columns
+    # (e.g. re-running the boost on an already-boosted frontier), and a
+    # bare-name F.expr would then fail analysis as ambiguous.
     scored = hits.select(
-        "target", n_hits.cast("long").alias("n_term_hits")
+        F.col("target").alias("_fb_target"),
+        n_hits.cast("long").alias("_fb_hits"),
     )
     out = frontier.join(
-        scored, frontier[url_col] == scored["target"], "left"
+        scored, frontier[url_col] == scored["_fb_target"], "left"
     )
-    nh = F.coalesce(F.col("n_term_hits"), F.lit(0)).cast("long")
-    boost = F.expr(f"div({int(boost_milli)} * coalesce(n_term_hits, 0), {len(terms)})").cast(
-        "long"
-    )
+    nh = F.coalesce(scored["_fb_hits"], F.lit(0)).cast("long")
+    # Integer div on nonneg operands: floor == SQL div (n_term_hits and
+    # boost_milli are >= 0; values are tiny so the double round-trip in
+    # floor() is exact).
+    boost = F.floor((F.lit(int(boost_milli)) * nh) / F.lit(len(terms))).cast("long")
     return out.select(
         frontier[url_col].alias("url"),
         F.col(priority_col).cast("long").alias("priority"),

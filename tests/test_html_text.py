@@ -159,3 +159,30 @@ def test_focused_priority_boost_validates(spark):
     df = spark.createDataFrame([("u", 1)], "url string, priority int")
     with pytest.raises(ValueError):
         focused_priority_boost(df, df.withColumnRenamed("priority", "body"), [])
+    with pytest.raises(ValueError):
+        focused_priority_boost(
+            df, df.withColumnRenamed("priority", "body"), ["cat"], boost_milli=-1
+        )
+
+
+def test_focused_priority_boost_rerun_on_boosted_frontier(spark):
+    """Frontier already carrying n_term_hits (e.g. a prior boost's
+    output fed back in) must not trip an ambiguous-column analysis
+    error — the join-side hits column is bound, not name-resolved."""
+    from scrapy_products_tracker_spark.functions.graph import focused_priority_boost
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p", '<a href="https://t.com/x">cat</a>')],
+        "url string, body string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://t.com/x", 100, 9), ("https://t.com/y", 10, 9)],
+        "url string, priority int, n_term_hits int",
+    )
+    got = {
+        r["url"]: (r["n_term_hits"], r["boosted_priority"])
+        for r in focused_priority_boost(frontier, pages, ["cat"]).collect()
+    }
+    # hits come from THIS run's backlinks, not the stale input column
+    assert got["https://t.com/x"] == (1, 1100)
+    assert got["https://t.com/y"] == (0, 10)

@@ -103,3 +103,37 @@ def test_warcinfo_record_leads_and_is_skipped(spark):
     assert len(recs) == len(ROWS) + 1
     # reader yields only responses
     assert read_warc_shards(shards).count() == len(ROWS)
+
+
+def test_header_injection_neutralized(spark):
+    """A hostile frontier URL carrying CR/LF must not inject header
+    lines into the CRLF-framed record: control bytes are percent-
+    encoded in both the header block and the member index, the record
+    still parses, and no attacker-chosen header appears."""
+    evil = "https://a.test/x\r\nWARC-Date: 1999-01-01T00:00:00Z\r\nX-Evil: 1"
+    df = spark.createDataFrame(
+        [(evil, 200, b"payload")], "url string, status_code int, body binary"
+    )
+    shards = write_warc_shards(df, budget_bytes=10**9)
+    row = shards.collect()[0]
+    recs = [r for r in _parse_warc(bytes(row["warc_bytes"]))
+            if r["headers"]["warc-type"] == "response"]
+    assert len(recs) == 1
+    h = recs[0]["headers"]
+    assert "x-evil" not in h
+    assert h["warc-date"] == "2026-01-01T00:00:00Z"  # caller's date, not injected
+    safe = "https://a.test/x%0D%0AWARC-Date: 1999-01-01T00:00:00Z%0D%0AX-Evil: 1"
+    assert h["warc-target-uri"] == safe
+    # member index carries the SAME sanitized url -> roundtrip consistent
+    assert row["members"][0]["url"] == safe
+    back = read_warc_shards(shards).collect()[0]
+    assert back["url"] == safe and back["digest_ok"] == 1
+
+
+def test_bad_caller_date_falls_back(spark):
+    df = spark.createDataFrame(
+        [("https://a.test/1", 200, b"x")], "url string, status_code int, body binary"
+    )
+    shards = write_warc_shards(df, budget_bytes=10**9, date="evil\r\nX-Evil: 1")
+    rec = read_warc_shards(shards).collect()[0]
+    assert rec["warc_date"] == "1970-01-01T00:00:00Z" and rec["digest_ok"] == 1
