@@ -1,10 +1,19 @@
 """Local replica of the driver's correctness gate: run each
 __spark_entry__ query on Spark and its oracle on DuckDB over the same
 sf dir, compare row count + order-insensitive values (columns sorted
-by name). Usage: python tools/check_oracles.py [sf_dir] [names...]"""
+by name). Usage: python tools/check_oracles.py [sf_dir] [names...]
+
+Every full run also writes ``ORACLES_LAST.log`` at the repo root
+(override with ``ORACLES_LOG=path``): one line per query plus a
+summary header with git HEAD and the sf dir — committed per round so
+the FULL registry's green gate is recorded builder-side even when the
+driver's CORRECTNESS file samples a prefix (VERDICT r03 #2).
+"""
 
 from __future__ import annotations
 
+import os
+import subprocess
 import sys
 import time
 
@@ -42,6 +51,13 @@ def main():
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     fails = 0
+    lines: list[str] = []
+
+    def emit(line: str) -> None:
+        print(line)
+        lines.append(line)
+
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -49,34 +65,57 @@ def main():
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as e:
-            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            emit(f"FAIL {name}: spark error {str(e)[:200]}")
             fails += 1
             continue
         if name not in os_:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            emit(f"ROWS-ONLY {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
             ddf = con.sql(os_[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            emit(f"FAIL {name}: duckdb error {str(e)[:200]}")
             fails += 1
             continue
         a, b = normalize(sdf), normalize(ddf)
         if len(a) != len(b):
-            print(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
+            emit(f"FAIL {name}: rowcount {len(a)} vs {len(b)}")
             fails += 1
         elif list(a.columns) != list(b.columns):
-            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            emit(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
             fails += 1
         elif not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             bad = neq.any(axis=1)
-            print(f"FAIL {name}: {int(bad.sum())} differing rows; first:")
+            emit(f"FAIL {name}: {int(bad.sum())} differing rows; first:")
             print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duck"]))
             fails += 1
         else:
-            print(f"OK   {name}: {len(a)} rows  ({time.time()-t0:.1f}s)")
+            emit(f"OK   {name}: {len(a)} rows  ({time.time()-t0:.1f}s)")
     spark.stop()
+
+    n_run = len(lines)
+    n_ok = sum(1 for l in lines if l.startswith("OK"))
+    n_rows_only = sum(1 for l in lines if l.startswith("ROWS-ONLY"))
+    summary = (
+        f"SUMMARY: {n_ok} OK, {fails} FAIL, {n_rows_only} ROWS-ONLY"
+        f" of {n_run} run ({len(qs)} registered)  [{time.time()-t_start:.0f}s total]"
+    )
+    print(summary)
+    if not only:  # full-registry runs are the committable artifact
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except OSError:
+            head = "?"
+        log_path = os.environ.get("ORACLES_LOG", "ORACLES_LAST.log")
+        with open(log_path, "w") as f:
+            f.write(f"# oracle gate: sf_dir={sf} git={head} "
+                    f"date={time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}\n")
+            f.write(summary + "\n")
+            f.write("\n".join(lines) + "\n")
     sys.exit(1 if fails else 0)
 
 
