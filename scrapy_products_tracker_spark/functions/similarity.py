@@ -498,6 +498,28 @@ def kmeans_refine(
     return cents, final
 
 
+def _centroid_df(
+    centroids, corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Resolve the coarse quantizer for the IVF probe paths: ``None``
+    -> the deterministic lowest-id seed (oracle-stable default); a dict
+    ``{cell_id: [floats]}`` (what :func:`kmeans_refine` returns) or a
+    ``(cell_id, cvec)`` DataFrame -> used as-is. Either way the table
+    is tiny by the ivf_assign contract (n_cells x dim doubles)."""
+    if centroids is None:
+        return ivf_centroids_first(corpus, n_cells, id_col, vec_col)
+    if isinstance(centroids, dict):
+        if not centroids:
+            raise ValueError("empty centroid dict")
+        return corpus.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())],
+            "cell_id bigint, cvec array<double>",
+        )
+    return centroids.select(
+        F.col("cell_id"), F.col("cvec").cast("array<double>").alias("cvec")
+    )
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     query_vec: list[float],
@@ -506,6 +528,7 @@ def ann_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the query's ``n_probe`` nearest
     cells, brute-force inside them — the classic inverted-file ANN
@@ -514,15 +537,20 @@ def ann_topk_ivf(
     data-adaptive cells, LSH by data-oblivious hyperplanes. Scales as
     ~n_probe/n_cells of the corpus scored per query.
 
+    ``centroids`` plugs a TRAINED quantizer into the probe path — pass
+    :func:`kmeans_refine`'s centroid dict (or any ``(cell_id, cvec)``
+    DataFrame); ``n_cells`` is then ignored. Default stays the
+    deterministic lowest-id seed set.
+
     Plan shape: cell assignment is the row-local ``_ivf_cell_expr``
     fold (no self-join of the corpus on id, no window — zero Exchange),
     the probe set is a broadcast semi-side, and the tail is
-    TakeOrderedAndProject."""
-    centroids = ivf_centroids_first(corpus, n_cells, id_col, vec_col)
-    rows = centroids.select("cell_id", "cvec").collect()
+    TakeOrderedAndProject — unchanged whichever quantizer is passed."""
+    cdf = _centroid_df(centroids, corpus, n_cells, id_col, vec_col)
+    rows = cdf.collect()
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     probed = (
-        centroids.select(
+        cdf.select(
             "cell_id", F.round(cosine_sim(F.col("cvec"), q), 6).alias("_qc")
         )
         .orderBy(F.desc("_qc"), "cell_id")
@@ -734,6 +762,7 @@ def ann_topk_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    centroids=None,
 ) -> DataFrame:
     """IVF + PQ composed — the FAISS-IVFPQ shape, THE public structure
     for 10^10-vector search: the coarse quantizer prunes the corpus to
@@ -743,12 +772,14 @@ def ann_topk_ivfpq(
     the corpus and reads codes, not vectors. Coarse stage is cosine
     (matching ann_topk_ivf), fine stage is quantized L2 (matching
     pq_ann_topk) — each reuses its already-oracled building block, and
-    the composition itself is oracled end-to-end (pq_ivf_ann_topk)."""
-    centroids = ivf_centroids_first(corpus, n_cells, id_col, vec_col)
-    rows = centroids.select("cell_id", "cvec").collect()
+    the composition itself is oracled end-to-end (pq_ivf_ann_topk).
+    ``centroids`` accepts a trained coarse quantizer exactly like
+    :func:`ann_topk_ivf` (kmeans_refine dict or (cell_id, cvec) DF)."""
+    cdf = _centroid_df(centroids, corpus, n_cells, id_col, vec_col)
+    rows = cdf.collect()
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     probed = (
-        centroids.select(
+        cdf.select(
             "cell_id", F.round(cosine_sim(F.col("cvec"), q), 6).alias("_qc")
         )
         .orderBy(F.desc("_qc"), "cell_id")

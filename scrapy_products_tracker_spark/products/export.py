@@ -133,6 +133,38 @@ def write_csv(df: DataFrame, out_path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(out_path)
 
 
+def _chunk_assignments(
+    unsent: DataFrame, chunk: int, prefix_len: int = 24
+) -> DataFrame:
+    """``(url, chunk_id)`` via a two-phase distributed rank — the same
+    prefix-sum shape as ``imaging.dataset.pack_shards``, counting rows
+    instead of bytes.
+
+    Range key: ``substring(url, 1, prefix_len)``. A string's order is
+    consistent with its prefix's order (UTF-8 binary == code-point
+    order), so ordering by (prefix, url) == ordering by url, and the
+    global rank decomposes into per-prefix local ranks plus a running
+    offset computed on the TINY one-row-per-prefix table. No window
+    ever sees the full data in one partition; at 10^8 unsent rows the
+    only single-partition step is the offsets window over ~|distinct
+    prefixes| rows (url prefixes carry scheme+host, so real frontiers
+    have thousands of ranges)."""
+    from pyspark.sql import Window
+
+    base = unsent.select(F.substring("url", 1, prefix_len).alias("_rng"), "url")
+    totals = base.groupBy("_rng").agg(F.count(F.lit(1)).alias("_n"))
+    w_ranges = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rng", F.coalesce(F.sum("_n").over(w_ranges), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_rng").orderBy("url")
+    return (
+        base.join(F.broadcast(offsets), "_rng")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(w_in) - 1)
+        .select("url", F.expr(f"div(_rank, {int(chunk)})").cast("int").alias("chunk_id"))
+    )
+
+
 def run_incremental_export(
     spark: SparkSession, store, out_dir: str, chunk: int = 1000
 ) -> int:
@@ -142,13 +174,13 @@ def run_incremental_export(
     write / ``UPDATE`` per chunk (base_csv_exporter.py:42-117); at 10^8
     unsent rows that is O(n²/chunk) scan work and O(n/chunk) snapshot
     commits. Here chunk membership is assigned in one pass — a
-    row_number over the deterministic url order, computed on the NARROW
-    (url) projection and joined back on the UNIQUE url key — every
-    chunk file is written by ONE distributed job
+    two-phase distributed rank over the deterministic url order
+    (:func:`_chunk_assignments`: per-url-prefix local rank + broadcast
+    running offsets; no single-partition window touches the full data),
+    computed on the NARROW (url) projection and joined back on the
+    UNIQUE url key — every chunk file is written by ONE distributed job
     (``partitionBy(chunk_id)``), and the sent-markers commit in ONE
-    MERGE. (The global row_number is the one single-partition step; it
-    carries only url strings. The at-10^8 production swap is a
-    range-partitioned two-phase rank — chunk semantics unchanged.)
+    MERGE.
 
     Exactly-once across completed runs is unchanged: re-running exports
     nothing. The crash window widens from one chunk to one run — the
@@ -161,17 +193,12 @@ def run_incremental_export(
     re-export)."""
     import os
 
-    from pyspark.sql import Window
-
     targets = store.read_products(spark)
     if targets is None:
         return 0
     run_dir = os.path.join(out_dir, f"run_{store.latest_version() or 0}")
     unsent = targets.filter(F.col("sent_to_customer").isNull())
-    w = Window.orderBy("url")  # deterministic chunk membership (UNIQUE url key)
-    chunk_map = unsent.select("url").withColumn(
-        "chunk_id", ((F.row_number().over(w) - 1) / F.lit(chunk)).cast("int")
-    )
+    chunk_map = _chunk_assignments(unsent, chunk)
     chunked = unsent.join(chunk_map, "url").persist()
     max_chunk = chunked.agg(F.max("chunk_id").alias("m")).first()["m"]
     if max_chunk is None:

@@ -285,3 +285,13 @@ def test_focused_boost_no_cartesian(spark):
     )
     plan = _formatted_plan(focused_priority_boost(frontier, pages, ["cat"]))
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_trained_plan_shape(spark):
+    """Trained quantizer plugged into the probe path must not change
+    the plan shape: assignment stays the row-local literal fold (no
+    join for it), probe set broadcast, top-k TakeOrderedAndProject."""
+    plan = _formatted_plan(entry.q_ivf_trained_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

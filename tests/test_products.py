@@ -227,3 +227,51 @@ def test_expire_snapshots_keeps_live_bucketized_tables(spark, crawled):
 
     kept = sorted(g.glob(str(store.root / "snapshots" / "v*.json")))
     assert len(kept) == 2
+
+
+# --- two-phase chunk rank (VERDICT r03 #3) -----------------------------------
+
+
+def test_chunk_assignments_equal_global_rank(spark):
+    """Two-phase rank == the naive global row_number rank, including
+    prefix-collision groups and urls shorter than the prefix."""
+    from pyspark.sql import Window
+
+    from scrapy_products_tracker_spark.products.export import _chunk_assignments
+
+    urls = (
+        [f"https://d{i % 7}.example.com/p/{i:04d}" for i in range(173)]
+        + ["https://z", "https://z/a", "a", "ab"]  # short + shared-prefix edges
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(8)
+    got = {
+        r["url"]: r["chunk_id"]
+        for r in _chunk_assignments(df, chunk=40, prefix_len=24).collect()
+    }
+    want = {
+        r["url"]: (r["rn"] - 1) // 40
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("url"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_chunk_assignments_plan_no_full_data_single_partition(spark):
+    """The row_number window over the data must be partitioned by the
+    url-prefix range key; the offsets join must broadcast. The only
+    permitted single-partition exchange feeds the TINY per-prefix
+    offsets window (its input is an aggregate, not the base rows)."""
+    import re
+
+    from scrapy_products_tracker_spark.products.export import _chunk_assignments
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("https://d"), (F.col("id") % 13).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url")
+    )
+    plan = _chunk_assignments(df, chunk=100)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # every row_number window is range-partitioned (never global)
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "_rng" in m.group(0), m.group(0)

@@ -336,3 +336,69 @@ def test_ivfpq_probe_all_equals_pq(spark):
     pruned = ann_topk_ivfpq(df, q, cb, k=8, n_cells=4, n_probe=1).collect()
     adcs = [r["adc_units"] for r in pruned]
     assert adcs == sorted(adcs) and 0 < len(pruned) <= 8
+
+
+def test_ivf_trained_centroids_probe_matches_numpy(vectors):
+    """Trained-quantizer probe path: ann_topk_ivf(centroids=dict from
+    kmeans_refine) must equal a from-scratch numpy Lloyd's (2 iters,
+    round-6 per iteration) + probe + brute-force inside probed cells."""
+    from scrapy_products_tracker_spark.functions.similarity import kmeans_refine
+
+    df, vecs = vectors
+    corpus = df.filter(F.col("vec_id") > 0)
+    q = vecs[0]
+
+    # numpy replica of kmeans_refine(n_cells=8, iters=2)
+    cents = {c: vecs[c].copy() for c in range(1, 9)}
+    for _ in range(2):
+        assign = {
+            vid: -max((round(_np_cos(vecs[vid], cents[c]), 6), -c) for c in cents)[1]
+            for vid in range(1, 120)
+        }
+        for c in cents:
+            members = [vecs[v] for v, cc in assign.items() if cc == c]
+            if members:
+                cents[c] = np.round(np.mean(members, axis=0), 6)
+    got_cents, _ = kmeans_refine(corpus, n_cells=8, iters=2)
+    for c in cents:
+        assert np.allclose(got_cents[c], cents[c], atol=1e-9), f"cell {c}"
+
+    assign = {
+        vid: -max((round(_np_cos(vecs[vid], cents[c]), 6), -c) for c in cents)[1]
+        for vid in range(1, 120)
+    }
+    probed = [
+        -c for _, c in sorted(
+            ((round(_np_cos(q, cents[c]), 6), -c) for c in cents), reverse=True
+        )[:3]
+    ]
+    cand = [v for v, c in assign.items() if c in probed]
+    want = sorted(
+        ((round(_np_cos(vecs[v], q), 6), -v) for v in cand), reverse=True
+    )[:5]
+    want = [(-nv, s) for s, nv in want]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_ivf(
+            corpus, q.tolist(), k=5, n_probe=3, centroids=got_cents
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_trained_centroids_df_equals_dict(vectors):
+    """centroids= accepts either kmeans_refine's dict or a
+    (cell_id, cvec) DataFrame — identical results."""
+    from scrapy_products_tracker_spark.functions.similarity import kmeans_refine
+
+    df, vecs = vectors
+    corpus = df.filter(F.col("vec_id") > 0)
+    cents, _ = kmeans_refine(corpus, n_cells=8, iters=1)
+    cdf = corpus.sparkSession.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in cents.items()],
+        "cell_id long, cvec array<double>",
+    )
+    q = vecs[0].tolist()
+    a = [(r["vec_id"], r["cosine"]) for r in ann_topk_ivf(corpus, q, k=5, n_probe=3, centroids=cents).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in ann_topk_ivf(corpus, q, k=5, n_probe=3, centroids=cdf).collect()]
+    assert a == b
