@@ -135,6 +135,14 @@ class CrawlConfig:
     # threshold ~= target bucket row count (e.g. 10^7).
     auto_rebucket_pending: int | None = None
     auto_rebucket_max_buckets: int = 1 << 20
+    # robots freshness (P5 at 10^10 scale: politeness inputs must not
+    # go stale over a weeks-long crawl). Every N rounds the driver
+    # re-fetches robots.txt bodies through its robots_bodies_source
+    # seam, re-parses the cache, and re-tags claimable frontier rows
+    # against the NEW rules (PENDING <-> SKIPPED_ROBOTS both ways).
+    # None = static cache for the whole session (parity default — the
+    # fixtures pin static robots).
+    robots_max_age_rounds: int | None = None
     extra_meta: dict = field(default_factory=dict)
 
 
@@ -148,6 +156,8 @@ class CrawlDriver:
         robots: DataFrame,
         config: CrawlConfig | None = None,
         endpoints: DataFrame | None = None,
+        robots_bodies_source=None,
+        fetch_fn=None,
     ):
         self.spark = spark
         self.store = store
@@ -157,6 +167,23 @@ class CrawlDriver:
         # F3 chained sub-endpoint responses (url, endpoint, payload);
         # None = no chained domains in this world
         self.endpoints = endpoints
+        # robots freshness seam: callable (spark, round_no) ->
+        # (domain, body) DataFrame of freshly fetched robots.txt bodies
+        # — in production this is the tier-0 robots.txt fetch through
+        # the same fetch stack as pages; required when
+        # cfg.robots_max_age_rounds is set
+        self.robots_bodies_source = robots_bodies_source
+        # round of the last robots fetch (the initial cache counts as
+        # round 0); a resumed driver re-fetches on its first stale
+        # round, which is idempotent
+        self._robots_round = 0
+        # fetch seam: callable (claimed DataFrame, round_no) -> fx
+        # DataFrame with the resolve+classify contract (claimed columns
+        # + page envelope + eff_status/outcome, attempt rewritten).
+        # None = resolve against the synthetic pages table; the
+        # real-socket fetcher is fetchers.http.fetch_http. With a
+        # fetch_fn, `pages` may be None — the driver never reads it.
+        self.fetch_fn = fetch_fn
         self.cfg = config or CrawlConfig()
         # robots is static for a session: derive the scalar phase-1
         # budget cap once (ONE one-row agg). No per-domain driver state:
@@ -273,6 +300,141 @@ class CrawlDriver:
         )
 
     # ------------------------------------------------------------------
+    def refresh_robots(self, bodies: DataFrame) -> dict:
+        """P5 freshness: re-parse freshly fetched robots.txt bodies,
+        swap the in-session cache, and re-tag claimable frontier rows
+        (PENDING <-> SKIPPED_ROBOTS, both directions) so a rule flip
+        changes scheduling from the next claim on.
+
+        Merge semantics: rule columns (prefixes / regexes / crawl-delay
+        / sitemaps / the full RFC 9309 rule list) come from the FRESH
+        parse for every re-fetched domain; operational columns
+        (``max_per_round`` — which carries AIMD adaptive-budget state —
+        and the ``site`` parser key) stay from the old table, so a
+        robots re-fetch never resets adaptive budgets or parser
+        routing. Domains absent from the fresh fetch keep their old
+        rules (their TTL has not expired at the fetch layer); brand-new
+        domains enter with the parse defaults.
+
+        Why a full-frontier rewrite and not the dirty-bucket delta:
+        frontier buckets key on url_hash, so one flipped domain's rows
+        spread uniformly over ALL buckets — a delta would dirty every
+        bucket anyway AND broadcast an unbounded update set (a
+        mega-domain flipping = millions of rows on the broadcast side
+        of merge_status_updates). The map-shaped rewrite touches each
+        row exactly once (broadcast join against the tiny robots table,
+        no shuffle beyond the bucket-partitioned write), costs
+        O(frontier) per refresh, and amortizes over
+        ``cfg.robots_max_age_rounds`` rounds of crawling. When nothing
+        flips, no snapshot is committed at all — the cache swap is
+        driver-side only.
+
+        Reference analog: none (``ROBOTSTXT_OBEY`` is never set —
+        SURVEY §2.5 P5); this is the north rule's robots cache kept
+        current over a weeks-long 10^10-URL crawl.
+        """
+        from ..politeness.robots import robots_from_bodies
+
+        manifest = self.store.read_manifest()
+        if manifest is None:
+            raise RuntimeError("seed() first")
+        fresh = robots_from_bodies(bodies)
+        old = self.robots
+        rules_t = "array<struct<pat:string,rx:string,spec:int,allow:boolean>>"
+        for c, t in (
+            ("disallow_regexes", "array<string>"),
+            ("site", "string"),
+            ("sitemap_urls", "array<string>"),
+            ("rules", rules_t),
+        ):
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(t))
+        rule_cols = (
+            "disallow_prefixes",
+            "disallow_regexes",
+            "crawl_delay_ms",
+            "sitemap_urls",
+            "rules",
+        )
+        keep_cols = ("max_per_round", "site")
+        extra = [
+            c
+            for c in old.columns
+            if c != "domain" and c not in rule_cols and c not in keep_cols
+        ]
+        f = fresh.select(
+            "domain", *[F.col(c).alias(f"_f_{c}") for c in (*rule_cols, *keep_cols)]
+        )
+        merged = old.join(f, "domain", "full_outer").select(
+            "domain",
+            *[F.coalesce(F.col(f"_f_{c}"), F.col(c)).alias(c) for c in rule_cols],
+            *[F.coalesce(F.col(c), F.col(f"_f_{c}")).alias(c) for c in keep_cols],
+            *extra,
+        )
+        # tiny (one row per domain) table: checkpoint so repeated
+        # refreshes never grow the broadcast side's plan (the same
+        # iterative-plan discipline as the AIMD step)
+        self.robots = merged.localCheckpoint()
+        self._max_budget = max_effective_budget(self.robots, self.cfg.round_ms)
+
+        # re-tag claimable rows against the NEW rules; terminal rows
+        # (SUCCESS/ERROR/...) are history and never change status
+        fr = self.store.read_frontier(self.spark)
+        claimable = F.col("status").isin(PENDING, SKIPPED_ROBOTS)
+        marked = mark_robots(fr, self.robots)
+        retagged = marked.withColumn(
+            "_new_status",
+            F.when(~claimable, F.col("status"))
+            .when(F.col("_robots_blocked"), F.lit(SKIPPED_ROBOTS))
+            .otherwise(F.lit(PENDING)),
+        ).drop("_robots_blocked")
+        B = self.store.frontier_n_buckets() or self.store.n_frontier_buckets
+        rows = (
+            retagged.groupBy(frontier_bucket_col(F.col("url_hash"), B).alias("fb"))
+            .agg(
+                F.sum((F.col("_new_status") == PENDING).cast("long")).alias("n_pend"),
+                F.sum(
+                    (
+                        (F.col("status") == PENDING)
+                        & (F.col("_new_status") == SKIPPED_ROBOTS)
+                    ).cast("long")
+                ).alias("n_skip"),
+                F.sum(
+                    (
+                        (F.col("status") == SKIPPED_ROBOTS)
+                        & (F.col("_new_status") == PENDING)
+                    ).cast("long")
+                ).alias("n_unskip"),
+            )
+            .collect()
+        )
+        n_to_skip = int(sum(r["n_skip"] or 0 for r in rows))
+        n_to_pend = int(sum(r["n_unskip"] or 0 for r in rows))
+        info = {"flipped_to_skipped": n_to_skip, "flipped_to_pending": n_to_pend}
+        if n_to_skip == 0 and n_to_pend == 0:
+            return info  # rules unchanged for every claimable row
+
+        new_fr = retagged.withColumn("status", F.col("_new_status")).drop("_new_status")
+        counters = dict(manifest["meta"]["counters"])
+        counters["urls_skipped_robots"] = max(
+            0, counters["urls_skipped_robots"] + n_to_skip - n_to_pend
+        )
+        self.store.commit(
+            new_fr,
+            meta={
+                "counters": counters,
+                # exact recount — the flip supersedes the incremental hint
+                "pending_hint": int(sum(r["n_pend"] or 0 for r in rows)),
+                "pending_per_bucket": {
+                    str(r["fb"]): int(r["n_pend"] or 0) for r in rows
+                },
+                "robots_refresh": info,
+            },
+            expected_version=manifest["version"],
+        )
+        return info
+
+    # ------------------------------------------------------------------
     def run_round(self) -> dict | None:
         """Execute one scheduling round; returns round meta, or None when
         no claimable work remains (frontier drained).
@@ -290,6 +452,18 @@ class CrawlDriver:
         if manifest is None:
             raise RuntimeError("seed() first")
         round_no = manifest["meta"]["round"] + 1
+        # robots freshness (P5): when the cache is older than max-age,
+        # re-fetch bodies through the source seam, re-parse, and re-tag
+        # claimable rows BEFORE this round claims anything — the flip
+        # changes scheduling from this round on
+        if (
+            self.cfg.robots_max_age_rounds
+            and self.robots_bodies_source is not None
+            and round_no - self._robots_round >= self.cfg.robots_max_age_rounds
+        ):
+            self.refresh_robots(self.robots_bodies_source(self.spark, round_no))
+            self._robots_round = round_no
+            manifest = self.store.read_manifest()  # refresh may have committed
         counters = dict(manifest["meta"]["counters"])
         seen = self.store.read_seen(self.spark)
 
@@ -337,10 +511,13 @@ class CrawlDriver:
         # inline_retries resolves transient failures inside the fetch
         # call (fetch-layer retry, see classify_fetch) — no RETRY rows,
         # no near-empty retry-tail rounds.
-        resolved = resolve_pages(claimed, self.pages)
-        if self.cfg.simulate_latency_scale > 0:
-            resolved = with_simulated_latency(resolved, self.cfg.simulate_latency_scale)
-        fx = classify_fetch(resolved, inline_retries=self.cfg.inline_retries).persist()
+        if self.fetch_fn is not None:
+            fx = self.fetch_fn(claimed, round_no).persist()
+        else:
+            resolved = resolve_pages(claimed, self.pages)
+            if self.cfg.simulate_latency_scale > 0:
+                resolved = with_simulated_latency(resolved, self.cfg.simulate_latency_scale)
+            fx = classify_fetch(resolved, inline_retries=self.cfg.inline_retries).persist()
         cached: list[DataFrame] = [fx]
 
         # --- frontier expansion (F1-F5) --------------------------------

@@ -1,0 +1,186 @@
+"""Real-socket HTTP fetcher (S7/X1-X3 over sockets).
+
+The synthetic fetcher fakes the network at the downloader boundary —
+exactly like the reference's own tests (tests/rmq_new_tests/
+conftest.py:15-17 cans every response). This module is the production
+half of that pluggable seam: the SAME ``mapInPandas`` shape doing real
+HTTP with ``urllib.request`` inside the Arrow batch, one connection
+per executor slot working through its share of the claimed batch (the
+reference holds 16 concurrent connections per spider process,
+settings.py:40).
+
+Retry semantics mirror the reference's retry middleware
+(middlewares/retry_middleware.py:29-38, RETRY_TIMES budget) in the
+fetch-layer model (``classify_fetch(inline_retries=True)``): 403 and
+network-level failures (timeout / refused / reset — the Tunnel class)
+retry INSIDE the fetch call up to ``max_attempts``; everything else is
+terminal on first response. Outcome classes and the ``attempt``
+bookkeeping are bit-identical to the synthetic classifier, which is
+what lets the loopback parity test (tests/test_http_fetch.py) pin the
+whole crawl byte-for-byte against the table-resolved run.
+
+Scale notes: the kernel is Arrow-batched (no row-at-a-time Python
+UDFs in the plan); each batch row costs one-or-more blocking socket
+round-trips, so fetch parallelism == executor cores == concurrent
+connections — throughput scales with cores exactly like a fetch-bound
+crawl scales with connections (the N -> 4N scaling bench's model).
+Per-request proxy columns (``proxy`` / ``proxy_authorization``,
+fetchers/proxy.py T1/T2) are honored when present.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..schemas import MAX_ATTEMPTS
+from .synthetic import FAIL_HW, FAIL_LOGIC, OK
+
+_PAGE_FIELDS = [
+    T.StructField("status_code", T.IntegerType()),
+    T.StructField("flaky_until", T.IntegerType()),
+    T.StructField("next_url", T.StringType()),
+    T.StructField("total_items", T.IntegerType()),
+    T.StructField("outlinks", T.ArrayType(T.StringType())),
+    T.StructField("image_id", T.StringType()),
+    T.StructField("latency_ms", T.IntegerType()),
+    T.StructField("category", T.StringType()),
+    T.StructField("body", T.StringType()),
+    T.StructField("eff_status", T.IntegerType()),
+    T.StructField("outcome", T.StringType()),
+]
+
+
+def _rewrite(url: str, base_url: str | None) -> str:
+    """Map the canonical public URL onto a loopback base:
+    https://{host}{path}?{q} -> {base_url}/{host}{path}?{q}.
+    ``base_url=None`` fetches the URL as-is (production)."""
+    if not base_url:
+        return url
+    p = urlsplit(url)
+    out = f"{base_url}/{p.netloc}{p.path or '/'}"
+    if p.query:
+        out += f"?{p.query}"
+    return out
+
+
+def fetch_http(
+    claimed: DataFrame,
+    *,
+    base_url: str | None = None,
+    timeout_s: float = 10.0,
+    max_attempts: int = MAX_ATTEMPTS,
+    user_agent: str = "sparkbot",
+) -> DataFrame:
+    """Claimed batch -> fetched + classified rows over real sockets.
+
+    Output schema = claimed columns + the page envelope columns +
+    ``eff_status``/``outcome``, with ``attempt`` rewritten to the
+    attempts actually consumed — the same contract as
+    ``resolve_pages`` |> ``classify_fetch(inline_retries=True)``, so
+    the crawl driver's downstream (expansion, extraction, stats,
+    status state machine) is fetcher-agnostic.
+    """
+    out_fields = [f for f in claimed.schema.fields] + [
+        f for f in _PAGE_FIELDS if f.name not in claimed.columns
+    ]
+    schema = T.StructType(out_fields)
+    claimed_cols = list(claimed.columns)
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import urllib.error
+        import urllib.request
+
+        def _one(url: str, attempt0: int, proxy: str | None, proxy_auth: str | None):
+            target = _rewrite(url, base_url)
+            handlers = []
+            if proxy:
+                # strip embedded credentials (they ride the explicit
+                # Proxy-Authorization header, like the reference's
+                # middleware) so urllib doesn't double-handle them
+                bare = proxy.split("://", 1)
+                host = bare[1].split("@", 1)[-1] if len(bare) == 2 else proxy
+                scheme = bare[0] if len(bare) == 2 else "http"
+                handlers.append(
+                    urllib.request.ProxyHandler(
+                        {"http": f"{scheme}://{host}", "https": f"{scheme}://{host}"}
+                    )
+                )
+            opener = urllib.request.build_opener(*handlers)
+            eff, env = -1, {}
+            tries = 0
+            while tries < max_attempts:
+                tries += 1
+                req = urllib.request.Request(target, headers={"User-Agent": user_agent})
+                if proxy_auth:
+                    req.add_header("Proxy-Authorization", proxy_auth)
+                try:
+                    with opener.open(req, timeout=timeout_s) as resp:
+                        eff = int(resp.status)
+                        raw = resp.read()
+                    if eff == 200:
+                        try:
+                            env = json.loads(raw.decode("utf-8"))
+                        except Exception:
+                            env = {}  # malformed body: fetched but empty (X6)
+                except urllib.error.HTTPError as e:
+                    eff = int(e.code)
+                except Exception:
+                    eff = -1  # timeout / refused / reset: hardware class
+                if eff == 200:
+                    break
+                if eff not in (403, -1):
+                    break  # non-retryable logic error: terminal first response
+            # attempt bookkeeping == classify_fetch(inline_retries=True)
+            if eff == 200:
+                outcome, attempt = OK, max(attempt0, tries - 1)
+            elif eff == -1:
+                outcome, attempt = FAIL_HW, max_attempts - 1
+            elif eff == 403:
+                outcome, attempt = FAIL_LOGIC, max_attempts - 1
+            else:
+                outcome, attempt = FAIL_LOGIC, attempt0
+            return eff, outcome, attempt, env
+
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict[str, list] = {f.name: [] for f in _PAGE_FIELDS}
+            attempts = []
+            proxies = pdf["proxy"] if "proxy" in pdf.columns else [None] * n
+            auths = (
+                pdf["proxy_authorization"]
+                if "proxy_authorization" in pdf.columns
+                else [None] * n
+            )
+            for url, attempt0, proxy, auth in zip(pdf["url"], pdf["attempt"], proxies, auths):
+                eff, outcome, attempt, env = _one(
+                    str(url),
+                    int(attempt0),
+                    None if proxy is None or (isinstance(proxy, float) and pd.isna(proxy)) else str(proxy),
+                    None if auth is None or (isinstance(auth, float) and pd.isna(auth)) else str(auth),
+                )
+                attempts.append(attempt)
+                cols["status_code"].append(eff if eff != -1 else None)
+                cols["flaky_until"].append(None)  # server-side state, unknown here
+                cols["eff_status"].append(eff)
+                cols["outcome"].append(outcome)
+                for k in ("next_url", "image_id", "category", "body"):
+                    cols[k].append(env.get(k))
+                for k in ("total_items", "latency_ms"):
+                    v = env.get(k)
+                    cols[k].append(None if v is None else int(v))
+                ol = env.get("outlinks")
+                cols["outlinks"].append(list(ol) if ol else [])
+            out = {c: pdf[c] for c in claimed_cols}
+            out["attempt"] = pd.Series(attempts, dtype="object")
+            for f in _PAGE_FIELDS:
+                if f.name not in claimed_cols:
+                    out[f.name] = pd.Series(cols[f.name], dtype="object")
+            yield pd.DataFrame(out)
+
+    return claimed.mapInPandas(_kernel, schema)

@@ -67,6 +67,7 @@ def export_training_shards(
     transitive: bool = False,
     range_col: str | None = None,
     version: int | None = None,
+    incremental: bool = False,
 ) -> DataFrame:
     """Export the store's crawled image+caption rows as curated
     WebDataset tar shards under ``out_dir``; returns the shard
@@ -75,9 +76,41 @@ def export_training_shards(
     Deterministic end to end: the same store version produces
     byte-identical shards (curate/pack/write are all id-ordered and
     partitioning-invariant — pinned by the wds roundtrip tests), so a
-    re-export is a safe retry."""
+    re-export is a safe retry.
+
+    ``incremental=True`` (VERDICT r03 #8): publish a DELTA against
+    what this ``out_dir`` already holds instead of re-exporting the
+    full curated set. The export keeps its own bookkeeping under
+    ``out_dir/_published`` (member image_ids) and ``out_dir/_manifest``
+    (shard manifest rows); a delta run anti-joins the store's rows
+    against the published ids, drops exact/perceptual duplicates of
+    the ALREADY-PUBLISHED corpus (:func:`~.neardup.
+    image_dedup_against_corpus` — the cross-set incremental dedup, so
+    a re-crawl of a known image never re-ships it), curates only the
+    survivors, and numbers new shards after the highest published id —
+    previously delivered tar files are never rewritten. A delta with
+    nothing new publishes nothing. The first incremental run (no
+    bookkeeping yet) behaves like a full export and seeds the
+    bookkeeping. At 10^10 scale the anti-join is an id-keyed
+    equi-join and the cross-set pass is the banded-phash equi-join —
+    payload bytes still never shuffle except into the tar sink."""
     res = store.read_results(spark, version=version)
     rows = res.filter(F.col("decode_ok") & F.col("bytes").isNotNull())
+    pub_dir = os.path.join(out_dir, "_published")
+    man_dir = os.path.join(out_dir, "_manifest")
+    prior = incremental and os.path.isdir(man_dir)
+    base_shard = 0
+    if prior:
+        from .neardup import image_dedup_against_corpus
+
+        published = spark.read.parquet(pub_dir).select("image_id").distinct()
+        base_shard = (
+            int(spark.read.parquet(man_dir).agg(F.max("shard_id")).first()[0] or -1)
+            + 1
+        )
+        corpus = rows.join(published, "image_id", "leftsemi")
+        fresh = rows.join(published, "image_id", "left_anti")
+        rows = image_dedup_against_corpus(fresh, corpus, threshold=neardup_threshold)
     if phash_neardup:
         from .neardup import image_dedup_survivors
 
@@ -99,6 +132,12 @@ def export_training_shards(
         budget_bytes,
         range_col=range_col,
     )
+    if base_shard:
+        # delta shards number after the highest published shard: the
+        # already-delivered tar files are immutable
+        shards = shards.withColumn(
+            "shard_id", (F.col("shard_id") + F.lit(base_shard)).cast("long")
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batches):
@@ -137,4 +176,13 @@ def export_training_shards(
     # materialize so the side-effecting writes happen exactly once,
     # then hand back the tiny manifest
     out = manifest.collect()
-    return spark.createDataFrame(out, MANIFEST_SCHEMA)
+    man_df = spark.createDataFrame(out, MANIFEST_SCHEMA)
+    # publish bookkeeping AFTER the shard files land (crash before this
+    # point = clean retry: the next delta recomputes the same shards
+    # and atomically overwrites the same files). Full runs overwrite
+    # the bookkeeping; delta runs append to it. distinct() on read
+    # makes a duplicated append (crash between the two writes) benign.
+    mode = "append" if prior else "overwrite"
+    curated.select("image_id").write.mode(mode).parquet(pub_dir)
+    man_df.write.mode(mode).parquet(man_dir)
+    return man_df

@@ -1,0 +1,186 @@
+"""Real-socket fetch seam (VERDICT r03 next-round #4): a crawl through
+``fetchers.http.fetch_http`` against a loopback ``WorldHTTPServer``
+must equal the table-resolved synthetic crawl byte-for-byte, and the
+X1-X3 outcome classes + the RETRY_TIMES budget must hold over real
+sockets (reference: middlewares/retry_middleware.py:29-38)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+from scrapy_products_tracker_spark.fetchers.http import fetch_http
+from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+from scrapy_products_tracker_spark.politeness import load_robots
+from scrapy_products_tracker_spark.schemas import MAX_ATTEMPTS
+from scrapy_products_tracker_spark.synth import WorldHTTPServer
+
+CHUNK = 50
+
+
+def _run(spark, t1_paths, store, fetch_fn=None, with_pages=True):
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(t1_paths["pages"]) if with_pages else None,
+        spark.read.parquet(t1_paths["image_caption"]),
+        load_robots(spark, t1_paths["robots"]),
+        # inline_retries: the fetch-layer retry model both fetchers share
+        CrawlConfig(chunk_size=CHUNK, inline_retries=True),
+        fetch_fn=fetch_fn,
+    )
+    drv.seed(spark.read.parquet(t1_paths["seeds"]))
+    return drv.run()
+
+
+@pytest.fixture(scope="module")
+def parity(spark, t1_world, t1_paths, tmp_path_factory):
+    s_syn = SnapshotParquetStore(str(tmp_path_factory.mktemp("syn")))
+    m_syn = _run(spark, t1_paths, s_syn)
+    srv = WorldHTTPServer(t1_world.pages)
+    base = srv.start()
+    s_http = SnapshotParquetStore(str(tmp_path_factory.mktemp("http")))
+    m_http = _run(
+        spark,
+        t1_paths,
+        s_http,
+        fetch_fn=lambda claimed, rnd: fetch_http(claimed, base_url=base, timeout_s=10),
+        with_pages=False,  # the http crawl must never peek at the table
+    )
+    srv.stop()
+    return s_syn, m_syn, s_http, m_http, srv
+
+
+def test_counters_equal(parity):
+    _, m_syn, _, m_http, _ = parity
+    assert m_http["counters"] == m_syn["counters"]
+    assert m_http["round"] == m_syn["round"]
+
+
+def test_crawl_order_equal(spark, parity):
+    s_syn, _, s_http, _, _ = parity
+
+    def order(store):
+        rows = store.read_crawl_order(spark).collect()
+        return sorted(
+            (r["round"], r["within_round_rank"], r["url"], r["domain"]) for r in rows
+        )
+
+    assert order(s_http) == order(s_syn)
+
+
+def test_frontier_equal(spark, parity):
+    s_syn, _, s_http, _, _ = parity
+
+    def snap(store):
+        return {
+            r["url"]: (
+                r["status"],
+                r["attempt"],
+                r["discovered_seq"],
+                r["tier"],
+                r["depth"],
+                r["source"],
+            )
+            for r in store.read_frontier(spark).collect()
+        }
+
+    assert snap(s_http) == snap(s_syn)
+
+
+def test_items_and_products_equal(spark, parity):
+    s_syn, _, s_http, _, _ = parity
+
+    def items(store):
+        rows = store.read_results(spark).collect()
+        return sorted(
+            (r["url"], r["round"], r["image_id"], bytes(r["bytes"]), r["caption"], r["position"])
+            for r in rows
+        )
+
+    assert items(s_http) == items(s_syn)
+
+    def products(store):
+        rows = store.read_products(spark).collect()
+        return sorted((r["url"], r["title"], r["brand"], r["category"]) for r in rows)
+
+    assert products(s_http) == products(s_syn)
+
+    def history(store):
+        rows = store.read_history(spark).collect()
+        return sorted(
+            (r["url"], r["round"], r["current_price_cents"], r["is_in_stock"])
+            for r in rows
+        )
+
+    assert history(s_http) == history(s_syn)
+
+
+def test_socket_outcome_classes_and_retry_budget(spark):
+    pages = pd.DataFrame(
+        [
+            {
+                "url": "https://x.test/ok",
+                "status_code": 200,
+                "flaky_until": 0,
+                "next_url": "https://x.test/ok?page=2",
+                "total_items": 7,
+                "outlinks": ["https://x.test/p/1", "https://x.test/p/2"],
+                "image_id": "img-1",
+                "latency_ms": 0,
+                "category": "/cat/0",
+                "body": "<html>detail</html>",
+            },
+            {"url": "https://x.test/flaky", "status_code": 403, "flaky_until": 2,
+             "next_url": None, "total_items": None, "outlinks": [], "image_id": None,
+             "latency_ms": 0, "category": None, "body": None},
+            {"url": "https://x.test/perma403", "status_code": 403, "flaky_until": 0,
+             "next_url": None, "total_items": None, "outlinks": [], "image_id": None,
+             "latency_ms": 0, "category": None, "body": None},
+            {"url": "https://x.test/gone", "status_code": 404, "flaky_until": 0,
+             "next_url": None, "total_items": None, "outlinks": [], "image_id": None,
+             "latency_ms": 0, "category": None, "body": None},
+            {"url": "https://x.test/slow", "status_code": 200, "flaky_until": 0,
+             "next_url": None, "total_items": None, "outlinks": [], "image_id": None,
+             "latency_ms": 3000, "category": None, "body": None},
+        ]
+    )
+    srv = WorldHTTPServer(pages, latency_scale=1.0)
+    base = srv.start()
+    urls = [
+        "https://x.test/ok",
+        "https://x.test/flaky",
+        "https://x.test/perma403",
+        "https://x.test/gone",
+        "https://x.test/missing",  # not served: connection aborted (X3)
+        "https://x.test/slow",  # served after 3 s: client times out (X3)
+    ]
+    claimed = spark.createDataFrame([(u, 0) for u in urls], "url string, attempt int")
+    out = {r["url"]: r for r in fetch_http(claimed, base_url=base, timeout_s=1.0).collect()}
+    srv.stop()
+
+    ok = out["https://x.test/ok"]
+    assert (ok["outcome"], ok["attempt"], ok["eff_status"]) == ("ok", 0, 200)
+    assert ok["body"] == "<html>detail</html>"
+    assert ok["outlinks"] == ["https://x.test/p/1", "https://x.test/p/2"]
+    assert (ok["next_url"], ok["total_items"], ok["image_id"]) == (
+        "https://x.test/ok?page=2", 7, "img-1",
+    )
+
+    flaky = out["https://x.test/flaky"]  # two real 403s, then 200 (X1)
+    assert (flaky["outcome"], flaky["attempt"]) == ("ok", 2)
+    assert srv.hits["https://x.test/flaky"] == 3
+
+    perma = out["https://x.test/perma403"]  # budget exhausted (X2)
+    assert (perma["outcome"], perma["attempt"]) == ("fail_logic", MAX_ATTEMPTS - 1)
+    assert srv.hits["https://x.test/perma403"] == MAX_ATTEMPTS
+
+    gone = out["https://x.test/gone"]  # non-retryable: one real 404
+    assert (gone["outcome"], gone["attempt"]) == ("fail_logic", 0)
+    assert srv.hits["https://x.test/gone"] == 1
+
+    missing = out["https://x.test/missing"]  # aborted connection (X3)
+    assert (missing["outcome"], missing["attempt"]) == ("fail_hw", MAX_ATTEMPTS - 1)
+
+    slow = out["https://x.test/slow"]  # real socket timeout (X3)
+    assert (slow["outcome"], slow["attempt"]) == ("fail_hw", MAX_ATTEMPTS - 1)

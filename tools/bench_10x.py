@@ -34,6 +34,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_10X.json"))
+    ap.add_argument(
+        "--big-scale",
+        type=int,
+        default=None,
+        help="extra curve point at N x BENCH categories (VERDICT r03 #6: "
+        "the biggest world the sandbox fits, ~50x ≈ 2.9M pages); skips "
+        "the 1x/10x points and appends bench_{N}x to an existing --out",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(args.cpus))
@@ -51,6 +59,30 @@ def main():
         app_name="bench10x", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.big_scale:
+        n = args.big_scale
+        spec = dataclasses.replace(
+            BENCH, cats_per_domain=24 * n, hot_domain_cats=600 * n
+        )
+        # chunk scales with the world so rounds stay claim-bound (same
+        # ratio as the 1x/10x points: 25k per BENCH-unit of categories)
+        big_n = bench.bench_crawl(spark, world_spec=spec, chunk_size=25_000 * n)
+        cur = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                cur = json.load(f)
+        cur[f"bench_{n}x"] = big_n
+        s = cur.setdefault("summary", {})
+        s[f"urls_per_s_{n}x"] = big_n["urls_per_s"]
+        s[f"commit_s_per_1k_urls_{n}x"] = round(
+            1000 * big_n["stage_s"]["commit_s"] / max(big_n["counters"]["urls_fetched"], 1), 3
+        )
+        with open(args.out, "w") as f:
+            json.dump(cur, f, indent=1)
+        print("WROTE " + args.out)
+        print(json.dumps({k: v for k, v in s.items() if f"_{n}x" in k}))
+        return
 
     base = bench.bench_crawl(spark, world_spec=BENCH)
     # chunk_size scales with the world (25k -> 250k) so the round
