@@ -168,8 +168,10 @@ def _cached_world(spec) -> dict[str, str]:
     return {n: os.path.join(cache, f"{n}.parquet") for n in names}
 
 
-def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
-    """Full crawl loop on the BENCH world; returns URLs/s and counters."""
+def bench_crawl(spark, world_spec=None, fetch_fn=None, **cfg_overrides) -> dict:
+    """Full crawl loop on the BENCH world; returns URLs/s and counters.
+    ``fetch_fn`` swaps the fetch seam (e.g. the real-socket fetcher for
+    tools/bench_http.py); None = in-process synthetic resolve."""
     from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
     from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
     from scrapy_products_tracker_spark.politeness import load_robots
@@ -189,6 +191,7 @@ def bench_crawl(spark, world_spec=None, **cfg_overrides) -> dict:
             spark.read.parquet(paths["image_caption"]),
             load_robots(spark, paths["robots"]),
             CrawlConfig(**cfg),
+            fetch_fn=fetch_fn,
         )
         drv.seed(spark.read.parquet(paths["seeds"]))
         t0 = time.monotonic()

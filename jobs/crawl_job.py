@@ -43,6 +43,20 @@ def main(argv=None):
     ap.add_argument("--inline-retries", action="store_true")
     ap.add_argument("--reencode-payload", action="store_true")
     ap.add_argument("--simulate-latency-scale", type=float, default=0.0)
+    ap.add_argument(
+        "--fetch-http",
+        metavar="BASE_URL",
+        default=None,
+        help="fetch over real sockets via fetchers.http.fetch_http; BASE_URL "
+        "rewrites https://{host}{path} under it ('direct' = fetch URLs as-is "
+        "— the production path)",
+    )
+    ap.add_argument(
+        "--serve-world",
+        action="store_true",
+        help="serve the world's pages table over a loopback WorldHTTPServer "
+        "and crawl through it over real sockets (implies --fetch-http)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -73,19 +87,41 @@ def main(argv=None):
         reencode_payload=args.reencode_payload,
         simulate_latency_scale=args.simulate_latency_scale,
     )
+    srv = None
+    fetch_fn = None
+    if args.serve_world:
+        import pandas as pd
+
+        from scrapy_products_tracker_spark.synth import WorldHTTPServer
+
+        srv = WorldHTTPServer(pd.read_parquet(f"{args.world}/pages.parquet"))
+        args.fetch_http = srv.start()
+    if args.fetch_http:
+        from scrapy_products_tracker_spark.fetchers.http import fetch_http
+
+        base = None if args.fetch_http == "direct" else args.fetch_http
+        fetch_fn = lambda claimed, rnd: fetch_http(claimed, base_url=base)  # noqa: E731
+
     drv = CrawlDriver(
         spark,
         store,
-        spark.read.parquet(f"{args.world}/pages.parquet"),
+        # with a socket fetcher the pages table is only the server's
+        # corpus, never the driver's — pass None to prove it
+        None if fetch_fn is not None else spark.read.parquet(f"{args.world}/pages.parquet"),
         spark.read.parquet(f"{args.world}/image_caption.parquet"),
         load_robots(spark, f"{args.world}/robots.parquet"),
         cfg,
+        fetch_fn=fetch_fn,
     )
     if store.latest_version() is None:
         drv.seed(spark.read.parquet(f"{args.world}/seeds.parquet"))
 
     t0 = time.monotonic()
-    meta = drv.run(max_rounds=args.max_rounds)
+    try:
+        meta = drv.run(max_rounds=args.max_rounds)
+    finally:
+        if srv is not None:
+            srv.stop()
     wall = time.monotonic() - t0
     c = meta["counters"]
     fetched = c["urls_fetched"] + c["urls_failed_hw"] + c["urls_failed_logic"]

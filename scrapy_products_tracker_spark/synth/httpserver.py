@@ -56,6 +56,10 @@ class WorldHTTPServer:
             self._rows[str(r["url"])] = d
         self.latency_scale = latency_scale
         self.hits: dict[str, int] = {}
+        # absolute-form request targets (RFC 9112 §3.2.2 — how a client
+        # speaks to an HTTP proxy): (canonical_url, Proxy-Authorization)
+        # per proxied request, so tests can pin T1/T2 over real sockets
+        self.proxied: list[tuple[str, str | None]] = []
         self._lock = threading.Lock()
         self._srv: ThreadingHTTPServer | None = None
 
@@ -99,12 +103,26 @@ class WorldHTTPServer:
 
     # -- request handling ----------------------------------------------
     def _canonical_url(self, path: str) -> str:
-        # /{domain}{path}?{query} -> https://{domain}{path}?{query}
+        # /{domain}{path}?{query} -> https://{domain}{path}?{query};
+        # absolute-form targets (a client talking to us as its HTTP
+        # proxy, RFC 9112 §3.2.2) strip their own scheme://netloc first
+        if path.startswith(("http://", "https://")):
+            from urllib.parse import urlsplit
+
+            p = urlsplit(path)
+            rest = (p.path or "/").lstrip("/")
+            out = f"https://{rest}"
+            if p.query:
+                out += f"?{p.query}"
+            return out
         rest = path.lstrip("/")
         return f"https://{rest}"
 
     def _handle(self, h: BaseHTTPRequestHandler):
         url = self._canonical_url(h.path)
+        if h.path.startswith(("http://", "https://")):
+            with self._lock:
+                self.proxied.append((url, h.headers.get("Proxy-Authorization")))
         row = self._rows.get(url)
         if row is None:
             # hardware class: abort without an HTTP response (the
