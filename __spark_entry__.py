@@ -1389,6 +1389,34 @@ def q_dsir_importance(spark, sf):
     return dsir_importance(d, F.col("lang") == "en", n_buckets=512).orderBy("id")
 
 
+def q_nb_classify(spark, sf):
+    """Multinomial Naive-Bayes language classifier
+    (functions/classify.py): train on the even-doc_id half of the
+    corpus with `lang` as the label (Laplace-smoothed hashed-unigram
+    model, 512 buckets, integer micro-nat log-weights), score EVERY
+    document, and report the arg-max class next to the true label —
+    the CCNet/GPT-3 quality-classifier idiom as one relational plan.
+    Oracle: reuses the pinned pure-Python token-bucket table
+    (builders.build_dsir_token_buckets); the histogram, smoothing,
+    priors, per-doc score sums and arg-max all happen in SQL."""
+    from scrapy_products_tracker_spark.functions.classify import nb_classify
+
+    d = _t(spark, sf, "documents")
+    scored = nb_classify(d, F.col("doc_id") % 2 == 0, "lang", n_buckets=512)
+    return (
+        scored.join(
+            d.select(
+                F.col("doc_id").alias("id"),
+                F.col("lang").alias("true_label"),
+                (F.col("doc_id") % 2 == 0).alias("is_train"),
+            ),
+            "id",
+        )
+        .select("id", "pred_label", "score_unats", "true_label", "is_train")
+        .orderBy("id")
+    )
+
+
 def q_image_header_integrity(spark, sf):
     """Metadata-vs-payload header audit (imaging/headers.
     header_integrity_flags): container sniff + fixed-offset IHDR dims
@@ -2066,6 +2094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_counts": q_corpus_split_counts,
         "pack_sequences_spans": q_pack_sequences,
         "dsir_importance_scores": q_dsir_importance,
+        "nb_lang_classify": q_nb_classify,
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,

@@ -1,0 +1,196 @@
+"""Distributed multinomial Naive-Bayes text classification.
+
+The cheap-linear-classifier idiom of CCNet / GPT-3-era data pipelines:
+train on a small labeled seed set (target-domain pages vs random crawl,
+or per-language samples), then score every document in the crawl to
+keep the ones that "look like" the target. The reference has no
+classifier (its quality gate is per-site extraction success,
+``spiders/*.py``); this is part of the training-data-pipeline family
+this engine adds on top.
+
+Design: everything is ``pyspark.sql.functions`` column algebra over
+hashed token buckets — no Python UDFs — so the op has an exact ANSI-SQL
+twin for the DuckDB oracle gate. All log-probabilities are fixed-pointed
+to integer micro-nats (``round(unit * ln(p))``, the same determinism
+trick as :func:`scrapy_products_tracker_spark.functions.text.dsir_importance`
+and the bigram LM): the log is taken ONCE per (class, bucket) cell on a
+tiny table, and every per-document score is an exact integer sum —
+order-independent, partitioning-independent, engine-independent.
+
+Scale shape (the 100 TB story):
+- training is ONE explode pass over the labeled set; the (class, bucket)
+  histogram aggregates with map-side partial combine; the model is a
+  DENSE ``n_classes x n_buckets`` table (512 buckets x a handful of
+  classes = KBs) — broadcast, never shuffled;
+- scoring is ONE explode pass over the corpus; each token instance
+  broadcast-joins the model (fan-out = n_classes, bounded by the label
+  cardinality the caller trained on), then ONE ``(doc, class)``-keyed
+  aggregation and ONE ``doc``-keyed arg-max — a plain ``min(struct)``
+  aggregation, not a global window;
+- no collect, no driver state, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = ["nb_train", "nb_score", "nb_classify"]
+
+
+def _bucket(tok: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(tok), F.lit(int(n_buckets))).cast("int")
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    unit: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial NB model on labeled documents.
+
+    Returns ``(weights, priors)``:
+
+    - ``weights``: ``(label, _b, w_unats)`` — DENSE over every trained
+      label x bucket 0..n_buckets-1, ``w_unats =
+      round(unit * ln((count(label, b) + 1) / (n_tokens(label) + n_buckets)))``
+      (Laplace-smoothed class-conditional token log-likelihood, integer
+      micro-nats). Dense so scoring needs no "unseen bucket" special
+      case: a bucket never observed for a class still carries its
+      smoothed weight.
+    - ``priors``: ``(label, prior_unats, n_docs)`` —
+      ``round(unit * ln(n_docs(label) / n_docs_total))``.
+
+    Both outputs are tiny (``n_classes x n_buckets`` and ``n_classes``
+    rows) and lazy — no driver action is taken here.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = df.sparkSession
+    lbl = F.col(label_col).alias("label")
+
+    classes = df.groupBy(lbl).agg(F.count("*").alias("n_docs"))
+    toks = df.select(
+        lbl, F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).select("label", _bucket(F.col("tok"), n_buckets).alias("_b"))
+    hist = toks.groupBy("label", "_b").agg(F.count("*").alias("_c"))
+    # per-class token totals; a class whose docs are all empty still
+    # needs a row (n = 0) so its smoothed weights exist
+    ntok = (
+        classes.select("label")
+        .join(hist.groupBy("label").agg(F.sum("_c").alias("_n")), "label", "left")
+        .select("label", F.coalesce("_n", F.lit(0)).alias("_n"))
+    )
+    buckets = spark.range(int(n_buckets)).select(F.col("id").cast("int").alias("_b"))
+    weights = (
+        classes.select("label")
+        .crossJoin(buckets)  # n_classes x n_buckets: the dense model grid
+        .join(hist, ["label", "_b"], "left")
+        .join(ntok, "label")
+        .select(
+            "label",
+            "_b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1))
+                    / (F.col("_n") + F.lit(int(n_buckets)))
+                )
+                * F.lit(int(unit))
+            )
+            .cast("long")
+            .alias("w_unats"),
+        )
+    )
+    tot = classes.agg(F.sum("n_docs").alias("_nd"))
+    priors = classes.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("_nd").cast("double"))
+            * F.lit(int(unit))
+        )
+        .cast("long")
+        .alias("prior_unats"),
+        "n_docs",
+    )
+    return weights, priors
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Score documents against a trained model; returns
+    ``(id, pred_label, score_unats)`` — the arg-max class and its
+    posterior log-score ``prior + sum(token weights)`` in micro-nats.
+
+    Ties break to the lexicographically smallest label (exact on both
+    engines: the arg-max is ``min(struct(-score, label))``, a plain
+    aggregation — no global window, no collect). Documents with no
+    tokens (empty/NULL text) score ``prior_unats`` alone and therefore
+    predict the max-prior class.
+
+    The ``docs x priors`` cross join that restores token-less documents
+    is a broadcast fan-out of ``n_classes`` rows per document — strictly
+    smaller than the scoring join itself (which fans every token
+    instance by ``n_classes``), so it does not change the plan's
+    asymptotics.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("id", _bucket(F.col("tok"), n_buckets).alias("_b"))
+    sums = (
+        toks.join(F.broadcast(weights), "_b")
+        .groupBy("id", "label")
+        .agg(F.sum("w_unats").alias("_s"))
+    )
+    cells = (
+        df.select(F.col(id_col).alias("id"))
+        .crossJoin(F.broadcast(priors.select("label", "prior_unats")))
+        .join(sums, ["id", "label"], "left")
+        .select(
+            "id",
+            "label",
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_unats")).alias("_score"),
+        )
+    )
+    best = cells.groupBy("id").agg(
+        F.min(F.struct((-F.col("_score")).alias("_neg"), F.col("label"))).alias("_m")
+    )
+    return best.select(
+        "id",
+        F.col("_m.label").alias("pred_label"),
+        (-F.col("_m._neg")).cast("long").alias("score_unats"),
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    train_filter: Column,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Train on the ``train_filter`` subset, score EVERY row; returns
+    ``(id, pred_label, score_unats)``. The one-call composition for the
+    standard split-train-score-all evaluation loop."""
+    weights, priors = nb_train(
+        df.filter(train_filter),
+        label_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        unit=unit,
+    )
+    return nb_score(
+        df, weights, priors, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )

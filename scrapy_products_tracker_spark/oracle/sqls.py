@@ -498,6 +498,53 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN per USING (doc_id) ORDER BY id
         """,
+        "nb_lang_classify": f"""
+            WITH toks AS (
+              SELECT t.doc_id, t.b, d.lang
+              FROM read_parquet('{p_dsir}') t JOIN documents d USING (doc_id)),
+            classes AS (
+              SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            hist AS (
+              SELECT lang AS label, b, CAST(count(*) AS BIGINT) AS c
+              FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            ntok AS (
+              SELECT label, CAST(COALESCE(sum(c), 0) AS BIGINT) AS n
+              FROM classes LEFT JOIN hist USING (label) GROUP BY label),
+            cells AS (
+              SELECT label, CAST(r.b AS INT) AS b FROM classes, range(512) r(b)),
+            w AS (
+              SELECT c.label, c.b,
+                     CAST(round(1000000 * ln((COALESCE(h.c, 0) + 1.0)
+                                             / (n.n + 512))) AS BIGINT) AS w
+              FROM cells c
+              LEFT JOIN hist h ON h.label = c.label AND h.b = c.b
+              JOIN ntok n ON n.label = c.label),
+            priors AS (
+              SELECT label,
+                     CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / t.nd))
+                          AS BIGINT) AS p
+              FROM classes,
+                   (SELECT CAST(sum(n_docs) AS DOUBLE) AS nd FROM classes) t),
+            sums AS (
+              SELECT t.doc_id, w.label, CAST(sum(w.w) AS BIGINT) AS s
+              FROM read_parquet('{p_dsir}') t JOIN w ON w.b = t.b
+              GROUP BY 1, 2),
+            allc AS (
+              SELECT d.doc_id, pr.label, COALESCE(s.s, 0) + pr.p AS score
+              FROM documents d CROSS JOIN priors pr
+              LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.label = pr.label),
+            best AS (
+              SELECT doc_id, label, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, label ASC) AS rn
+              FROM allc)
+            SELECT b.doc_id AS id, b.label AS pred_label,
+                   CAST(b.score AS BIGINT) AS score_unats,
+                   d.lang AS true_label, d.doc_id % 2 = 0 AS is_train
+            FROM best b JOIN documents d USING (doc_id)
+            WHERE rn = 1 ORDER BY id
+        """,
         "caption_frequency_survivors": rf"""
             WITH t AS (
               SELECT image_id,

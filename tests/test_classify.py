@@ -1,0 +1,136 @@
+"""Naive-Bayes classifier (functions/classify.py): exact parity with an
+independent pure-Python NB, tie-break determinism, empty-doc prior
+fallback, and plan shape (broadcast model, no cartesian blowup)."""
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions.classify import nb_classify, nb_score, nb_train
+from scrapy_products_tracker_spark.functions.hashing import xxhash64_str
+
+DOC_SCHEMA = "doc_id long, lang string, text string"
+
+
+def _round_half_up(x: float) -> int:
+    # Spark F.round / DuckDB round are HALF_UP (away from zero);
+    # python round() is banker's — replicate the engines' behavior
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _python_nb(rows, is_train, B=64, unit=10**6):
+    """Independent dict-based NB (floats + half-up fixed-point), same
+    tokenizer (str.split) and pinned pure-Python xxhash64 buckets."""
+    train = [r for r in rows if is_train(r)]
+    n_docs = Counter(r[1] for r in train)
+    nd_tot = sum(n_docs.values())
+    tok_counts = defaultdict(Counter)
+    for _, lang, text in train:
+        for tok in text.split() if isinstance(text, str) else []:
+            tok_counts[lang][xxhash64_str(tok) % B] += 1
+    labels = sorted(n_docs)
+    w = {
+        (lab, b): _round_half_up(
+            unit
+            * math.log(
+                (tok_counts[lab].get(b, 0) + 1)
+                / (sum(tok_counts[lab].values()) + B)
+            )
+        )
+        for lab in labels
+        for b in range(B)
+    }
+    prior = {
+        lab: _round_half_up(unit * math.log(n_docs[lab] / nd_tot)) for lab in labels
+    }
+    out = {}
+    for doc_id, _, text in rows:
+        scores = {
+            lab: prior[lab]
+            + sum(
+                w[(lab, xxhash64_str(tok) % B)]
+                for tok in (text.split() if isinstance(text, str) else [])
+            )
+            for lab in labels
+        }
+        lab, s = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[doc_id] = (lab, s)
+    return out
+
+
+def test_nb_separable_vocab(spark):
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the food"),
+        (4, "fr", "le chat est sur le tapis"),
+        (6, "fr", "le chien mange le pain"),
+        # held out (odd ids): same vocab families
+        (1, "en", "the cat ate the mat"),
+        (3, "fr", "le chien est sur le pain"),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r["id"]: r["pred_label"]
+        for r in nb_classify(df, F.col("doc_id") % 2 == 0, "lang", n_buckets=64).collect()
+    }
+    assert got[1] == "en" and got[3] == "fr"
+    # train rows classify to their own class too (separable vocab)
+    assert all(got[i] == lang for i, lang, _ in rows[:4])
+
+
+def test_nb_matches_pure_python(spark):
+    rows = [
+        (0, "en", "the quick brown fox the fox"),
+        (1, "en", "shared token alpha"),
+        (2, "xx", "zork blit quux flarp zork"),
+        (3, "xx", "shared token beta"),
+        (4, "en", None),  # token-less: prior-only score
+        (5, "zz", "singleton class doc"),
+        (6, "en", ""),
+        (7, "xx", "the zork"),  # mixed vocab
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    exp = _python_nb(rows, lambda r: r[0] % 2 == 0, B=64)
+    got = {
+        r["id"]: (r["pred_label"], r["score_unats"])
+        for r in nb_classify(df, F.col("doc_id") % 2 == 0, "lang", n_buckets=64).collect()
+    }
+    assert got == exp
+
+
+def test_nb_empty_doc_predicts_max_prior(spark):
+    rows = [
+        (0, "big", "aa bb"),
+        (1, "big", "cc dd"),
+        (2, "big", "ee ff"),
+        (3, "sml", "gg hh"),
+        (9, None, None),  # scored only (filter excludes NULL label rows)
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    w, p = nb_train(df.filter(F.col("lang").isNotNull()), "lang", n_buckets=32)
+    got = {r["id"]: r for r in nb_score(df, w, p, n_buckets=32).collect()}
+    # 3 "big" docs vs 1 "sml": token-less doc 9 takes the max prior
+    assert got[9]["pred_label"] == "big"
+    assert got[9]["score_unats"] == _round_half_up(10**6 * math.log(3 / 4))
+
+
+def test_nb_tiebreak_label_asc(spark):
+    # identical texts per class -> identical weights and priors ->
+    # every score ties exactly -> lexicographically smallest label wins
+    rows = [(0, "b", "x y"), (1, "a", "x y"), (2, None, "x x y")]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    w, p = nb_train(df.filter(F.col("lang").isNotNull()), "lang", n_buckets=16)
+    got = {r["id"]: r["pred_label"] for r in nb_score(df, w, p, n_buckets=16).collect()}
+    assert got == {0: "a", 1: "a", 2: "a"}
+
+
+def test_nb_plan_shape(spark):
+    rows = [(i, "en" if i % 3 else "fr", f"tok{i} tok{i % 5}") for i in range(30)]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = nb_classify(df, F.col("doc_id") % 2 == 0, "lang", n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # model joins broadcast; the only nested-loop is the tiny
+    # docs x priors / labels x buckets fan-out — never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
