@@ -310,7 +310,22 @@ def main():
     disk = disk_probe()
     with _HostMeter() as hq:
         queries = bench_queries(spark, sf_dir)
+    # Host-qualify the headline crawl (same policy as
+    # tools/scaling_bench.py, VERDICT r03 #1): a run taken under CPU
+    # steal records the HOST, not the engine — the driver's r03-tail
+    # re-run logged 208 URLs/s at 11% steal vs 436-468 clean. Retry up
+    # to twice while degraded; keep the last attempt and every
+    # rejected one so the artifact can defend itself.
     crawl = bench_crawl(spark)
+    crawl_rejected = []
+    while crawl["host"].get("steal_frac", 0.0) > 0.02 and len(crawl_rejected) < 2:
+        crawl_rejected.append(
+            {"urls_per_s": crawl["urls_per_s"], "host": crawl["host"]}
+        )
+        crawl = bench_crawl(spark)
+    crawl["host_degraded"] = bool(crawl["host"].get("steal_frac", 0.0) > 0.02)
+    if crawl_rejected:
+        crawl["rejected_attempts"] = crawl_rejected
     with _HostMeter() as hc:
         commit_scaling = bench_commit_scaling(spark)
 
