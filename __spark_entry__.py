@@ -1417,6 +1417,44 @@ def q_nb_classify(spark, sf):
     )
 
 
+def q_prototype_filter(spark, sf):
+    """Embedding prototype filter (functions/classify.py:
+    prototype_direction/prototype_score): the LAION/CLIP-filter idiom —
+    train a class-mean-difference direction on the even-vec_id half
+    (positive = odd label), score EVERY embedding with an exact
+    integer fixed-point dot product, threshold at 0. Per-dim sums are
+    exact int64 so the weights are bounded regardless of corpus size;
+    the oracle recomputes the whole thing relationally in DuckDB."""
+    from scrapy_products_tracker_spark.functions.classify import (
+        prototype_direction,
+        prototype_score,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    w = prototype_direction(
+        e.filter(F.col("vec_id") % 2 == 0), F.col("label") % 2 == 1
+    )
+    return (
+        prototype_score(e, w)
+        .join(
+            e.select(
+                F.col("vec_id").alias("id"),
+                (F.col("label") % 2 == 1).alias("true_pos"),
+                (F.col("vec_id") % 2 == 0).alias("is_train"),
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            "score_fixed",
+            (F.col("score_fixed") > 0).alias("pred_pos"),
+            "true_pos",
+            "is_train",
+        )
+        .orderBy("id")
+    )
+
+
 def q_image_header_integrity(spark, sf):
     """Metadata-vs-payload header audit (imaging/headers.
     header_integrity_flags): container sniff + fixed-offset IHDR dims
@@ -2095,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_spans": q_pack_sequences,
         "dsir_importance_scores": q_dsir_importance,
         "nb_lang_classify": q_nb_classify,
+        "embedding_prototype_filter": q_prototype_filter,
         "temperature_sample_rows": q_temperature_sample,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,

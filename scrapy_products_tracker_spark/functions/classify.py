@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
-__all__ = ["nb_train", "nb_score", "nb_classify"]
+__all__ = [
+    "nb_train",
+    "nb_score",
+    "nb_classify",
+    "prototype_direction",
+    "prototype_score",
+]
 
 
 def _bucket(tok: Column, n_buckets: int) -> Column:
@@ -169,6 +175,86 @@ def nb_score(
         "id",
         F.col("_m.label").alias("pred_label"),
         (-F.col("_m._neg")).cast("long").alias("score_unats"),
+    )
+
+
+def _fixed_vec(vec: Column, unit: int) -> Column:
+    """array<float> -> array<long> fixed-point: round(x * unit).
+    float->double element casts are exact, the multiply and HALF_UP
+    round are deterministic on both engines — after this, every sum
+    is integer arithmetic: order- and partitioning-independent."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(float(unit))).cast("long")
+    )
+
+
+def prototype_direction(
+    df: DataFrame,
+    is_pos: Column,
+    vec_col: str = "embedding",
+    unit: int = 100_000,
+) -> DataFrame:
+    """Train a prototype (class-mean-difference) direction over an
+    embedding column — the LAION/CLIP-filter idiom: aesthetic, NSFW
+    and relevance filters are a dot product against one learned
+    direction, thresholded. Returns ``(pos, w)``: per-dimension
+    integer weight ``round(mean_pos[d] - mean_neg[d])`` in the same
+    fixed-point ``unit`` as the embeddings.
+
+    Determinism + scale: per-dim sums are exact int64 (one posexplode
+    pass, map-side combine; the per-class vector counts fall out of
+    the same groupBy); the ONLY float op is one division + round per
+    dimension on the ``dim``-row result — so ``|w| <= unit * max|x|``
+    is bounded regardless of corpus size (no overflow at 10^10 rows),
+    and scoring sums stay exact integers. A single-class training set
+    degrades gracefully (missing class mean = 0)."""
+    e = df.select(
+        is_pos.alias("_p"),
+        F.posexplode(_fixed_vec(F.col(vec_col), unit)).alias("pos", "v"),
+    )
+    sums = e.groupBy("pos").agg(
+        F.sum(F.when(F.col("_p"), F.col("v")).otherwise(F.lit(0))).alias("_sp"),
+        F.sum(F.when(~F.col("_p"), F.col("v")).otherwise(F.lit(0))).alias("_sn"),
+        F.count_if(F.col("_p")).alias("_np"),
+        F.count_if(~F.col("_p")).alias("_nn"),
+    )
+
+    def _mean(s: Column, n: Column) -> Column:
+        return F.when(n > 0, s.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+    return sums.select(
+        "pos",
+        F.round(_mean(F.col("_sp"), F.col("_np")) - _mean(F.col("_sn"), F.col("_nn")))
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def prototype_score(
+    df: DataFrame,
+    direction: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    unit: int = 100_000,
+) -> DataFrame:
+    """Score every vector against a trained prototype direction;
+    returns ``(id, score_fixed)`` with ``score_fixed = sum_d
+    round(x[d] * unit) * w[d]`` — an exact integer dot product
+    (classify with ``score_fixed > threshold``). One posexplode pass,
+    the ``dim``-row direction broadcast, one id-keyed aggregation."""
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_fixed_vec(F.col(vec_col), unit)).alias("pos", "v"),
+    )
+    scores = (
+        e.join(F.broadcast(direction), "pos")
+        .groupBy("id")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("score_fixed"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scores, "id", "left")
+        .select("id", F.coalesce("score_fixed", F.lit(0)).cast("long").alias("score_fixed"))
     )
 
 

@@ -545,6 +545,40 @@ def oracle_sql() -> dict[str, str]:
             FROM best b JOIN documents d USING (doc_id)
             WHERE rn = 1 ORDER BY id
         """,
+        "embedding_prototype_filter": """
+            WITH e AS (
+              SELECT vec_id, label, t.pos,
+                     CAST(round(CAST(embedding AS DOUBLE[])[t.pos] * 100000)
+                          AS BIGINT) AS v
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(pos)),
+            sums AS (
+              SELECT pos,
+                     CAST(sum(CASE WHEN label % 2 = 1 THEN v ELSE 0 END)
+                          AS BIGINT) AS sp,
+                     CAST(sum(CASE WHEN label % 2 = 0 THEN v ELSE 0 END)
+                          AS BIGINT) AS sn,
+                     count(*) FILTER (label % 2 = 1) AS np,
+                     count(*) FILTER (label % 2 = 0) AS nn
+              FROM e WHERE vec_id % 2 = 0 GROUP BY pos),
+            w AS (
+              SELECT pos,
+                     CAST(round(
+                         (CASE WHEN np > 0 THEN CAST(sp AS DOUBLE) / np
+                               ELSE 0 END)
+                       - (CASE WHEN nn > 0 THEN CAST(sn AS DOUBLE) / nn
+                               ELSE 0 END)) AS BIGINT) AS w
+              FROM sums),
+            scores AS (
+              SELECT e.vec_id, CAST(sum(e.v * w.w) AS BIGINT) AS score_fixed
+              FROM e JOIN w USING (pos) GROUP BY 1)
+            SELECT s.vec_id AS id, s.score_fixed,
+                   s.score_fixed > 0 AS pred_pos,
+                   emb.label % 2 = 1 AS true_pos,
+                   emb.vec_id % 2 = 0 AS is_train
+            FROM scores s JOIN embeddings emb ON emb.vec_id = s.vec_id
+            ORDER BY id
+        """,
         "caption_frequency_survivors": rf"""
             WITH t AS (
               SELECT image_id,

@@ -125,6 +125,106 @@ def test_nb_tiebreak_label_asc(spark):
     assert got == {0: "a", 1: "a", 2: "a"}
 
 
+VEC_SCHEMA = "vec_id long, label int, embedding array<float>"
+
+
+def _python_prototype(rows, is_train, is_pos, unit=10**5):
+    """Independent replica: fixed-point, per-dim integer sums, one
+    float division per dim, exact integer dot products."""
+    fixed = {
+        vid: [_round_half_up(float(x) * unit) for x in vec] for vid, _, vec in rows
+    }
+    dim = max(len(v) for v in fixed.values())
+    sp, sn, np_, nn = [0] * dim, [0] * dim, 0, 0
+    for vid, lab, _ in rows:
+        if not is_train(vid):
+            continue
+        tgt = is_pos(lab)
+        np_, nn = np_ + tgt, nn + (not tgt)
+        for d, v in enumerate(fixed[vid]):
+            (sp if tgt else sn)[d] += v
+    w = [
+        _round_half_up((sp[d] / np_ if np_ else 0.0) - (sn[d] / nn if nn else 0.0))
+        for d in range(dim)
+    ]
+    return {vid: sum(v * wv for v, wv in zip(fixed[vid], w)) for vid in fixed}
+
+
+def test_prototype_matches_pure_python(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            i,
+            i % 3,
+            [rnd.uniform(-0.6, 0.6) + (0.3 if i % 3 == 1 else -0.1) for _ in range(8)],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    exp = _python_prototype(
+        [(i, l, v) for i, l, v in rows],
+        is_train=lambda vid: vid % 2 == 0,
+        is_pos=lambda lab: lab % 2 == 1,
+    )
+    from scrapy_products_tracker_spark.functions.classify import (
+        prototype_direction,
+        prototype_score,
+    )
+
+    w = prototype_direction(
+        df.filter(F.col("vec_id") % 2 == 0), F.col("label") % 2 == 1
+    )
+    got = {r["id"]: r["score_fixed"] for r in prototype_score(df, w).collect()}
+    # float32 storage: the python replica must quantize through float32
+    # too — createDataFrame already did, so regenerate from the round trip
+    back = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    exp32 = _python_prototype(
+        [(i, l, back[i]) for i, l, _ in rows],
+        is_train=lambda vid: vid % 2 == 0,
+        is_pos=lambda lab: lab % 2 == 1,
+    )
+    assert got == exp32
+    assert set(got) == set(exp)  # same ids either way
+
+
+def test_prototype_separates_classes(spark):
+    # class 1 shifted +0.4 on every dim: direction must classify both
+    # train and held-out vectors correctly
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, i % 2, [rnd.uniform(-0.1, 0.1) + (0.4 if i % 2 else -0.4) for _ in range(6)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    from scrapy_products_tracker_spark.functions.classify import (
+        prototype_direction,
+        prototype_score,
+    )
+
+    w = prototype_direction(df.filter(F.col("vec_id") < 20), F.col("label") == 1)
+    got = {r["id"]: r["score_fixed"] for r in prototype_score(df, w).collect()}
+    assert all((got[i] > 0) == (i % 2 == 1) for i, _, _ in rows)
+
+
+def test_prototype_single_class_degrades(spark):
+    # all-positive training: negative mean is 0, direction = positive
+    # mean; no crash, no NULLs
+    rows = [(i, 1, [0.5] * 4) for i in range(4)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    from scrapy_products_tracker_spark.functions.classify import (
+        prototype_direction,
+        prototype_score,
+    )
+
+    w = prototype_direction(df, F.col("label") == 1)
+    got = prototype_score(df, w).collect()
+    assert all(r["score_fixed"] == 4 * 50_000 * 50_000 for r in got)
+
+
 def test_nb_plan_shape(spark):
     rows = [(i, "en" if i % 3 else "fr", f"tok{i} tok{i % 5}") for i in range(30)]
     df = spark.createDataFrame(rows, DOC_SCHEMA)
