@@ -29,7 +29,7 @@ a common source), so this is a handful of rounds, each shuffling only
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import (
@@ -176,6 +176,9 @@ def curate_corpus(
     range_col: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    classifier_target: Column | None = None,
+    classifier_margin_unats: int = 0,
+    classifier_buckets: int = 512,
 ) -> DataFrame:
     """The end-to-end TEXT curation funnel an LM pre-training corpus
     runs — the documents-table twin of ``imaging/dataset.curate`` —
@@ -188,6 +191,11 @@ def curate_corpus(
        floor, so contentless docs exit here (contrast
        :func:`dedup_corpus` standalone, which passes NULL text through
        — a curation funnel's quality gate IS the place they drop);
+    1b. **learned gate** (when ``classifier_target`` is given) — a
+       binary Naive-Bayes gate (CCNet idiom,
+       :mod:`~..functions.classify`): train target-vs-background on
+       the rule-labeled survivors themselves, keep rows whose
+       target log-odds margin ``>= classifier_margin_unats``;
     2. **dedup** — :func:`dedup_corpus` (exact fingerprint first-wins +
        MinHash-LSH near-dup; ``transitive=True`` for cluster-exact
        min-label components);
@@ -220,8 +228,48 @@ def curate_corpus(
     )
     if lang is not None:
         cond = cond & (lang_guess(F.col(text_col)) == F.lit(lang))
+    kept = df.filter(cond)
+    if classifier_target is not None:
+        # 1b. learned quality gate (CCNet idiom): train a binary NB on
+        # the rule-labeled rows themselves (target vs background),
+        # keep rows whose target-vs-background log-odds margin clears
+        # classifier_margin_unats — the classifier generalizes the
+        # rule through token statistics, so borderline rows are kept
+        # or dropped by what they SAY, not only by the rule. Model is
+        # a broadcast n_buckets x 2 table; scoring is one explode pass
+        # (functions/classify.py scale notes).
+        from ..functions.classify import nb_score, nb_train
+
+        labeled = kept.withColumn(
+            "_cls", F.when(classifier_target, F.lit("t")).otherwise(F.lit("b"))
+        )
+        w, pr = nb_train(labeled, "_cls", text_col=text_col, n_buckets=classifier_buckets)
+        grid = nb_score(
+            kept, w, pr, id_col=id_col, text_col=text_col,
+            n_buckets=classifier_buckets, all_scores=True,
+        )
+        # degenerate training sets: no background examples -> nothing
+        # to contrast against, keep everything (margin +big); no
+        # target examples -> nothing is target-like, drop everything
+        _floor = F.lit(-(1 << 62))
+        margins = grid.groupBy("id").agg(
+            (
+                F.coalesce(
+                    F.max(F.when(F.col("label") == "t", F.col("score_unats"))), _floor
+                )
+                - F.coalesce(
+                    F.max(F.when(F.col("label") == "b", F.col("score_unats"))), _floor
+                )
+            ).alias("_margin")
+        )
+        kept = kept.join(
+            margins.filter(
+                F.col("_margin") >= F.lit(int(classifier_margin_unats))
+            ).select(F.col("id").alias(id_col)),
+            id_col,
+        )
     out = dedup_corpus(
-        df.filter(cond),
+        kept,
         id_col,
         text_col,
         threshold=threshold,

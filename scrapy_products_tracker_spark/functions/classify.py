@@ -132,10 +132,14 @@ def nb_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 512,
+    all_scores: bool = False,
 ) -> DataFrame:
     """Score documents against a trained model; returns
     ``(id, pred_label, score_unats)`` — the arg-max class and its
     posterior log-score ``prior + sum(token weights)`` in micro-nats.
+    With ``all_scores=True`` returns the full ``(id, label,
+    score_unats)`` grid instead (one row per document per trained
+    class) — the input for margin/log-odds filters.
 
     Ties break to the lexicographically smallest label (exact on both
     engines: the arg-max is ``min(struct(-score, label))``, a plain
@@ -168,6 +172,8 @@ def nb_score(
             (F.coalesce(F.col("_s"), F.lit(0)) + F.col("prior_unats")).alias("_score"),
         )
     )
+    if all_scores:
+        return cells.select("id", "label", F.col("_score").cast("long").alias("score_unats"))
     best = cells.groupBy("id").agg(
         F.min(F.struct((-F.col("_score")).alias("_neg"), F.col("label"))).alias("_m")
     )

@@ -225,6 +225,55 @@ def test_prototype_single_class_degrades(spark):
     assert all(r["score_fixed"] == 4 * 50_000 * 50_000 for r in got)
 
 
+def test_curate_corpus_classifier_gate(spark):
+    from scrapy_products_tracker_spark.dedup.text_corpus import curate_corpus
+    from scrapy_products_tracker_spark.functions.classify import nb_score, nb_train
+
+    rows = [
+        (1, "wiki style prose with careful structure and citations everywhere"),
+        (2, "wiki style prose with careful notes and citations throughout"),
+        (3, "buy now cheap deals click buy now cheap deals click again"),
+        (4, "discount codes click cheap deals buy now discount codes wow"),
+        (5, "style prose with careful notes and citations everywhere too"),
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA.replace("lang string, ", "")).selectExpr(
+        "doc_id", "text"
+    )
+    target = F.col("text").contains("wiki")
+    kw = dict(min_tokens=5, min_quality=0.0, threshold=0.99)
+
+    base_ids = {r["doc_id"] for r in curate_corpus(df, **kw).collect()}
+    # a floor margin keeps exactly the no-classifier set
+    lo = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, classifier_target=target, classifier_margin_unats=-(1 << 61), **kw
+        ).collect()
+    }
+    assert lo == base_ids
+    # an unreachable margin drops everything
+    hi = curate_corpus(
+        df, classifier_target=target, classifier_margin_unats=1 << 61, **kw
+    ).count()
+    assert hi == 0
+    # margin 0 == manual composition of the same primitives
+    labeled = df.withColumn("_cls", F.when(target, "t").otherwise("b"))
+    w, p = nb_train(labeled, "_cls", n_buckets=512)
+    grid = nb_score(df, w, p, all_scores=True, n_buckets=512).toPandas()
+    piv = grid.pivot(index="id", columns="label", values="score_unats")
+    exp = set(piv.index[piv["t"] - piv["b"] >= 0])
+    got = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, classifier_target=target, classifier_margin_unats=0, **kw
+        ).collect()
+    }
+    assert got == exp
+    # the spam-vocab rows fall below the margin; doc 5 (target vocab,
+    # no marker word) is rescued by what it says
+    assert {3, 4}.isdisjoint(got) and 5 in got
+
+
 def test_nb_plan_shape(spark):
     rows = [(i, "en" if i % 3 else "fr", f"tok{i} tok{i % 5}") for i in range(30)]
     df = spark.createDataFrame(rows, DOC_SCHEMA)
