@@ -10,7 +10,8 @@ or text curation pipeline over parquet in / parquet out.
         --input documents.parquet --output curated/ \
         [--min-tokens 30] [--min-quality 0.7] [--lang en] \
         [--threshold 0.8] [--transitive] [--balance-col source] \
-        [--sample-target N] [--seq-len 2048] [--range-col crawl_bucket]
+        [--sample-target N] [--seq-len 2048] [--range-col crawl_bucket] \
+        [--classifier-target-lang en [--classifier-margin-unats M]]
 
 ``--mode image`` expects the north-rule input table
 ``(image_id, bytes, w, h, fmt, caption, phash)`` and runs
@@ -43,6 +44,14 @@ def main(argv=None):
     ap.add_argument("--sample-target", type=int, default=None)
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--range-col", default=None)
+    ap.add_argument(
+        "--classifier-target-lang",
+        default=None,
+        help="enable the learned NB quality gate (text mode): train "
+        "target-vs-background with rows whose lang column equals this "
+        "value as the target class",
+    )
+    ap.add_argument("--classifier-margin-unats", type=int, default=0)
     ap.add_argument("--min-caption-tokens", type=int, default=4)
     ap.add_argument("--min-side-px", type=int, default=16)
     ap.add_argument("--max-aspect-milli", type=int, default=3000)
@@ -69,6 +78,8 @@ def main(argv=None):
             range_col=args.range_col,
         )
     else:
+        from pyspark.sql import functions as F
+
         from scrapy_products_tracker_spark.dedup import curate_corpus
 
         out = curate_corpus(
@@ -82,6 +93,12 @@ def main(argv=None):
             sample_target=args.sample_target,
             seq_len=args.seq_len,
             range_col=args.range_col,
+            classifier_target=(
+                F.col("lang") == F.lit(args.classifier_target_lang)
+                if args.classifier_target_lang is not None
+                else None
+            ),
+            classifier_margin_unats=args.classifier_margin_unats,
         )
 
     out.write.mode("overwrite").parquet(args.output)
