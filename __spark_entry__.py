@@ -620,6 +620,53 @@ def q_lang_id_heuristic(spark, sf):  # stopword-density language ID
     return d.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_guess"))
 
 
+def q_pii_scrub_stats(spark, sf):
+    """PII scrub audit (functions/text.pii_scrub_stats): per-doc email/
+    IPv4/phone counts plus an md5 fingerprint of the redacted text —
+    so the oracle verifies the replacement bytes, not just counts. The
+    synthetic docs carry no PII, so the query plants deterministic PII
+    spans keyed by doc_id (identically in the SQL twin) before
+    scrubbing; counts therefore vary per row and the scrub path is
+    exercised on real matches. Row-local codegen, zero shuffle."""
+    d = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-867-5309 or ping 10.0.0."), F.col("doc_id") % 200
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return TX.pii_scrub_stats(d.select("doc_id", aug.alias("text")))
+
+
+def q_chunk_windows(spark, sf):
+    """Sliding token-window chunking (functions/text.chunk_windows):
+    64-token windows at stride 48 (overlap 16) per doc; short tails
+    kept. Aggregated per doc (n_chunks / total+last chunk tokens /
+    xor of chunk-text md5 prefixes) so the oracle pins every chunk's
+    bytes without a 10x-rows result table."""
+    d = _t(spark, sf, "documents")
+    ch = TX.chunk_windows(d, win=64, stride=48)
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_chunk_tokens"),
+        F.max(F.when(F.col("chunk_idx") == 0, F.col("chunk_tokens"))).alias(
+            "first_chunk_tokens"
+        ),
+        # order-free content pin: XOR of the first 15 hex chars of each
+        # chunk's md5 (bigint-safe), so any chunk-boundary drift flips it
+        F.bit_xor(
+            F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10).cast("long")
+        ).alias("content_xor"),
+    )
+
+
 def q_script_profile(spark, sf):
     """Unicode script histogram + dominant script per doc
     (functions/text.script_profile): one regexp_count per script
@@ -2123,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_stats": q_token_count_stats,
         "quality_scores": q_quality_scores,
         "lang_id_heuristic": q_lang_id_heuristic,
+        "pii_scrub_stats": q_pii_scrub_stats,
+        "chunk_windows_agg": q_chunk_windows,
         "script_profile": q_script_profile,
         "corpus_stats_rollup": q_corpus_stats,
         "gopher_repetition": q_gopher_repetition,

@@ -716,6 +716,98 @@ def script_profile(
     )
 
 
+# PII patterns — the lookbehind-free subset that evaluates identically
+# on Java regex (Spark codegen) and RE2 (DuckDB oracle). A production
+# pipeline swaps in jurisdiction-specific pattern packs; the operator
+# shape (pure row-local column algebra, zero Python, zero shuffle) is
+# what has to survive 100 TB, and it does trivially.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """Per-doc counts of (emails, ipv4s, phones) on the RAW text —
+    computed before scrubbing so redaction placeholders never
+    self-count. Three ``regexp_count`` calls, whole-stage codegen."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)),
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails → ``<EMAIL>``, IPv4s → ``<IP>``, then phone
+    numbers → ``<PHONE>`` (email first: its local part may contain
+    digit runs a later pass would mangle; IP before phone so dotted
+    quads are never half-eaten by the phone pattern). Every training
+    corpus ships a pass like this (C4/CCNet scrub stage); nested
+    ``regexp_replace`` keeps it inside one codegen stage."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_scrub_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, n_emails, n_ips, n_phones, scrub_md5)`` — the audit row a
+    scrub stage emits per document: what was found, and a fingerprint
+    of the redacted text (md5, engine-portable) so the oracle checks
+    the actual replacement bytes, not just the counts."""
+    t = F.col(text_col)
+    ne, ni, np_ = pii_counts(t)
+    return df.select(
+        F.col(id_col),
+        ne.cast("long").alias("n_emails"),
+        ni.cast("long").alias("n_ips"),
+        np_.cast("long").alias("n_phones"),
+        F.md5(pii_scrub(t)).alias("scrub_md5"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    win: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding token-window chunking — the context-window splitter that
+    feeds long documents to a fixed-window model (win tokens, stride
+    < win ⇒ overlap): ``(id, chunk_idx, chunk_tokens, chunk_text)``.
+
+    Row-local column algebra: tokenize once, generate start offsets
+    with ``sequence(0, n-1, stride)`` (so the final window always
+    carries ≥1 token and a short tail is kept, never padded), slice
+    the token array per start, ``posexplode``. The only row-count
+    growth is the explode itself — no shuffle, no Python; at 100 TB
+    this is a map-only stage whose output feeds ``pack_sequences``.
+
+    Empty/NULL docs produce zero chunks (explode of an empty array)."""
+    if stride <= 0 or win <= 0:
+        raise ValueError("win and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
+        .select(id_col, "_toks", F.posexplode("_starts").alias("chunk_idx", "_start"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(F.lit(win), F.size("_toks") - F.col("_start"))
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, F.lit(win)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def corpus_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("source",),

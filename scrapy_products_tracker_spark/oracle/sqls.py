@@ -648,6 +648,57 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN nt > 0 THEN least(len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 10.0 / nt, 1.0) ELSE 0.0 END AS stop_ok
               FROM (SELECT doc_id, text, {_NT} AS nt FROM documents))
         """,
+        # PII scrub audit: identical deterministic PII planting, RE2
+        # twins of the Java-regex patterns (both lookbehind-free), md5
+        # of the redacted bytes
+        "pii_scrub_stats": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || doc_id || '@example.com now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' call 555-867-5309 or ping 10.0.0.' || (doc_id % 200)
+                             ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{TX.PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+                   md5(regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '{TX.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{TX.PII_IPV4_RE}', '<IP>', 'g'),
+                         '{TX.PII_PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+            FROM aug
+        """,
+        # sliding 64-token windows at stride 48: starts = 0,48,96,…<n
+        # (generate_series is stop-inclusive like Spark sequence);
+        # list_slice is 1-based inclusive like Spark slice
+        "chunk_windows_agg": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+') END AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 48)) AS start
+              FROM t),
+            ch AS (
+              SELECT doc_id,
+                     CAST(start / 48 AS BIGINT) AS chunk_idx,
+                     CAST(least(64, len(toks) - start) AS BIGINT) AS chunk_tokens,
+                     array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+              FROM s)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+                   CAST(max(CASE WHEN chunk_idx = 0 THEN chunk_tokens END) AS BIGINT) AS first_chunk_tokens,
+                   CAST(bit_xor(CAST(('0x' || substr(md5(chunk_text), 1, 15)) AS BIGINT)) AS BIGINT) AS content_xor
+            FROM ch GROUP BY doc_id
+        """,
         "lang_id_heuristic": f"""
             SELECT doc_id,
                    CASE WHEN (CASE WHEN nt > 0 THEN len(regexp_extract_all(lower(text), '{_STOP_RE}')) * 1.0 / nt ELSE 0.0 END) > 0.02

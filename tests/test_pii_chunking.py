@@ -1,0 +1,87 @@
+"""PII scrubbing and sliding token-window chunking: hand-computable
+fixtures pin the redaction bytes, counts, window boundaries and tail
+semantics; a plan test pins both ops as zero-exchange row-local
+algebra (the explode in chunk_windows grows rows but never shuffles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scrapy_products_tracker_spark.functions.text import (
+    chunk_windows,
+    pii_counts,
+    pii_scrub,
+    pii_scrub_stats,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_redacts_all_three_classes(spark):
+    rows = [
+        (1, "mail a.b-c+d@ex-ample.co.uk or x@y.io today"),
+        (2, "server at 10.0.0.7 and 192.168.1.255 up"),
+        (3, "call 555-867-5309 or 123.456.7890 now"),
+        (4, "mixed: u@v.org via 8.8.8.8 tel 111-222-3333"),
+        (5, "clean text with no identifiers at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", pii_scrub(F.col("text")).alias("s"), *[
+                c.alias(n)
+                for c, n in zip(pii_counts(F.col("text")), ["ne", "ni", "np"])
+            ]
+        ).collect()
+    }
+    assert got[1]["s"] == "mail <EMAIL> or <EMAIL> today"
+    assert (got[1]["ne"], got[1]["ni"], got[1]["np"]) == (2, 0, 0)
+    assert got[2]["s"] == "server at <IP> and <IP> up"
+    assert (got[2]["ne"], got[2]["ni"], got[2]["np"]) == (0, 2, 0)
+    # 123.456.7890 is a dotted phone, not an IPv4 (7890 has 4 digits)
+    assert got[3]["s"] == "call <PHONE> or <PHONE> now"
+    assert (got[3]["ne"], got[3]["ni"], got[3]["np"]) == (0, 0, 2)
+    assert got[4]["s"] == "mixed: <EMAIL> via <IP> tel <PHONE>"
+    assert got[5]["s"] == rows[4][1]
+    assert got[6]["s"] is None and got[6]["ne"] is None
+
+
+def test_pii_scrub_order_email_before_phone(spark):
+    # the email local part carries a phone-shaped digit run: email pass
+    # must consume it whole, leaving nothing for the phone pass
+    df = spark.createDataFrame([(1, "reach 555-123-4567x@corp.net ok")], "i int, text string")
+    assert df.select(pii_scrub(F.col("text")).alias("s")).first()["s"] == "reach <EMAIL> ok"
+
+
+def test_chunk_windows_boundaries_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    rows = [(1, words), (2, "a b c"), (3, ""), (4, None), (5, "solo")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    ch = chunk_windows(df, win=10, stride=7)
+    got = ch.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,7,…,98 -> 15 chunks; tail at 98 has 2 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert len(c1) == 15
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(7, 17)]
+    assert c1[-1]["chunk_tokens"] == 2 and c1[-1]["chunk_text"] == "w98 w99"
+    # doc 2: 3 tokens < stride -> exactly one chunk, kept short
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_tokens"] == 3
+    # empty / NULL docs emit no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[5][0]["chunk_text"] == "solo"
+    # overlap property: stride < win duplicates exactly win-stride tokens
+    assert c1[0]["chunk_text"].split()[7:] == c1[1]["chunk_text"].split()[:3]
+
+
+def test_pii_and_chunking_plans_are_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    assert "Exchange" not in _plan(pii_scrub_stats(df))
+    assert "Exchange" not in _plan(chunk_windows(df))
