@@ -11,7 +11,8 @@ or text curation pipeline over parquet in / parquet out.
         [--min-tokens 30] [--min-quality 0.7] [--lang en] \
         [--threshold 0.8] [--transitive] [--balance-col source] \
         [--sample-target N] [--seq-len 2048] [--range-col crawl_bucket] \
-        [--classifier-target-lang en [--classifier-margin-unats M]]
+        [--classifier-target-lang en [--classifier-margin-unats M]] \
+        [--scrub-pii]
 
 ``--mode image`` expects the north-rule input table
 ``(image_id, bytes, w, h, fmt, caption, phash)`` and runs
@@ -52,6 +53,7 @@ def main(argv=None):
         "value as the target class",
     )
     ap.add_argument("--classifier-margin-unats", type=int, default=0)
+    ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--min-caption-tokens", type=int, default=4)
     ap.add_argument("--min-side-px", type=int, default=16)
     ap.add_argument("--max-aspect-milli", type=int, default=3000)
@@ -99,6 +101,7 @@ def main(argv=None):
                 else None
             ),
             classifier_margin_unats=args.classifier_margin_unats,
+            scrub_pii=args.scrub_pii,
         )
 
     out.write.mode("overwrite").parquet(args.output)

@@ -179,11 +179,16 @@ def curate_corpus(
     classifier_target: Column | None = None,
     classifier_margin_unats: int = 0,
     classifier_buckets: int = 512,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """The end-to-end TEXT curation funnel an LM pre-training corpus
     runs — the documents-table twin of ``imaging/dataset.curate`` —
     composed from this package's tested operators in one lazy plan:
 
+    0. **scrub** (when ``scrub_pii``) — email/IPv4/phone redaction
+       (:func:`~..functions.text.pii_scrub`) applied to ``text_col``
+       before anything reads it, so quality scores, dedup
+       fingerprints and packed spans all see the redacted bytes;
     1. **filter** — C4-style row rules at the scan: whitespace token
        count ``>= min_tokens``, composite ``quality_score >=
        min_quality``, and (when ``lang`` is given) the stopword-density
@@ -223,6 +228,14 @@ def curate_corpus(
     the id-joins reuses AQE's id partitioning."""
     from ..functions.text import lang_guess, quality_score, token_count
 
+    if scrub_pii:
+        # 0. redaction — every downstream stage (quality, dedup keys,
+        # packing) sees the scrubbed bytes, so near-dup pairs that
+        # differ only in PII spans collapse onto the same placeholder
+        # text. Row-local regexp algebra fused into the scan.
+        from ..functions.text import pii_scrub
+
+        df = df.withColumn(text_col, pii_scrub(F.col(text_col)))
     cond = (token_count(F.col(text_col)) >= F.lit(int(min_tokens))) & (
         quality_score(F.col(text_col)) >= F.lit(float(min_quality))
     )

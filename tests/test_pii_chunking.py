@@ -81,6 +81,29 @@ def test_chunk_windows_boundaries_and_tail(spark):
     assert c1[0]["chunk_text"].split()[7:] == c1[1]["chunk_text"].split()[:3]
 
 
+def test_curate_corpus_scrub_pii_collapses_pii_variants(spark):
+    # two docs identical except for distinct emails: scrubbing first
+    # makes them byte-identical, so exact-fingerprint dedup keeps one;
+    # the survivor's text carries the placeholder, not the address
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs back to the barn with that dog for this is a fine day "
+    ) * 2
+    rows = [
+        (1, base + "write a@x.com"),
+        (2, base + "write b@y.org"),
+        (3, "the " + " ".join(f"other words here w{i} and of to in is for" for i in range(8))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+
+    out = curate_corpus(df, min_tokens=10, min_quality=0.3, scrub_pii=True).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3]  # first-wins: doc 1 survives, doc 2 is its exact dup
+    t1 = next(r["text"] for r in out if r["doc_id"] == 1)
+    assert "<EMAIL>" in t1 and "a@x.com" not in t1
+
+
 def test_pii_and_chunking_plans_are_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     assert "Exchange" not in _plan(pii_scrub_stats(df))
