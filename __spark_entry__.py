@@ -1176,6 +1176,56 @@ def q_winnow_fingerprints(spark, sf):
     )
 
 
+def q_image_metadata_scrub(spark, sf):
+    """Image metadata scrubbing (imaging/metadata.py): PNG tEXt/zTXt/
+    iTXt/tIME/eXIf chunks and JPEG APPn/COM segments removed at the
+    byte level, pixels untouched. The world's payloads carry no
+    metadata, so the query plants (ascii(last id char) % 3 + 1)
+    deterministic tEXt/COM entries per image, then scrubs — the
+    invariant strip(inject(x)) == x makes the ORIGINAL payload md5
+    (recomputed pure-Python in the oracle meta builder) the expected
+    scrubbed md5, and the planted count the expected n_stripped. A
+    strip that misses a chunk, eats a critical one, or shifts a byte
+    hash-mismatches."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from scrapy_products_tracker_spark.imaging.metadata import (
+        inject_metadata,
+        scrub_image_metadata,
+    )
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+
+    def _inject(batches):
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                n = ord(image_id[-1]) % 3 + 1
+                entries = [
+                    (b"meta%d" % i, (image_id + ":%d" % i).encode()) for i in range(n)
+                ]
+                out.append(inject_metadata(bytes(data), entries))
+            yield pd.DataFrame({"image_id": pdf["image_id"], "bytes": out})
+
+    injected = img.select("image_id", "bytes").mapInPandas(
+        _inject,
+        T.StructType(
+            [
+                T.StructField("image_id", T.StringType()),
+                T.StructField("bytes", T.BinaryType()),
+            ]
+        ),
+    )
+    scrubbed = scrub_image_metadata(injected)
+    return scrubbed.select(
+        "image_id",
+        F.col("n_meta_stripped").alias("n_stripped"),
+        F.md5("bytes").alias("scrub_md5"),
+    )
+
+
 def q_multimodal_decode_stats(spark, sf):
     """Binary image column -> decode/inspect inside Arrow batches
     (mapInPandas): per-format counts, pixel stats, decode success.
@@ -2142,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_best_caption": q_image_dedup_best_caption,
         "image_caption_dedup_survivors": q_image_caption_dedup,
         "multimodal_decode_stats": q_multimodal_decode_stats,
+        "image_metadata_scrub": q_image_metadata_scrub,
         "image_header_integrity": q_image_header_integrity,
         "phash_payload_audit": q_phash_audit,
         "image_quality_scores": q_image_quality,

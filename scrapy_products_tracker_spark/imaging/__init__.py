@@ -9,6 +9,13 @@ from .dataset import (
     pack_shards,
 )
 from .headers import header_integrity_flags, png_header_dims
+from .metadata import (
+    inject_metadata,
+    scrub_image_metadata,
+    strip_image_metadata,
+    strip_jpeg_metadata,
+    strip_png_metadata,
+)
 from .quality import image_quality_stats, quality_metrics
 from .media import (
     audio_stats,
@@ -63,4 +70,9 @@ __all__ = [
     "resize_images",
     "resize_nearest",
     "sample_frames",
+    "inject_metadata",
+    "scrub_image_metadata",
+    "strip_image_metadata",
+    "strip_jpeg_metadata",
+    "strip_png_metadata",
 ]

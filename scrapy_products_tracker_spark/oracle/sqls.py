@@ -1002,6 +1002,15 @@ def oracle_sql() -> dict[str, str]:
                    MAX(image_id) AS last_id
             FROM c GROUP BY 1 ORDER BY shard_id
         """,
+        # strip(inject(x)) == x: scrubbed md5 must equal the builder's
+        # pure-Python md5 of the ORIGINAL payload; n_stripped == the
+        # planted-entry count (id-keyed, same rule both engines)
+        "image_metadata_scrub": f"""
+            SELECT image_id,
+                   CAST((ascii(right(image_id, 1)) % 3) + 1 AS BIGINT) AS n_stripped,
+                   img_md5 AS scrub_md5
+            FROM read_parquet('{p_icm}')
+        """,
         "wds_roundtrip_members": f"""
             WITH c AS (SELECT image_id, n_img_bytes, img_md5,
                               n_payload_bytes - n_img_bytes AS cap_bytes,
