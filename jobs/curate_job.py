@@ -54,6 +54,7 @@ def main(argv=None):
     )
     ap.add_argument("--classifier-margin-unats", type=int, default=0)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--scrub-metadata", action="store_true")
     ap.add_argument("--min-caption-tokens", type=int, default=4)
     ap.add_argument("--min-side-px", type=int, default=16)
     ap.add_argument("--max-aspect-milli", type=int, default=3000)
@@ -78,6 +79,7 @@ def main(argv=None):
             sample_target=args.sample_target,
             shard_budget_bytes=args.shard_budget_bytes,
             range_col=args.range_col,
+            scrub_metadata=args.scrub_metadata,
         )
     else:
         from pyspark.sql import functions as F

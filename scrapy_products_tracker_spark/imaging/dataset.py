@@ -293,12 +293,18 @@ def curate(
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     caption_col: str = "caption",
+    scrub_metadata: bool = False,
 ) -> DataFrame:
     """The end-to-end curation funnel every image+caption pre-training
     corpus runs, composed from this module's operators in one lazy
     plan (no materialization between stages — Catalyst sees the whole
     funnel and prunes/pushes across stage boundaries):
 
+    0. **scrub** (when ``scrub_metadata``) — byte-level EXIF/XMP/
+       comment removal (:func:`~.metadata.scrub_image_metadata`)
+       before anything reads the payload, so the exact-dedup md5 in
+       stage 2 collapses variants differing only in embedded metadata
+       and every published byte is already scrubbed;
     1. **filter** — :func:`laion_filter` row rules (caption length,
        min side, aspect cap; degenerate dims dropped, not fatal);
     2. **exact dedup** — lowest-id survivor per ``md5(bytes)`` group
@@ -326,6 +332,16 @@ def curate(
     stacked id-joins. NULL-``bytes`` rows are singleton dedup clusters
     (per-row key fallback — the md5-NULL-folding trap documented at
     ``dedup/exact.soft_dedup_weights``), never folded and dropped."""
+    if scrub_metadata:
+        from .metadata import scrub_image_metadata
+
+        scrubbed = scrub_image_metadata(df, id_col=id_col)
+        df = df.drop(bytes_col).join(
+            scrubbed.select(
+                F.col("image_id").alias(id_col), F.col("bytes").alias(bytes_col)
+            ),
+            id_col,
+        )
     flags = laion_filter(
         df,
         min_caption_tokens=min_caption_tokens,

@@ -105,6 +105,31 @@ def test_strip_never_touches_critical_or_rendering_chunks():
     assert n == 0 and out == with_trns
 
 
+def test_curate_scrub_metadata_collapses_exif_variants(spark):
+    # two payloads with identical pixels but different embedded
+    # metadata: with scrub_metadata=True the exact-bytes dedup sees
+    # identical scrubbed bytes and keeps the lowest id, and the
+    # surviving payload no longer carries the metadata
+    from scrapy_products_tracker_spark.imaging.dataset import curate
+
+    clean = encode_image(_px(7), "png")
+    cap = "a clear photo of a fox in the forest"
+    rows = [
+        ("a", bytearray(inject_metadata(clean, [(b"gps", b"1,2")])), 6, 5, "png", cap),
+        ("b", bytearray(inject_metadata(clean, [(b"gps", b"3,4")])), 6, 5, "png", cap),
+        ("c", bytearray(encode_image(_px(8), "png")), 6, 5, "png", cap),
+    ]
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    df = spark.createDataFrame(rows, schema)
+    out = curate(df, min_caption_tokens=2, min_side_px=2, scrub_metadata=True).collect()
+    ids = sorted(r["image_id"] for r in out)
+    assert ids == ["a", "c"]
+    assert bytes(next(r["bytes"] for r in out if r["image_id"] == "a")) == clean
+    # without scrubbing, the metadata-differing pair does NOT collapse
+    out2 = curate(df, min_caption_tokens=2, min_side_px=2).collect()
+    assert sorted(r["image_id"] for r in out2) == ["a", "b", "c"]
+
+
 def test_scrub_kernel_map_only_plan(spark):
     rows = [
         ("a", bytearray(encode_image(_px(4), "png"))),
