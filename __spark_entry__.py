@@ -2049,6 +2049,21 @@ def q_cdx_page_index(spark, sf):
     return cdx_index(spark.read.parquet(paths["pages"])).orderBy("urlkey", "url")
 
 
+def q_global_shuffle_rank(spark, sf):
+    """Deterministic global training-order shuffle
+    (functions/sampling.shuffle_rank): rank 0..n-1 in md5(id||salt)
+    order via the two-phase md5-prefix-bucketed rank (no
+    single-partition window over the data). Oracle: one global
+    ROW_NUMBER over the same md5 order — the naive single-window twin
+    of the distributed plan."""
+    from scrapy_products_tracker_spark.functions.sampling import shuffle_rank
+
+    d = _t(spark, sf, "documents")
+    return shuffle_rank(d, id_col="doc_id").select(
+        F.col("id").alias("doc_id"), "shuffle_rank"
+    )
+
+
 def q_temperature_sample(spark, sf):
     """sqrt-temperature re-balanced corpus sample (functions/sampling.
     temperature_sample): per-source counts -> integer milli-unit
@@ -2235,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classify": q_nb_classify,
         "embedding_prototype_filter": q_prototype_filter,
         "temperature_sample_rows": q_temperature_sample,
+        "global_shuffle_rank": q_global_shuffle_rank,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,
         "corpus_curation_pipeline": q_curate_corpus,

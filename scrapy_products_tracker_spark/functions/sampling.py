@@ -141,3 +141,41 @@ def temperature_sample_threshold(
         .filter(F.col("_u") * F.col("_n") < F.col("group_quota"))
         .drop("_n", "_u", "_gkey")
     )
+
+
+def shuffle_rank(
+    df: DataFrame, id_col: str = "doc_id", salt: str = "sh1", prefix_len: int = 3
+) -> DataFrame:
+    """``(id, shuffle_rank)`` — a deterministic global uniform
+    permutation of the corpus: rank 0..n-1 in ``md5(id || salt)``
+    order. The last curation step before sharding a training set (a
+    sequential scan of shards must not replay crawl/source order, or
+    early epochs see one domain at a time); salting re-rolls the
+    permutation per training run while keeping it reproducible and
+    auditable — re-executing the job yields byte-identical order.
+
+    Two-phase distributed rank with a twist that removes
+    ``pack_shards``' caller-supplied range-key contract: the shuffle
+    key is its OWN range key. Global order by ``md5`` == order by
+    (md5-prefix, md5), and the prefix is uniform by construction, so
+    phase 1 aggregates one count per 16^prefix_len bucket (4096 at
+    the default — tiny, balanced, data-independent), phase 2 windows
+    only within a bucket. No single-partition window ever sees the
+    full data, and no assumption about the input's key distribution
+    is needed — the hash makes it uniform."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        key.alias("_k"),
+        F.substring(key, 1, prefix_len).alias("_rng"),
+    )
+    totals = base.groupBy("_rng").agg(F.count(F.lit(1)).alias("_n"))
+    w_ranges = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_rng", F.coalesce(F.sum("_n").over(w_ranges), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_rng").orderBy("_k", "id")
+    return base.join(F.broadcast(offsets), "_rng").select(
+        "id",
+        (F.col("_off") + F.row_number().over(w_in) - 1).cast("long").alias("shuffle_rank"),
+    )

@@ -1161,6 +1161,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(octet_length(encode(body)), 0) AS BIGINT) AS length
             FROM d ORDER BY urlkey, url
         """,
+        # naive single-window twin of the two-phase distributed rank
+        "global_shuffle_rank": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sh1'), doc_id
+                   ) - 1 AS BIGINT) AS shuffle_rank
+            FROM documents
+        """,
         "temperature_sample_rows": r"""
             WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
             w AS (SELECT source, CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT) AS w

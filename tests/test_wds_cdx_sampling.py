@@ -265,3 +265,43 @@ def test_curate_null_bytes_rows_are_singletons(spark):
     )
     ids = sorted(r["image_id"] for r in curate(df).collect())
     assert ids == ["i0", "i1", "i2"]  # NULL-bytes rows never folded as dups
+
+
+def test_shuffle_rank_exact_permutation_and_two_phase_plan(spark):
+    """shuffle_rank: exact 0..n-1 permutation equal to the naive
+    global-window rank, stable under repartitioning, and the
+    distributed plan never runs a row_number window over the full
+    data in one partition (the md5-prefix bucket is the partition
+    key; offsets join broadcasts)."""
+    import re
+
+    from pyspark.sql import Window
+
+    from scrapy_products_tracker_spark.functions.sampling import shuffle_rank
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = shuffle_rank(df, id_col="doc_id", salt="t1")
+    rows = {r["id"]: r["shuffle_rank"] for r in got.collect()}
+    assert sorted(rows.values()) == list(range(500))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("t1")))
+    naive = df.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy(key, "doc_id")) - 1).alias("r"),
+    )
+    assert {r["doc_id"]: r["r"] for r in naive.collect()} == rows
+    # partitioning-independence
+    rows2 = {
+        r["id"]: r["shuffle_rank"]
+        for r in shuffle_rank(df.repartition(7), id_col="doc_id", salt="t1").collect()
+    }
+    assert rows2 == rows
+    # different salt -> different permutation (re-roll)
+    rows3 = {
+        r["id"]: r["shuffle_rank"]
+        for r in shuffle_rank(df, id_col="doc_id", salt="t2").collect()
+    }
+    assert rows3 != rows
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "_rng" in m.group(0), m.group(0)
