@@ -832,6 +832,26 @@ def q_lm_perplexity(spark, sf):
     return TX.lm_bigram_scores(d, vocab_size=64)
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail split (functions/text.perplexity_buckets):
+    per-language 30/40/30 perplexity buckets computed on the QUANTIZED
+    milli-nat score grid (histogram + broadcast cuts — no per-language
+    window over the data; hot-language-skew safe). Aggregated per
+    (lang, bucket): doc count + grid score range. Oracle: the
+    lm_perplexity SQL extended with the same histogram/cut CTEs."""
+    d = _t(spark, sf, "documents")
+    scores = TX.lm_bigram_scores(d, vocab_size=64)
+    scored = scores.join(
+        d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
+    b = TX.perplexity_buckets(scored, group_col="lang")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score_mq").alias("min_mq"),
+        F.max("score_mq").alias("max_mq"),
+    )
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. '23): k-means cells (1 Lloyd's refinement
     from the deterministic seed) + within-cell cosine pruning at
@@ -2242,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_rollup": q_corpus_stats,
         "gopher_repetition": q_gopher_repetition,
         "lm_perplexity_scores": q_lm_perplexity,
+        "perplexity_bucket_split": q_perplexity_buckets,
         "bm25_topk": q_bm25_topk,
         "decontaminate_overlap": q_decontaminate,
         "corpus_split_counts": q_corpus_split_counts,

@@ -514,6 +514,96 @@ def lm_bigram_scores(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str | None = None,
+    id_col: str = "doc",
+    nll_col: str = "nll_unats",
+    n_col: str = "n_bigrams",
+    head_permille: int = 300,
+    mid_permille: int = 700,
+    quant_milli: int = 1000,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. LREC'20
+    §4.3): per ``group_col`` (language), the lowest-perplexity
+    ``head_permille``‰ of documents are 'head', the next slice up to
+    ``mid_permille``‰ 'middle', the rest 'tail'. Input is
+    :func:`lm_bigram_scores` output (or anything with integer
+    ``nll_col``/``n_col``).
+
+    Scale design — the percentile is computed on a QUANTIZED score
+    grid, not on rows: ``score_mq = div(nll * quant_milli, n * unit)``
+    (milli-nats per bigram — a finite grid of ~0..20k values however
+    big the corpus is). The histogram ``(group, score_mq) → count`` is
+    one map-side-combinable aggregate whose size is bounded by
+    |groups|·|grid|, the cumulative window runs over THAT tiny table,
+    and the two cut scores per group broadcast back for a row-local
+    bucket label. No per-group window ever touches the full data — the
+    hot-language skew that a naive ``percent_rank() OVER (PARTITION BY
+    lang)`` would hit (one partition = 90% of a 100 TB corpus) never
+    materializes. The trade is explicit and deterministic: documents
+    sharing a quantized score share a bucket (a tie on the grid is
+    never split), so bucket boundaries land on grid edges — the same
+    rounding CCNet's binned perplexity thresholds make.
+
+    Cut semantics (exact, integer-only): ``head_cut`` = smallest grid
+    score whose cumulative count reaches ``ceil(head_permille/1000 ·
+    n_group)`` (``cum·1000 >= head_permille·total``); same for
+    ``mid_cut``. Returns the input columns plus ``score_mq`` and
+    ``bucket``. NULL group values form their own group."""
+    if not (0 < head_permille < mid_permille < 1000):
+        raise ValueError("need 0 < head_permille < mid_permille < 1000")
+    from pyspark.sql import Window
+
+    g = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+        if group_col
+        else F.lit("")
+    )
+    q = F.expr(f"div({nll_col} * {int(quant_milli)}, {n_col} * {int(unit)})")
+    base = scored.withColumn("_g", g).withColumn("score_mq", q)
+    hist = base.groupBy("_g", "score_mq").agg(F.count(F.lit(1)).alias("_n"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("score_mq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_g",
+        "score_mq",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    )
+    cuts = cum.groupBy("_g").agg(
+        F.min(
+            F.when(
+                F.col("_cum") * 1000 >= F.lit(int(head_permille)) * F.col("_tot"),
+                F.col("score_mq"),
+            )
+        ).alias("_head_cut"),
+        F.min(
+            F.when(
+                F.col("_cum") * 1000 >= F.lit(int(mid_permille)) * F.col("_tot"),
+                F.col("score_mq"),
+            )
+        ).alias("_mid_cut"),
+    )
+    return (
+        base.join(F.broadcast(cuts), "_g")
+        .withColumn(
+            "bucket",
+            F.when(F.col("score_mq") <= F.col("_head_cut"), F.lit("head"))
+            .when(F.col("score_mq") <= F.col("_mid_cut"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_g", "_head_cut", "_mid_cut")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

@@ -927,6 +927,58 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(-SUM(u) AS BIGINT) / 1000000.0 / count(*), 6) AS avg_nll
             FROM sc GROUP BY doc
         """,
+        # lm_perplexity CTEs + the quantized-grid histogram/cut logic
+        # (score_mq = milli-nats/bigram; cut = smallest grid score whose
+        # cumulative count reaches the permille target)
+        "perplexity_bucket_split": r"""
+            WITH w AS (SELECT doc_id AS doc,
+                              CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+                                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS w
+                       FROM documents),
+            tok AS (SELECT doc, i AS pos, w[i] AS tok
+                    FROM w, unnest(generate_series(1, len(w))) AS t(i)
+                    WHERE w IS NOT NULL),
+            uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            voc AS (SELECT tok FROM uni ORDER BY c DESC, tok LIMIT 64),
+            m AS (SELECT doc, pos,
+                         CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                              ELSE '<unk>' END AS m
+                  FROM tok),
+            bg AS (SELECT doc,
+                          COALESCE(LAG(m) OVER (PARTITION BY doc ORDER BY pos), '<s>') AS p,
+                          m
+                   FROM m),
+            c12 AS (SELECT p, m, count(*) AS c12 FROM bg GROUP BY p, m),
+            c1 AS (SELECT p, count(*) AS c1 FROM bg GROUP BY p),
+            sc AS (SELECT bg.doc,
+                          CAST(round(ln((c12.c12 + 0.5) / (c1.c1 + 32.5)) * 1000000) AS BIGINT) AS u
+                   FROM bg JOIN c12 USING (p, m) JOIN c1 USING (p)),
+            perdoc AS (SELECT doc, count(*) AS n_bigrams,
+                              CAST(-SUM(u) AS BIGINT) AS nll_unats
+                       FROM sc GROUP BY doc),
+            scored AS (SELECT d.lang, perdoc.doc,
+                              CAST(nll_unats * 1000 // (n_bigrams * 1000000) AS BIGINT) AS score_mq
+                       FROM perdoc JOIN documents d ON d.doc_id = perdoc.doc),
+            hist AS (SELECT lang, score_mq, count(*) AS n FROM scored GROUP BY 1, 2),
+            cum AS (SELECT lang, score_mq, n,
+                           SUM(n) OVER (PARTITION BY lang ORDER BY score_mq
+                                        ROWS UNBOUNDED PRECEDING) AS c,
+                           SUM(n) OVER (PARTITION BY lang) AS tot
+                    FROM hist),
+            cuts AS (SELECT lang,
+                            MIN(CASE WHEN c * 1000 >= 300 * tot THEN score_mq END) AS head_cut,
+                            MIN(CASE WHEN c * 1000 >= 700 * tot THEN score_mq END) AS mid_cut
+                     FROM cum GROUP BY lang),
+            lab AS (SELECT s.lang, s.score_mq,
+                           CASE WHEN s.score_mq <= cuts.head_cut THEN 'head'
+                                WHEN s.score_mq <= cuts.mid_cut THEN 'middle'
+                                ELSE 'tail' END AS bucket
+                    FROM scored s JOIN cuts USING (lang))
+            SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(score_mq) AS BIGINT) AS min_mq,
+                   CAST(MAX(score_mq) AS BIGINT) AS max_mq
+            FROM lab GROUP BY lang, bucket
+        """,
         "semdedup_survivors": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             c0 AS (SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16),

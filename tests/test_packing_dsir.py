@@ -99,3 +99,26 @@ def test_dsir_broadcast_plan(spark):
     )
     assert "BroadcastHashJoin" in plan  # score table joins broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_cuts_and_ties(spark):
+    """CCNet 30/40/30 split on the quantized grid: exact cut semantics
+    (smallest grid score whose cumulative count reaches the permille
+    target), tie-never-split, per-group independence, and the scale
+    shape (cuts broadcast back; no sort-merge join)."""
+    from scrapy_products_tracker_spark.functions.text import perplexity_buckets
+
+    # lang A: scores 1..10 (one doc each) -> head {1,2,3}, middle {4..7}
+    # lang B: all ties at 5 -> one grid point, everything 'head'
+    rows = [(i, 1000, i * 1_000_000, "A") for i in range(1, 11)]
+    rows += [(100 + j, 1000, 5_000_000, "B") for j in range(4)]
+    df = spark.createDataFrame(rows, "doc long, n_bigrams long, nll_unats long, lang string")
+    out = perplexity_buckets(df, group_col="lang")
+    got = {(r["lang"], r["doc"]): (r["score_mq"], r["bucket"]) for r in out.collect()}
+    for i in range(1, 11):
+        want = "head" if i <= 3 else ("middle" if i <= 7 else "tail")
+        assert got[("A", i)] == (i, want), (i, got[("A", i)])
+    for j in range(4):
+        assert got[("B", 100 + j)] == (5, "head")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
