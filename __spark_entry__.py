@@ -2069,6 +2069,26 @@ def q_cdx_page_index(spark, sf):
     return cdx_index(spark.read.parquet(paths["pages"])).orderBy("urlkey", "url")
 
 
+def q_mixture_sample(spark, sf):
+    """Explicit-mixture sampling (functions/sampling.mixture_sample):
+    Pile/DoReMi-style curated per-language weights {en:500, fr:200,
+    de:150, es:150} per-mille over target 120 — zh absent from the
+    recipe and therefore dropped (a mixture is an allowlist).
+    Deterministic md5-rank selection. Oracle: literal quota VALUES +
+    the same md5 rank in SQL."""
+    from scrapy_products_tracker_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    out = mixture_sample(
+        d.select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        120,
+        {"en": 500, "fr": 200, "de": 150, "es": 150},
+    )
+    return out.select("doc_id", "lang", "sample_rank", "group_quota")
+
+
 def q_global_shuffle_rank(spark, sf):
     """Deterministic global training-order shuffle
     (functions/sampling.shuffle_rank): rank 0..n-1 in md5(id||salt)
@@ -2272,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_prototype_filter": q_prototype_filter,
         "temperature_sample_rows": q_temperature_sample,
         "global_shuffle_rank": q_global_shuffle_rank,
+        "mixture_sample_rows": q_mixture_sample,
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,
         "corpus_curation_pipeline": q_curate_corpus,

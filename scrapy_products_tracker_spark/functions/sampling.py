@@ -179,3 +179,49 @@ def shuffle_rank(
         "id",
         (F.col("_off") + F.row_number().over(w_in) - 1).cast("long").alias("shuffle_rank"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total_target: int,
+    weights: dict[str, int],
+    salt: str = "mx1",
+) -> DataFrame:
+    """Explicit-mixture sampling — the Pile/DoReMi idiom where the
+    per-source proportions are a CURATED input (e.g. ``{"wiki": 400,
+    "web": 550, "code": 50}`` per-mille-style integer weights), not a
+    function of the observed counts like :func:`temperature_sample`'s
+    sqrt rule. Keeps min(quota_g, n_g) rows per group where
+    ``quota_g = div(total_target * w_g, sum(w))`` (int64-exact, floor;
+    remainder deliberately dropped so quotas are a pure function of
+    the weights table); groups absent from ``weights`` get weight 0
+    and are dropped — an explicit mixture IS an allowlist. Selection
+    is the same deterministic md5 rank (reproducible, auditable,
+    partitioning-independent). A group smaller than its quota simply
+    yields all its rows (``sample_rank <= quota`` — no redistribution;
+    under-filled mixtures are the caller's signal the corpus can't
+    serve the recipe, not something to paper over).
+
+    Plan: the weights dict is a broadcast literal table; one group-key
+    exchange for the rank window — identical shape to
+    temperature_sample."""
+    if total_target <= 0:
+        raise ValueError("total_target must be > 0")
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    tw = sum(weights.values())
+    if tw <= 0:
+        raise ValueError("weights must sum > 0")
+    rows = [(k, int(total_target) * int(w) // tw) for k, w in sorted(weights.items())]
+    spark = df.sparkSession
+    quotas = spark.createDataFrame(rows, "_gkey string, group_quota long")
+    keyed = df.withColumn("_gkey", _null_safe_key(group_col))
+    w = Window.partitionBy("_gkey").orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), id_col
+    )
+    ranked = keyed.join(F.broadcast(quotas), "_gkey").withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.filter(F.col("sample_rank") <= F.col("group_quota")).drop("_gkey")

@@ -1213,6 +1213,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(octet_length(encode(body)), 0) AS BIGINT) AS length
             FROM d ORDER BY urlkey, url
         """,
+        # literal quota table (120 * w // 1000) + the same md5 rank
+        "mixture_sample_rows": """
+            WITH q(lang, group_quota) AS (
+              VALUES ('en', CAST(60 AS BIGINT)), ('fr', CAST(24 AS BIGINT)),
+                     ('de', CAST(18 AS BIGINT)), ('es', CAST(18 AS BIGINT))),
+            r AS (SELECT d.doc_id, d.lang, q.group_quota,
+                         CAST(ROW_NUMBER() OVER (
+                             PARTITION BY d.lang
+                             ORDER BY md5('mx1' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+                         ) AS BIGINT) AS sample_rank
+                  FROM documents d JOIN q USING (lang))
+            SELECT doc_id, lang, sample_rank, group_quota
+            FROM r WHERE sample_rank <= group_quota
+        """,
         # naive single-window twin of the two-phase distributed rank
         "global_shuffle_rank": """
             SELECT doc_id,

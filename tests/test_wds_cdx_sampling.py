@@ -305,3 +305,36 @@ def test_shuffle_rank_exact_permutation_and_two_phase_plan(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
         assert "_rng" in m.group(0), m.group(0)
+
+
+def test_mixture_sample_quotas_allowlist_underfill(spark):
+    """Explicit mixture: int64-exact quotas from curated weights,
+    groups absent from the recipe dropped (allowlist), under-filled
+    groups yield all rows with no redistribution, NULL group handled
+    via the null-safe key (only if present in weights)."""
+    from scrapy_products_tracker_spark.functions.sampling import mixture_sample
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(200 + i, "code") for i in range(3)]   # under-filled
+        + [(300 + i, "spam") for i in range(50)]  # not in recipe
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(df, "src", "doc_id", 40, {"web": 700, "code": 300})
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["src"], []).append(r)
+    # quotas: web 40*700//1000 = 28, code 40*300//1000 = 12
+    assert len(got["web"]) == 28 and all(r["group_quota"] == 28 for r in got["web"])
+    assert len(got["code"]) == 3  # all rows; quota 12 unfilled
+    assert "spam" not in got
+    # determinism: same call -> same ids
+    ids1 = sorted(r["doc_id"] for r in got["web"])
+    out2 = mixture_sample(df, "src", "doc_id", 40, {"web": 700, "code": 300})
+    assert sorted(r["doc_id"] for r in out2.collect() if r["src"] == "web") == ids1
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", "doc_id", 0, {"web": 1})
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", "doc_id", 10, {})
