@@ -1,4 +1,9 @@
-from .sampling import shuffle_rank, temperature_sample, temperature_sample_threshold
+from .sampling import (
+    mixture_sample,
+    shuffle_rank,
+    temperature_sample,
+    temperature_sample_threshold,
+)
 from .text import chunk_windows, perplexity_buckets, pii_counts, pii_scrub, pii_scrub_stats
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
@@ -13,6 +18,7 @@ from .urls import (
 
 __all__ = [
     "chunk_windows",
+    "mixture_sample",
     "perplexity_buckets",
     "pii_counts",
     "pii_scrub",
