@@ -55,6 +55,8 @@ def main(argv=None):
     ap.add_argument("--classifier-margin-unats", type=int, default=0)
     ap.add_argument("--scrub-pii", action="store_true")
     ap.add_argument("--scrub-metadata", action="store_true")
+    ap.add_argument("--ppl-drop-tail", action="store_true")
+    ap.add_argument("--ppl-group-col", default=None)
     ap.add_argument("--min-caption-tokens", type=int, default=4)
     ap.add_argument("--min-side-px", type=int, default=16)
     ap.add_argument("--max-aspect-milli", type=int, default=3000)
@@ -104,6 +106,8 @@ def main(argv=None):
             ),
             classifier_margin_unats=args.classifier_margin_unats,
             scrub_pii=args.scrub_pii,
+            ppl_drop_tail=args.ppl_drop_tail,
+            ppl_group_col=args.ppl_group_col,
         )
 
     out.write.mode("overwrite").parquet(args.output)

@@ -180,6 +180,9 @@ def curate_corpus(
     classifier_margin_unats: int = 0,
     classifier_buckets: int = 512,
     scrub_pii: bool = False,
+    ppl_drop_tail: bool = False,
+    ppl_group_col: str | None = None,
+    ppl_vocab_size: int = 64,
 ) -> DataFrame:
     """The end-to-end TEXT curation funnel an LM pre-training corpus
     runs — the documents-table twin of ``imaging/dataset.curate`` —
@@ -201,6 +204,11 @@ def curate_corpus(
        :mod:`~..functions.classify`): train target-vs-background on
        the rule-labeled survivors themselves, keep rows whose
        target log-odds margin ``>= classifier_margin_unats``;
+    1c. **perplexity gate** (when ``ppl_drop_tail``) — the CCNet
+       head/middle/tail split (:func:`~..functions.text
+       .perplexity_buckets` over a self-trained
+       :func:`~..functions.text.lm_bigram_scores` LM, grouped by
+       ``ppl_group_col``): the worst-30% 'tail' slice is dropped;
     2. **dedup** — :func:`dedup_corpus` (exact fingerprint first-wins +
        MinHash-LSH near-dup; ``transitive=True`` for cluster-exact
        min-label components);
@@ -279,6 +287,30 @@ def curate_corpus(
             margins.filter(
                 F.col("_margin") >= F.lit(int(classifier_margin_unats))
             ).select(F.col("id").alias(id_col)),
+            id_col,
+        )
+    if ppl_drop_tail:
+        # 1c. perplexity gate (the other half of the CCNet recipe):
+        # self-train the bigram LM on the survivors, split per
+        # ppl_group_col (language) into head/middle/tail on the
+        # quantized score grid, and drop the worst-30% tail. Both
+        # operators keep their own scale contracts (broadcast LM
+        # count tables; histogram+broadcast-cuts split — no
+        # per-language window over the data).
+        from ..functions.text import lm_bigram_scores, perplexity_buckets
+
+        scores = lm_bigram_scores(
+            kept, vocab_size=ppl_vocab_size, id_col=id_col, text_col=text_col
+        )
+        if ppl_group_col is not None:
+            scores = scores.join(
+                kept.select(F.col(id_col).alias("doc"), ppl_group_col), "doc"
+            )
+        buckets = perplexity_buckets(scores, group_col=ppl_group_col)
+        kept = kept.join(
+            buckets.filter(F.col("bucket") != "tail").select(
+                F.col("doc").alias(id_col)
+            ),
             id_col,
         )
     out = dedup_corpus(

@@ -108,3 +108,43 @@ def test_pii_and_chunking_plans_are_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     assert "Exchange" not in _plan(pii_scrub_stats(df))
     assert "Exchange" not in _plan(chunk_windows(df))
+
+
+def test_curate_corpus_ppl_gate_drops_tail(spark):
+    """ppl_drop_tail: the funnel's kept set minus the gated set must
+    be exactly the docs perplexity_buckets labels 'tail' on the same
+    survivors (consistency against the standalone operators)."""
+    import random
+
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+    from scrapy_products_tracker_spark.functions.text import (
+        lm_bigram_scores,
+        perplexity_buckets,
+    )
+
+    rnd = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(40)), "en")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base_kwargs = dict(min_tokens=5, min_quality=0.0, threshold=0.99, n_hashes=8, bands=8)
+    without = {r["doc_id"] for r in curate_corpus(df, **base_kwargs).collect()}
+    gated = {
+        r["doc_id"]
+        for r in curate_corpus(
+            df, ppl_drop_tail=True, ppl_group_col="lang", **base_kwargs
+        ).collect()
+    }
+    # all 20 docs pass the rule stage here, so the standalone split
+    # over df is exactly the split the funnel computed over `kept`
+    scores = lm_bigram_scores(df, vocab_size=64)
+    scored = scores.join(df.select(F.col("doc_id").alias("doc"), "lang"), "doc")
+    tail = {
+        r["doc"]
+        for r in perplexity_buckets(scored, group_col="lang")
+        .filter(F.col("bucket") == "tail")
+        .collect()
+    }
+    assert gated and tail and gated == without - tail
