@@ -409,7 +409,17 @@ def write_world(world: World, out_dir: str) -> dict[str, str]:
             for f in missing:
                 df[f] = None
         path = str(p / f"{name}.parquet")
-        pq.write_table(pa.Table.from_pandas(df, schema=schemas[name], preserve_index=False), path)
+        # bounded row groups (pyarrow's default is 1M rows/group, which
+        # at --big-scale worlds makes ~1.1 GB groups of binary payloads
+        # — Spark's vectored parquet read fetches a whole consecutive
+        # part per task and hits its 300 s range-read time limit, and a
+        # 1 GB group is also the wrong split granularity for any
+        # parallel scan). 64k rows ≈ 25-70 MB groups here.
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=schemas[name], preserve_index=False),
+            path,
+            row_group_size=65_536,
+        )
         out[name] = path
     return out
 
