@@ -1246,6 +1246,53 @@ def q_image_metadata_scrub(spark, sf):
     )
 
 
+def q_cdc_chunk_stats(spark, sf):
+    """Content-defined chunking (dedup/cdc.py): the vectorized
+    sliding-window Gear kernel over the T1 payloads vs the oracle's
+    textbook reset-style per-byte loop (builders.build_cdc_chunks) —
+    per image the chunk count, byte total, and an order-sensitive md5
+    chain over the chunk md5s pin every cut point and every chunk
+    byte (the two formulations are provably equal for min_size >= 64;
+    this gate is the executable proof)."""
+    from scrapy_products_tracker_spark.dedup.cdc import cdc_chunks
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+    ch = cdc_chunks(img)
+    return ch.groupBy("image_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("length").alias("total_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_md5"))),
+                    lambda x: x["chunk_md5"],
+                ),
+                "",
+            )
+        ).alias("chain_md5"),
+    )
+
+
+def q_cdc_dedup_stats(spark, sf):
+    """Chunk-store dedup accounting (dedup/cdc.py:cdc_dedup_stats)
+    with PLANTED duplicate files: payloads whose id's last char has
+    ascii % 3 == 0 are re-ingested under ``id || '~dup'``. A duplicate
+    file must chunk to the identical md5 stream, so ``uniq_bytes``
+    counts its bytes ONCE — the content-addressing invariant a
+    chunk-addressed store relies on. The oracle plants the same
+    duplicates over the independently-chunked ground truth, so any
+    id- or order-dependence in the engine kernel breaks the match."""
+    from scrapy_products_tracker_spark.dedup.cdc import cdc_chunks, cdc_dedup_stats
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).select("image_id", "bytes")
+    dups = img.where(F.ascii(F.substring("image_id", -1, 1)) % 3 == 0).select(
+        F.concat(F.col("image_id"), F.lit("~dup")).alias("image_id"), "bytes"
+    )
+    return cdc_dedup_stats(cdc_chunks(img.unionByName(dups)))
+
+
 def q_multimodal_decode_stats(spark, sf):
     """Binary image column -> decode/inspect inside Arrow batches
     (mapInPandas): per-format counts, pixel stats, decode success.
@@ -2248,6 +2295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_dedup_survivors": q_image_caption_dedup,
         "multimodal_decode_stats": q_multimodal_decode_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
         "image_header_integrity": q_image_header_integrity,
         "phash_payload_audit": q_phash_audit,
         "image_quality_scores": q_image_quality,

@@ -1,4 +1,5 @@
 from .bloom import bucket_col, optimal_params, with_bloom_hashes
+from .cdc import cdc_chunks, cdc_dedup_stats
 from .cuckoo import CuckooFilter
 from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch, soft_dedup_weights
 from .seen_table import BloomTable, CuckooTable, open_seen_table
@@ -18,6 +19,8 @@ __all__ = [
     "CuckooTable",
     "anti_join_on_hash",
     "bucket_col",
+    "cdc_chunks",
+    "cdc_dedup_stats",
     "dedup_against_frontier",
     "dedup_within_batch",
     "soft_dedup_weights",

@@ -1395,3 +1395,70 @@ def build_incremental_image_inputs() -> str:
         "incremental_image_inputs.parquet",
         schema,
     )
+
+
+def build_cdc_chunks(min_size: int = 64, avg_size: int = 512, max_size: int = 2048) -> str:
+    """Per-chunk ground truth for the content-defined-chunking oracles
+    (dedup/cdc.py): the TEXTBOOK reset-style Gear loop — ``h = (h << 1
+    + GEAR[b]) mod 2^64`` per byte, ``h = 0`` at each chunk start, cut
+    when the top ``log2(avg_size)`` bits are zero and the chunk has
+    reached ``min_size``, forced cut at ``max_size``, short tail kept —
+    over the T1 world's image payloads.  The engine kernel computes the
+    same cuts from a vectorized SLIDING-WINDOW hash (equal to this loop
+    whenever ``min_size >= 64`` — dedup/cdc.py module docstring);
+    agreeing chunk tables pin that equivalence.  splitmix64 is
+    re-implemented here so no table-construction code is shared."""
+    import pyarrow as pa
+
+    m64 = (1 << 64) - 1
+
+    def smix(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) & m64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m64
+        return z ^ (z >> 31)
+
+    gear = [smix(b) for b in range(256)]
+    bits = avg_size.bit_length() - 1
+    mask = ((1 << bits) - 1) << (64 - bits)
+
+    world, _ = _sim_world()
+    ic = world.image_caption
+    rows = []
+    for image_id, data in zip(ic["image_id"], ic["bytes"]):
+        b = bytes(data)
+        if not b:
+            continue
+        h = 0
+        start = 0
+        idx = 0
+        spans = []
+        for i, byte in enumerate(b):
+            h = ((h << 1) + gear[byte]) & m64
+            ln = i - start + 1
+            if (ln >= min_size and (h & mask) == 0) or ln == max_size:
+                spans.append((start, ln))
+                start = i + 1
+                h = 0
+        if start < len(b):
+            spans.append((start, len(b) - start))
+        for idx, (off, ln) in enumerate(spans):
+            rows.append(
+                {
+                    "image_id": image_id,
+                    "chunk_idx": idx,
+                    "offset": off,
+                    "length": ln,
+                    "chunk_md5": hashlib.md5(b[off : off + ln]).hexdigest(),
+                }
+            )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("chunk_idx", pa.int32()),
+            ("offset", pa.int64()),
+            ("length", pa.int64()),
+            ("chunk_md5", pa.string()),
+        ]
+    )
+    return _write(pd.DataFrame(rows), "cdc_chunks.parquet", schema)

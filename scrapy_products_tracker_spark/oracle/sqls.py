@@ -38,6 +38,7 @@ def oracle_sql() -> dict[str, str]:
     p_bands = OB.build_band_assignments()
     p_mm = OB.build_multimodal_expected()
     p_icm = OB.build_image_caption_meta()
+    p_cdc = OB.build_cdc_chunks()
     p_pcdx = OB.build_pages_table()
     _BLOCK_SQL = " + ".join(
         f"(CASE WHEN caption IS NOT NULL AND regexp_matches(caption, '(?i)\\b{t}\\b') THEN 1 ELSE 0 END)"
@@ -1062,6 +1063,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((ascii(right(image_id, 1)) % 3) + 1 AS BIGINT) AS n_stripped,
                    img_md5 AS scrub_md5
             FROM read_parquet('{p_icm}')
+        """,
+        "cdc_chunk_stats": f"""
+            SELECT image_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(length) AS BIGINT) AS total_len,
+                   md5(string_agg(chunk_md5, '' ORDER BY chunk_idx)) AS chain_md5
+            FROM read_parquet('{p_cdc}')
+            GROUP BY image_id
+        """,
+        "cdc_dedup_stats": f"""
+            WITH base AS (SELECT * FROM read_parquet('{p_cdc}')),
+                 a AS (SELECT * FROM base
+                       UNION ALL
+                       SELECT image_id || '~dup' AS image_id,
+                              chunk_idx, "offset", length, chunk_md5
+                       FROM base WHERE ascii(right(image_id, 1)) % 3 = 0),
+                 u AS (SELECT DISTINCT chunk_md5, length FROM a)
+            SELECT CAST((SELECT COUNT(DISTINCT image_id) FROM a) AS BIGINT) AS n_files,
+                   CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS total_chunks,
+                   CAST((SELECT SUM(length) FROM a) AS BIGINT) AS total_bytes,
+                   CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS uniq_chunks,
+                   CAST((SELECT SUM(length) FROM u) AS BIGINT) AS uniq_bytes,
+                   CAST((SELECT SUM(length) FROM a)
+                        - (SELECT SUM(length) FROM u) AS BIGINT) AS dup_bytes
         """,
         "wds_roundtrip_members": f"""
             WITH c AS (SELECT image_id, n_img_bytes, img_md5,
