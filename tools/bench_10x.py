@@ -45,6 +45,12 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(args.cpus))
+    if args.big_scale and args.big_scale >= 20:
+        # a >=20x world's image table is multi-GB; 32 concurrent
+        # vectored-parquet readers OOM the 8g default heap (measured at
+        # 50x: ~72 MB row groups x 32 tasks x decode buffers > 8g).
+        # Size the single local JVM to the world, still env-overridable.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
     import bench
     from scrapy_products_tracker_spark.session import get_spark
     from scrapy_products_tracker_spark.synth import BENCH
