@@ -775,6 +775,79 @@ def q_revisit_priority(spark, sf):
     return revisit_priority(spark, store)
 
 
+def q_price_change_events(spark, sf):
+    """The tracker's headline deliverable over the REAL engine history
+    table: one row per observed price change (url, session, round,
+    prev->new cents) — the set the reference's exporter diffs per
+    product in Python (database/crud.py). Oracle = the same lag SQL
+    over the simulator's ground-truth history rows."""
+    from scrapy_products_tracker_spark.products import price_change_events
+
+    store, _ = _crawl_store(spark)
+    return price_change_events(spark, store)
+
+
+def q_asof_price_join(spark, sf):
+    """As-of join (functions/joins.py union-tag sweep): each 'view'
+    event matched to the same user's latest preceding 'purchase'
+    quote on an epoch-micros timeline. Oracle = DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — an independent sort-merge implementation of
+    the identical semantics (ties pre-aggregated max-cents on both
+    sides so the match is unique)."""
+    from scrapy_products_tracker_spark.functions import asof_join
+
+    e = _t(spark, sf, "events")
+    probes = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    quotes = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("q_ts"))
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("quote_cents"))
+    )
+    return asof_join(
+        probes,
+        quotes,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="q_ts",
+        value_cols=["quote_cents"],
+        right_ts_alias="quote_ts",
+    )
+
+
+def q_interval_range_join(spark, sf):
+    """Bucketized interval range join (functions/joins.py): count each
+    purchase's follow-on clicks within a 6-hour half-open window, per
+    user — equi-join on (user, time-bucket) + exact residual, never an
+    inequality join. Oracle = DuckDB's native inequality join over the
+    same windows."""
+    from scrapy_products_tracker_spark.functions import range_join
+
+    e = _t(spark, sf, "events")
+    h6 = 6 * 3600 * 1_000_000  # 6h in micros == bucket width
+    points = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_ts"),
+    )
+    wins = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("w_start"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(h6)).alias("w_end"),
+    )
+    pairs = range_join(
+        points, wins, on="user_id", point_ts="c_ts",
+        start_col="w_start", end_col="w_end", bucket_width=h6,
+    )
+    return pairs.groupBy("win_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("click_id").alias("first_click"),
+        F.max("click_id").alias("last_click"),
+    )
+
+
 def q_kmeans_refine(spark, sf):
     """IVF quantizer TRAINING: two Lloyd's iterations from the
     deterministic seed (row-local argmax assignment + tiny (cell,dim)
@@ -2318,6 +2391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_cap_survivors": q_template_cap_survivors,
         "adaptive_budget_step": q_adaptive_budgets,
         "revisit_priority": q_revisit_priority,
+        "price_change_events": q_price_change_events,
+        "asof_price_join": q_asof_price_join,
+        "interval_range_join": q_interval_range_join,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
         "bpe_segment_tokens": q_bpe_segment,

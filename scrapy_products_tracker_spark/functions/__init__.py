@@ -4,6 +4,7 @@ from .sampling import (
     temperature_sample,
     temperature_sample_threshold,
 )
+from .joins import asof_join, range_join
 from .text import chunk_windows, perplexity_buckets, pii_counts, pii_scrub, pii_scrub_stats
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
@@ -17,6 +18,8 @@ from .urls import (
 )
 
 __all__ = [
+    "asof_join",
+    "range_join",
     "chunk_windows",
     "mixture_sample",
     "perplexity_buckets",

@@ -248,6 +248,40 @@ def oracle_sql() -> dict[str, str]:
                              WHEN n_changes > 0 THEN 2 ELSE 4 END AS INT) AS revisit_after_sessions
             FROM s
         """,
+        "price_change_events": f"""
+            WITH h AS (SELECT url, session, round, current_price_cents AS new_cents,
+                              lag(current_price_cents) OVER (PARTITION BY url ORDER BY session, round) AS prev_cents,
+                              row_number() OVER (PARTITION BY url ORDER BY session, round) AS rn
+                       FROM read_parquet('{p_export}'))
+            SELECT url, session, round, prev_cents, new_cents,
+                   new_cents - prev_cents AS delta_cents
+            FROM h WHERE rn > 1 AND new_cents IS DISTINCT FROM prev_cents
+        """,
+        # independent algorithm on purpose: the engine runs a union-tag
+        # window sweep; DuckDB runs its native sort-merge ASOF JOIN
+        "asof_price_join": """
+            WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'view'),
+            q AS (SELECT user_id, epoch_us(ts) AS q_ts,
+                         max(CAST(round(value * 100) AS BIGINT)) AS quote_cents
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT p.event_id, p.user_id, p.ts_us, q.q_ts AS quote_ts, q.quote_cents
+            FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.ts_us >= q.q_ts
+        """,
+        # engine side is a bucketized equi-join; oracle is the naive
+        # inequality join DuckDB plans natively
+        "interval_range_join": """
+            WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_ts
+                       FROM events WHERE event_type = 'click'),
+            w AS (SELECT event_id AS win_id, user_id, epoch_us(ts) AS w_start,
+                         epoch_us(ts) + 21600000000 AS w_end
+                  FROM events WHERE event_type = 'purchase')
+            SELECT w.win_id, count(*) AS n_clicks,
+                   min(c.click_id) AS first_click, max(c.click_id) AS last_click
+            FROM w JOIN c ON c.user_id = w.user_id
+                         AND c.c_ts >= w.w_start AND c.c_ts < w.w_end
+            GROUP BY 1
+        """,
         "crawl_end_to_end": f"""
             SELECT round, url, domain, within_round_rank FROM read_parquet('{p_order}')
         """,

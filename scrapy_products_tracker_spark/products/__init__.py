@@ -14,7 +14,7 @@ from .export import (
     stop_tracking,
     write_csv,
 )
-from .revisit import revisit_priority
+from .revisit import price_change_events, revisit_priority
 
 __all__ = [
     "HISTORY_COLS",
@@ -28,6 +28,7 @@ __all__ = [
     "export_session",
     "run_incremental_export",
     "revisit_priority",
+    "price_change_events",
     "stop_tracking",
     "write_csv",
 ]

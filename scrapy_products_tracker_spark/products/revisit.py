@@ -65,3 +65,44 @@ def revisit_priority(
         .cast("int")
         .alias("revisit_after_sessions"),
     )
+
+
+def price_change_events(
+    spark: SparkSession,
+    store,
+    price_col: str = "current_price_cents",
+) -> DataFrame:
+    """The tracker's headline deliverable as a set, not a rate: one
+    row per OBSERVED price change — (url, session, round, prev_cents,
+    new_cents, delta_cents).  The reference computes this per-product
+    in the exporter (``database/crud.py`` history SELECT + Python
+    diff); here it's the same ONE url-keyed window the revisit policy
+    uses, so both ride a single Exchange of the history table.
+
+    NULL-safe like :func:`revisit_priority`: NULL->value and
+    value->NULL are changes (a parse failure recovering, or a product
+    going dark, both matter to a price alert), NULL->NULL is not, and
+    the first observation is never a change.  ``delta_cents`` is NULL
+    when either side is NULL (no numeric delta exists).
+    """
+    history = store.read_history(spark)
+    if history is None:
+        raise ValueError("no history table committed yet")
+    w = Window.partitionBy("url").orderBy("session", "round")
+    obs = history.select(
+        "url",
+        "session",
+        "round",
+        F.col(price_col).alias("new_cents"),
+        F.lag(price_col).over(w).alias("prev_cents"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    changed = (F.col("_rn") > 1) & ~F.col("new_cents").eqNullSafe(F.col("prev_cents"))
+    return obs.filter(changed).select(
+        "url",
+        "session",
+        "round",
+        "prev_cents",
+        "new_cents",
+        (F.col("new_cents") - F.col("prev_cents")).alias("delta_cents"),
+    )

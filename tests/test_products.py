@@ -189,6 +189,35 @@ def test_revisit_priority_change_rates(spark):
     assert got["e"]["n_changes"] == 1 and got["e"]["revisit_after_sessions"] == 1
 
 
+def test_price_change_events_set(spark):
+    """price_change_events: the change SET matching revisit's counts —
+    same NULL semantics, plus the delta is NULL when either side is."""
+    from scrapy_products_tracker_spark.products import price_change_events
+
+    rows = [
+        ("a", 100, 1, 1), ("a", 100, 2, 1),                      # no change
+        ("b", 100, 1, 1), ("b", 250, 2, 1),                      # +150
+        ("e", None, 1, 1), ("e", None, 2, 1), ("e", 100, 3, 1),  # NULL->100
+        ("f", 100, 1, 1), ("f", None, 2, 1),                     # 100->NULL
+    ]
+
+    class FakeStore:
+        def read_history(self, s):
+            return spark.createDataFrame(
+                rows, "url string, current_price_cents long, session int, round int"
+            )
+
+    got = {
+        (r["url"], r["session"]): (r["prev_cents"], r["new_cents"], r["delta_cents"])
+        for r in price_change_events(spark, FakeStore()).collect()
+    }
+    assert got == {
+        ("b", 2): (100, 250, 150),
+        ("e", 3): (None, 100, None),
+        ("f", 2): (100, None, None),
+    }
+
+
 def test_stop_tracking_excludes_from_rearm(spark, crawled):
     store, drv, _ = crawled
     prods = store.read_products(spark)
