@@ -787,6 +787,50 @@ def q_price_change_events(spark, sf):
     return price_change_events(spark, store)
 
 
+def q_url_blocklist(spark, sf):
+    """UT1-style blocklist flags (functions/urls.py:mark_blocklisted):
+    host / registrable-domain / URL-prefix rules over a derived URL
+    table, all broadcast joins (the scan side never shuffles). Rule
+    list shared with the oracle via oracle/sqls.py:BLOCK_RULES."""
+    from scrapy_products_tracker_spark.functions import mark_blocklisted
+    from scrapy_products_tracker_spark.oracle.sqls import BLOCK_RULES
+
+    d = _t(spark, sf, "documents")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("alpha"), F.lit("beta")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    host = F.concat(sub, F.lit(".shop"), (F.col("doc_id") % 5).cast("string"), F.lit(".com"))
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    rules = spark.createDataFrame(BLOCK_RULES, "kind string, value string")
+    flags = mark_blocklisted(urls, "url", rules)
+    return flags.select(
+        "doc_id",
+        F.col("blocked_host").cast("int").alias("blocked_host"),
+        F.col("blocked_domain").cast("int").alias("blocked_domain"),
+        F.col("blocked_prefix").cast("int").alias("blocked_prefix"),
+        F.col("blocked").cast("int").alias("blocked"),
+    )
+
+
+def q_line_dedup_stats(spark, sf):
+    """Intra-doc line dedup (functions/text.py:dedup_doc_lines —
+    the CCNet/Dolma boilerplate-removal transform, zero shuffle):
+    words-as-lines over documents, per-doc kept counts + md5 of the
+    deduped text. Oracle = DuckDB indexed list_filter twin."""
+    from scrapy_products_tracker_spark.functions.text import line_dedup_stats
+
+    d = _t(spark, sf, "documents")
+    as_lines = d.select(
+        "doc_id",
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), " ", "\n").alias("text"),
+    )
+    return line_dedup_stats(as_lines, "doc_id", "text")
+
+
 def q_asof_price_join(spark, sf):
     """As-of join (functions/joins.py union-tag sweep): each 'view'
     event matched to the same user's latest preceding 'purchase'
@@ -2394,6 +2438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_change_events": q_price_change_events,
         "asof_price_join": q_asof_price_join,
         "interval_range_join": q_interval_range_join,
+        "url_blocklist_flags": q_url_blocklist,
+        "line_dedup_stats": q_line_dedup_stats,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
         "bpe_segment_tokens": q_bpe_segment,

@@ -46,6 +46,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "asof_price_join",
+    "interval_range_join",
     "dedup_corpus_clusters",
 ]
 

@@ -5,7 +5,7 @@ from .sampling import (
     temperature_sample_threshold,
 )
 from .joins import asof_join, range_join
-from .text import chunk_windows, perplexity_buckets, pii_counts, pii_scrub, pii_scrub_stats
+from .text import chunk_windows, dedup_doc_lines, line_dedup_stats, perplexity_buckets, pii_counts, pii_scrub, pii_scrub_stats
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
     canonicalize_series,
@@ -15,6 +15,7 @@ from .urls import (
     domain_of_str,
     path_of_str,
     registrable_domain,
+    mark_blocklisted,
 )
 
 __all__ = [
@@ -41,4 +42,7 @@ __all__ = [
     "domain_of_str",
     "path_of_str",
     "registrable_domain",
+    "mark_blocklisted",
+    "dedup_doc_lines",
+    "line_dedup_stats",
 ]

@@ -939,3 +939,38 @@ def corpus_stats(
         .cast("long")
         .alias("sum_quality_micro"),
     )
+
+
+def dedup_doc_lines(text: Column) -> Column:
+    """Intra-document line dedup (the CCNet/Dolma boilerplate pass):
+    drop every repeat of a line already seen earlier in the SAME
+    document — nav bars, cookie banners, and footer blocks repeat
+    verbatim inside scraped pages, and Gopher's repetition *filters*
+    (ngram_repetition_stats above) only flag them; this transform
+    removes them.
+
+    Pure column algebra, zero shuffle: split on newline, keep the
+    first occurrence of each line (`array_position` = first index,
+    compared against the element's own index via the indexed `filter`
+    lambda), re-join.  Per-row cost is O(lines^2) with tiny constants
+    — web documents are O(10^2) lines; a pathological doc is bounded
+    by the upstream length filters.  Empty lines dedup like any other
+    (a doc of many blank separators keeps one), which matches the
+    CCNet reference behavior of hashing raw lines."""
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1))
+    return F.array_join(kept, "\n")
+
+
+def line_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc evidence row for :func:`dedup_doc_lines`: line counts
+    before/after and an md5 of the deduped text (cross-engine
+    comparable)."""
+    lines = F.split(F.col(text_col), "\n")
+    deduped = dedup_doc_lines(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines_in"),
+        F.size(F.split(deduped, "\n")).alias("n_lines_kept"),
+        F.md5(deduped).alias("dedup_md5"),
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -223,3 +223,59 @@ def registrable_domain(
     return F.when(
         (best == "") | (prefix == "") | (label == ""), h
     ).otherwise(F.concat(label, F.lit("."), best))
+
+
+def mark_blocklisted(df: DataFrame, url_col: str, rules: DataFrame) -> DataFrame:
+    """UT1-style URL blocklist flags (the adult/malware domain lists
+    RefinedWeb/FineWeb-class pipelines apply before any content work;
+    the reference has no analog — it crawls an allowlist of shops).
+
+    ``rules`` is a tiny DataFrame ``(kind string, value string)`` with
+    three rule kinds, mirroring how the UT1 lists are published:
+
+    - ``host``   — exact hostname match,
+    - ``domain`` — registrable-domain (eTLD+1) match: blocks every
+      subdomain of one operator,
+    - ``prefix`` — URL string prefix (a "urls" entry in UT1: one path
+      subtree of an otherwise-fine host).
+
+    Adds four columns: ``blocked_host`` / ``blocked_domain`` /
+    ``blocked_prefix`` / ``blocked`` (the OR).  Rows whose URL has no
+    parseable host get false flags (nothing to match on).
+
+    Scale shape: the big side never shuffles — host and domain rules
+    are broadcast equi-joins on derived key columns; prefix rules are
+    grouped per host (one array row per host that has any) and
+    broadcast-joined on the host key, then folded with ``exists``
+    (row-local).  Blocklists are O(10^6) rows — broadcast range."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    rdom = registrable_domain(host)
+    hosts = rules.filter(F.col("kind") == "host").select(
+        F.lower("value").alias("_bl_h"), F.lit(True).alias("_hit_h")
+    ).distinct()
+    doms = rules.filter(F.col("kind") == "domain").select(
+        F.lower("value").alias("_bl_d"), F.lit(True).alias("_hit_d")
+    ).distinct()
+    prefs = (
+        rules.filter(F.col("kind") == "prefix")
+        .select(F.col("value").alias("_p"), F.lower(F.try_parse_url(F.col("value"), F.lit("HOST"))).alias("_bl_p"))
+        .groupBy("_bl_p")
+        .agg(F.collect_set("_p").alias("_prefixes"))
+    )
+    out = (
+        df.withColumn("_bl_host", host)
+        .withColumn("_bl_rdom", rdom)
+        .join(F.broadcast(hosts), F.col("_bl_host") == F.col("_bl_h"), "left")
+        .join(F.broadcast(doms), F.col("_bl_rdom") == F.col("_bl_d"), "left")
+        .join(F.broadcast(prefs), F.col("_bl_host") == F.col("_bl_p"), "left")
+    )
+    hit_p = F.exists("_prefixes", lambda p: F.col(url_col).startswith(p))
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("_hit_h"), F.lit(False)).alias("blocked_host"),
+        F.coalesce(F.col("_hit_d"), F.lit(False)).alias("blocked_domain"),
+        F.coalesce(hit_p, F.lit(False)).alias("blocked_prefix"),
+    ).withColumn(
+        "blocked",
+        F.col("blocked_host") | F.col("blocked_domain") | F.col("blocked_prefix"),
+    )

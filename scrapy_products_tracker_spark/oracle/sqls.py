@@ -20,6 +20,26 @@ from . import builders as OB
 BLOCK_TERMS = ["lamp", "granite", "prism"]
 _BLOCK_TERMS = BLOCK_TERMS
 
+# shared with __spark_entry__.q_url_blocklist: the UT1-style rule list
+# both engines evaluate (kind: host | domain | prefix)
+BLOCK_RULES = [
+    ("domain", "shop1.com"),
+    ("host", "beta.shop2.com"),
+    ("prefix", "https://alpha.shop3.com/p/1"),
+    ("host", "nosuch.example.org"),
+    ("prefix", "https://www.shop4.com/p/7"),
+]
+
+def _sql_list(rules: list[tuple[str, str]], kind: str) -> str:
+    vals = [v for k, v in rules if k == kind]
+    return ", ".join(f"'{v}'" for v in vals) or "''"
+
+
+def _sql_prefix_or(rules: list[tuple[str, str]]) -> str:
+    terms = [f"starts_with(url, '{v}')" for k, v in rules if k == "prefix"]
+    return " OR ".join(terms) or "FALSE"
+
+
 _STOP_RE = r"\b(the|and|of|to|in|is|for|with|that|this)\b"
 _NT = r"CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
 
@@ -256,6 +276,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, session, round, prev_cents, new_cents,
                    new_cents - prev_cents AS delta_cents
             FROM h WHERE rn > 1 AND new_cents IS DISTINCT FROM prev_cents
+        """,
+        "url_blocklist_flags": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     (['www','alpha','beta'])[CAST(doc_id % 3 AS INT) + 1]
+                       || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS h,
+                     'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS rdom,
+                     'https://' || (['www','alpha','beta'])[CAST(doc_id % 3 AS INT) + 1]
+                       || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                       || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT doc_id,
+                   CAST(h IN ({_sql_list(BLOCK_RULES, 'host')}) AS INT) AS blocked_host,
+                   CAST(rdom IN ({_sql_list(BLOCK_RULES, 'domain')}) AS INT) AS blocked_domain,
+                   CAST(({_sql_prefix_or(BLOCK_RULES)}) AS INT) AS blocked_prefix,
+                   CAST((h IN ({_sql_list(BLOCK_RULES, 'host')})
+                         OR rdom IN ({_sql_list(BLOCK_RULES, 'domain')})
+                         OR ({_sql_prefix_or(BLOCK_RULES)})) AS INT) AS blocked
+            FROM f
+        """,
+        "line_dedup_stats": """
+            WITH t AS (SELECT doc_id,
+                              string_split(replace(coalesce(text, ''), ' ', chr(10)), chr(10)) AS l
+                       FROM documents),
+            k AS (SELECT doc_id, l,
+                         list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+                  FROM t)
+            SELECT doc_id, CAST(len(l) AS INT) AS n_lines_in,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   md5(list_aggregate(kept, 'string_agg', chr(10))) AS dedup_md5
+            FROM k
         """,
         # independent algorithm on purpose: the engine runs a union-tag
         # window sweep; DuckDB runs its native sort-merge ASOF JOIN
