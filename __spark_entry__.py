@@ -787,6 +787,20 @@ def q_price_change_events(spark, sf):
     return price_change_events(spark, store)
 
 
+def q_main_content(spark, sf):
+    """jusText/Boilerpipe-style main-content extraction
+    (functions/html.py:main_content_stats): block segmentation +
+    integer link-density scoring, pure JVM column algebra. Oracle =
+    the identical RE2 pipeline in DuckDB (string_split_regex +
+    list_zip/list_filter lambdas); content pinned by md5."""
+    from scrapy_products_tracker_spark.functions.html import main_content_stats
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    return main_content_stats(pages).select(
+        "url", "n_kept_blocks", "content_len", "content_md5"
+    )
+
+
 def q_url_blocklist(spark, sf):
     """UT1-style blocklist flags (functions/urls.py:mark_blocklisted):
     host / registrable-domain / URL-prefix rules over a derived URL
@@ -2440,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_range_join": q_interval_range_join,
         "url_blocklist_flags": q_url_blocklist,
         "line_dedup_stats": q_line_dedup_stats,
+        "main_content_blocks": q_main_content,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
         "bpe_segment_tokens": q_bpe_segment,

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_to_text_col", "link_density_col", "html_text_stats"]
+__all__ = [
+    "html_to_text_col",
+    "link_density_col",
+    "html_text_stats",
+    "main_content_col",
+    "main_content_stats",
+]
 
 # kill-regions first (their inner text is never content); unterminated
 # blocks swallow to end of doc
@@ -92,6 +98,99 @@ def html_text_stats(
         F.length(text).cast("int").alias("text_len"),
         n_links.cast("int").alias("n_links"),
         link_density_col(body).alias("link_density"),
+    )
+
+
+# block-level boundaries for main-content segmentation: the tag set
+# jusText/Boilerpipe treat as paragraph separators (plus self-closing
+# media/rule tags); inline tags (<a>, <b>, <span>...) stay inside
+# their block so anchor text is attributed to the right block
+_BLOCK_RE = (
+    r"(?is)</?(?:p|div|section|article|ul|ol|li|table|thead|tbody|tr|td|th"
+    r"|h[1-6]|header|footer|nav|aside|blockquote|br|dl|dt|dd"
+    r"|html|head|body|title|img|hr|form)\b[^>]*>"
+)
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _kill(col: Column) -> Column:
+    out = F.coalesce(col, F.lit(""))
+    for pat in _KILL:
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def main_content_col(
+    body: Column,
+    min_block_chars: int = 15,
+    ld_num: int = 1,
+    ld_den: int = 3,
+) -> Column:
+    """Main-content extraction — the simplified jusText/Boilerpipe
+    block algorithm (public: Pomikálek '11, Kohlschütter '10) that
+    RefinedWeb-class pipelines run between "crawled HTML" and
+    "document row": segment the page into block-level chunks, score
+    each block's LINK DENSITY (anchor-text chars / text chars), and
+    keep only blocks that read like content — long enough
+    (``len >= min_block_chars``) and link-sparse
+    (``anchor_len * ld_den <= text_len * ld_num``, i.e. density <=
+    ld_num/ld_den held in INTEGER arithmetic so both engines agree
+    bit-for-bit).  Nav bars, footers, tag clouds and related-links
+    rails are short and anchor-dense on exactly these measures.
+
+    Pure column algebra: kill-regions first (script/style/comment
+    innards are never content and may contain block tags), split on
+    block boundaries, score each chunk with higher-order lambdas
+    (anchor text attribution stays per-block because anchors are
+    inline tags), join survivors with newlines.  Zero Python, zero
+    Exchange — runs at scan speed like :func:`html_to_text_col`
+    (plan-pinned in tests)."""
+    blocks = F.split(_kill(body), _BLOCK_RE)
+
+    def _score(x: Column) -> Column:
+        txt = _strip(x)
+        alen = F.aggregate(
+            F.transform(
+                F.regexp_extract_all(x, F.lit(_ANCHOR_RE), F.lit(1)),
+                lambda a: F.length(_strip(a)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(txt.alias("t"), alen.alias("a"))
+
+    scored = F.transform(blocks, _score)
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["t"]) >= F.lit(min_block_chars))
+        & (s["a"] * F.lit(ld_den) <= F.length(s["t"]) * F.lit(ld_num)),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["t"]), "\n")
+
+
+def main_content_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    min_block_chars: int = 15,
+    ld_num: int = 1,
+    ld_den: int = 3,
+) -> DataFrame:
+    """Per-page main-content row: ``(url, content, n_kept_blocks,
+    content_len, content_md5)`` — md5 so a one-character divergence
+    anywhere in segment/score/join fails the oracle gate."""
+    content = main_content_col(
+        F.col(body_col), min_block_chars=min_block_chars, ld_num=ld_num, ld_den=ld_den
+    )
+    n_kept = F.when(
+        F.length(content) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(content, "\n")))
+    return df.select(
+        F.col(url_col).alias("url"),
+        content.alias("content"),
+        n_kept.cast("int").alias("n_kept_blocks"),
+        F.length(content).cast("int").alias("content_len"),
+        F.md5(content).alias("content_md5"),
     )
 
 

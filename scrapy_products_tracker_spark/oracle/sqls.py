@@ -277,6 +277,37 @@ def oracle_sql() -> dict[str, str]:
                    new_cents - prev_cents AS delta_cents
             FROM h WHERE rn > 1 AND new_cents IS DISTINCT FROM prev_cents
         """,
+        "main_content_blocks": f"""
+            WITH p AS (SELECT url, COALESCE(body, '') AS b
+                       FROM read_parquet('{p_pcdx}')),
+            k AS (SELECT url,
+                         regexp_replace(regexp_replace(regexp_replace(b,
+                           '(?is)<script\\b[^>]*>.*?(</script>|$)', ' ', 'g'),
+                           '(?is)<style\\b[^>]*>.*?(</style>|$)', ' ', 'g'),
+                           '(?s)<!--.*?(-->|$)', ' ', 'g') AS kb
+                  FROM p),
+            s AS (SELECT url, string_split_regex(kb,
+                    '(?is)</?(?:p|div|section|article|ul|ol|li|table|thead|tbody|tr|td|th|h[1-6]|header|footer|nav|aside|blockquote|br|dl|dt|dd|html|head|body|title|img|hr|form)\\b[^>]*>'
+                  ) AS blocks FROM k),
+            z AS (SELECT url,
+                         list_filter(
+                           list_zip(
+                             list_transform(blocks, x -> {_html_strip_sql('x')}),
+                             list_transform(blocks, x -> coalesce(list_sum(
+                               list_transform(regexp_extract_all(x, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                                              a -> length({_html_strip_sql('a')}))), 0))),
+                           y -> length(y[1]) >= 15 AND y[2] * 3 <= length(y[1])) AS kept
+                  FROM s),
+            c AS (SELECT url,
+                         coalesce(list_aggregate(list_transform(kept, y -> y[1]),
+                                                 'string_agg', chr(10)), '') AS content,
+                         len(kept) AS n_kept
+                  FROM z)
+            SELECT url, CAST(n_kept AS INT) AS n_kept_blocks,
+                   CAST(length(content) AS INT) AS content_len,
+                   md5(content) AS content_md5
+            FROM c
+        """,
         "url_blocklist_flags": f"""
             WITH f AS (
               SELECT doc_id,

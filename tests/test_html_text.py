@@ -186,3 +186,61 @@ def test_focused_priority_boost_rerun_on_boosted_frontier(spark):
     # hits come from THIS run's backlinks, not the stale input column
     assert got["https://t.com/x"] == (1, 1100)
     assert got["https://t.com/y"] == (0, 10)
+
+
+def test_main_content_keeps_content_drops_nav(spark):
+    """jusText-style block scoring: the anchor-dense nav and footer
+    blocks vanish, long link-sparse prose survives, and a block whose
+    single anchor dominates its text is dropped by the integer
+    density rule."""
+    from scrapy_products_tracker_spark.functions.html import main_content_col
+
+    body = (
+        "<html><head><title>shop</title>"
+        "<script>var x = '<div>not content</div>';</script></head><body>"
+        "<nav><a href='/a'>Home</a> <a href='/b'>Products</a> <a href='/c'>About us</a></nav>"
+        "<div>This paragraph is long enough and has no links at all in it.</div>"
+        "<p>Another real paragraph with one <a href='/x'>small link</a> inside a lot of prose text.</p>"
+        "<div><a href='/spam'>click here for amazing deals right now</a></div>"
+        "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    out = df.select(main_content_col(F.col("body")).alias("c")).collect()[0]["c"]
+    lines = out.split("\n")
+    assert any("long enough and has no links" in l for l in lines)
+    assert any("Another real paragraph" in l for l in lines)
+    assert not any("Home" in l or "Terms" in l for l in lines)       # nav/footer gone
+    assert not any("amazing deals" in l for l in lines)              # link-only block gone
+    assert not any("not content" in l for l in lines)                # script innards killed
+
+
+def test_main_content_plan_zero_python_zero_exchange(spark):
+    from scrapy_products_tracker_spark.functions.html import main_content_stats
+
+    df = spark.createDataFrame([("u", "<p>x</p>")], "url string, body string")
+    plan = main_content_stats(df)._jdf.queryExecution().executedPlan().toString()
+    for banned in ("Exchange", "Python", "FlatMap", "Arrow"):
+        assert banned not in plan, banned
+
+
+def test_main_content_hostile_inputs(spark):
+    from scrapy_products_tracker_spark.functions.html import main_content_stats
+
+    rows = [
+        ("a", None),
+        ("b", ""),
+        ("c", "<div><a href='x'>"),          # unclosed anchor
+        ("d", "<script>" + "y" * 50),          # unterminated script swallows all
+        ("e", "plain text long enough to be kept as a single block"),
+    ]
+    got = {
+        r["url"]: r.asDict()
+        for r in main_content_stats(
+            spark.createDataFrame(rows, "url string, body string")
+        ).collect()
+    }
+    assert got["a"]["content"] == "" and got["a"]["n_kept_blocks"] == 0
+    assert got["b"]["content"] == "" and got["d"]["content"] == ""
+    assert got["c"]["n_kept_blocks"] == 0
+    assert got["e"]["n_kept_blocks"] == 1 and "kept" in got["e"]["content"]
