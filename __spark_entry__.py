@@ -787,6 +787,32 @@ def q_price_change_events(spark, sf):
     return price_change_events(spark, store)
 
 
+def q_cdx_revisits(spark, sf):
+    """CDX revisit records (crawl/cdx.py:cdx_revisit_index — the
+    Common Crawl / pywb archive-dedup convention): 3 synthetic
+    re-crawl sessions over the shared pages fixture, pages whose body
+    length % 3 == 0 change at session 2; first capture per
+    (urlkey, digest) stays 'response', later identical captures
+    become 'revisit' rows storing zero payload. Oracle = the same
+    window SQL over the same derived captures."""
+    from scrapy_products_tracker_spark.crawl.cdx import cdx_revisit_index
+
+    pages = spark.read.parquet(OB.build_pages_table())
+    caps = pages.withColumn("session", F.explode(F.sequence(F.lit(1), F.lit(3))))
+    body2 = F.when(
+        (F.col("session") >= 2)
+        & (F.col("status_code") == 200)
+        & (F.length("body") % 3 == 0),
+        F.concat(F.col("body"), F.lit("!")),
+    ).otherwise(F.col("body"))
+    caps = caps.select(
+        "url", "status_code", body2.alias("body"), F.col("session").cast("long").alias("ts")
+    )
+    return cdx_revisit_index(caps).select(
+        "urlkey", "ts", "status", "digest", "record_type", "refers_to_ts", "stored_length"
+    )
+
+
 def q_main_content(spark, sf):
     """jusText/Boilerpipe-style main-content extraction
     (functions/html.py:main_content_stats): block segmentation +
@@ -2455,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_flags": q_url_blocklist,
         "line_dedup_stats": q_line_dedup_stats,
         "main_content_blocks": q_main_content,
+        "cdx_revisit_records": q_cdx_revisits,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
         "bpe_segment_tokens": q_bpe_segment,

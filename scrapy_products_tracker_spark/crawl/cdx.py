@@ -70,3 +70,58 @@ def cdx_index(
         F.md5(body.cast("binary")).alias("digest"),
         F.coalesce(F.octet_length(body), F.lit(0)).cast("long").alias("length"),
     )
+
+
+def cdx_revisit_index(
+    captures: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status_code",
+    body_col: str = "body",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multi-capture CDX with REVISIT records — the Common Crawl /
+    pywb archive-dedup convention: the first capture of a given
+    (urlkey, digest) is the stored ``response`` record; every later
+    capture with the SAME payload digest becomes a ``revisit`` record
+    that stores no payload and points at the original capture's
+    timestamp (``refers_to_ts``).  At re-crawl scale this is the
+    single biggest storage lever an archive has: unchanged pages —
+    the common case, per the revisit-policy statistics — cost an
+    index row instead of a payload copy.
+
+    Output: ``(urlkey, ts, url, status, digest, record_type,
+    refers_to_ts, stored_length)`` where ``stored_length`` is the
+    payload octets for response records and 0 for revisits (the sum
+    over the index is exactly the archive's payload footprint).
+
+    Digest-less captures (NULL body — redirects, errors) never dedup:
+    each stays a ``response`` with stored_length 0.
+
+    Plan: ONE Exchange on (urlkey, digest) for the first-capture
+    window — same key the archive's range layout wants anyway; no
+    join, no Python."""
+    from pyspark.sql import Window
+
+    url, body, ts = F.col(url_col), F.col(body_col), F.col(ts_col)
+    base = captures.select(
+        surt_key(url).alias("urlkey"),
+        ts.cast("long").alias("ts"),
+        url.alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        F.md5(body.cast("binary")).alias("digest"),
+        F.coalesce(F.octet_length(body), F.lit(0)).cast("long").alias("_len"),
+    )
+    w = Window.partitionBy("urlkey", "digest").orderBy("ts", "url")
+    rn = F.row_number().over(w)
+    first_ts = F.min("ts").over(Window.partitionBy("urlkey", "digest"))
+    is_revisit = F.col("digest").isNotNull() & (rn > 1)
+    return base.select(
+        "urlkey",
+        "ts",
+        "url",
+        "status",
+        "digest",
+        F.when(is_revisit, F.lit("revisit")).otherwise(F.lit("response")).alias("record_type"),
+        F.when(is_revisit, first_ts).alias("refers_to_ts"),
+        F.when(is_revisit, F.lit(0)).otherwise(F.col("_len")).cast("long").alias("stored_length"),
+    )

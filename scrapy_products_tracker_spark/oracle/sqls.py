@@ -1354,6 +1354,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(octet_length(encode(body)), 0) AS BIGINT) AS length
             FROM d ORDER BY urlkey, url
         """,
+        "cdx_revisit_records": f"""
+            WITH caps AS (
+              SELECT p.url, p.status_code,
+                     CASE WHEN s.session >= 2 AND p.status_code = 200
+                               AND length(p.body) % 3 = 0
+                          THEN p.body || '!' ELSE p.body END AS body,
+                     CAST(s.session AS BIGINT) AS ts
+              FROM read_parquet('{p_pcdx}') p,
+                   (SELECT unnest(generate_series(1, 3)) AS session) s),
+            d AS (SELECT url, status_code, body, ts,
+                         regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                         CASE WHEN regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) = ''
+                              THEN '/' ELSE regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)
+                              END AS path,
+                         CASE WHEN strpos(url, '?') > 0
+                              THEN substr(url, strpos(url, '?') + 1) END AS query
+                  FROM caps),
+            b AS (SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+                           (CASE WHEN query IS NULL THEN path ELSE path || '?' || query END) AS urlkey,
+                         ts, url, CAST(status_code AS INT) AS status,
+                         md5(body) AS digest,
+                         CAST(COALESCE(octet_length(encode(body)), 0) AS BIGINT) AS len
+                  FROM d),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY urlkey, digest ORDER BY ts, url) AS rn,
+                         min(ts) OVER (PARTITION BY urlkey, digest) AS first_ts
+                  FROM b)
+            SELECT urlkey, ts, status, digest,
+                   CASE WHEN digest IS NOT NULL AND rn > 1 THEN 'revisit'
+                        ELSE 'response' END AS record_type,
+                   CASE WHEN digest IS NOT NULL AND rn > 1 THEN first_ts END AS refers_to_ts,
+                   CAST(CASE WHEN digest IS NOT NULL AND rn > 1 THEN 0 ELSE len END AS BIGINT)
+                     AS stored_length
+            FROM r
+        """,
         # literal quota table (120 * w // 1000) + the same md5 rank
         "mixture_sample_rows": """
             WITH q(lang, group_quota) AS (

@@ -338,3 +338,40 @@ def test_mixture_sample_quotas_allowlist_underfill(spark):
         mixture_sample(df, "src", "doc_id", 0, {"web": 1})
     with pytest.raises(ValueError):
         mixture_sample(df, "src", "doc_id", 10, {})
+
+
+def test_cdx_revisit_records(spark):
+    """Archive-dedup semantics: first capture per (urlkey, digest) is
+    the stored response; identical later captures are revisits
+    pointing at it; a content CHANGE starts a new response lineage;
+    NULL bodies never dedup; stored_length sums to exactly one
+    payload copy per distinct digest."""
+    from scrapy_products_tracker_spark.crawl.cdx import cdx_revisit_index
+
+    rows = [
+        # url, status, body, ts
+        ("https://a.com/p", 200, "same", 1),
+        ("https://a.com/p", 200, "same", 2),      # revisit of ts=1
+        ("https://a.com/p", 200, "changed", 3),   # new response
+        ("https://a.com/p", 200, "changed", 4),   # revisit of ts=3
+        ("https://a.com/r", 301, None, 1),        # digest-less: response
+        ("https://a.com/r", 301, None, 2),        # digest-less: response again
+    ]
+    df = spark.createDataFrame(rows, "url string, status_code int, body string, ts long")
+    got = {
+        (r["urlkey"], r["ts"]): r.asDict()
+        for r in cdx_revisit_index(df).collect()
+    }
+    p = "com,a)/p"
+    assert got[(p, 1)]["record_type"] == "response" and got[(p, 1)]["stored_length"] == 4
+    assert got[(p, 2)]["record_type"] == "revisit"
+    assert got[(p, 2)]["refers_to_ts"] == 1 and got[(p, 2)]["stored_length"] == 0
+    assert got[(p, 3)]["record_type"] == "response" and got[(p, 3)]["stored_length"] == 7
+    assert got[(p, 4)]["record_type"] == "revisit" and got[(p, 4)]["refers_to_ts"] == 3
+    r = "com,a)/r"
+    assert got[(r, 1)]["record_type"] == "response"
+    assert got[(r, 2)]["record_type"] == "response"  # NULL digest never dedups
+    assert got[(r, 2)]["digest"] is None and got[(r, 2)]["stored_length"] == 0
+    # archive footprint == one copy per distinct digest
+    total = sum(v["stored_length"] for v in got.values())
+    assert total == len("same") + len("changed")
