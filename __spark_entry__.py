@@ -787,6 +787,44 @@ def q_price_change_events(spark, sf):
     return price_change_events(spark, store)
 
 
+def q_unigram_vocab(spark, sf):
+    """Distributed unigram-LM tokenizer training
+    (functions/unigram.py, Kudo '18): positional substring init, 2 EM
+    rounds of Viterbi E-step (Arrow kernel over the word histogram) +
+    piece-keyed M-step, char-preserving frequency prune; integer
+    micro-nat scores. Oracle = a fully independent pure-Python
+    dict-based trainer (oracle/builders.build_unigram_vocab)."""
+    from scrapy_products_tracker_spark.functions.unigram import unigram_train
+
+    d = _t(spark, sf, "documents")
+    return unigram_train(d, vocab_size=120, n_iters=2, max_piece_len=3, min_count=2)
+
+
+def q_unigram_segment(spark, sf):
+    """Train-then-tokenize composition for the unigram family: the
+    engine-trained vocab applied by the Viterbi segment kernel;
+    compared on (n_tokens, md5 token fingerprint) per doc against the
+    independent Python train+segment."""
+    from scrapy_products_tracker_spark.functions.unigram import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    d = _t(spark, sf, "documents")
+    vocab = [
+        (r["piece"], r["score"])
+        for r in unigram_train(
+            d, vocab_size=120, n_iters=2, max_piece_len=3, min_count=2
+        ).collect()
+    ]
+    seg = unigram_segment(d, vocab, max_piece_len=3)
+    return seg.select(
+        "id",
+        "n_tokens",
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("toks_fp"),
+    ).orderBy("id")
+
+
 def q_cdx_revisits(spark, sf):
     """CDX revisit records (crawl/cdx.py:cdx_revisit_index — the
     Common Crawl / pywb archive-dedup convention): 3 synthetic
@@ -2482,6 +2520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": q_line_dedup_stats,
         "main_content_blocks": q_main_content,
         "cdx_revisit_records": q_cdx_revisits,
+        "unigram_train_vocab": q_unigram_vocab,
+        "unigram_segment_tokens": q_unigram_segment,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
         "bpe_segment_tokens": q_bpe_segment,

@@ -1462,3 +1462,149 @@ def build_cdc_chunks(min_size: int = 64, avg_size: int = 512, max_size: int = 20
         ]
     )
     return _write(pd.DataFrame(rows), "cdc_chunks.parquet", schema)
+
+
+def _unigram_core(
+    sf_dir: str, vocab_size: int, n_iters: int, max_piece_len: int, min_count: int
+):
+    """Independent pure-Python unigram-LM trainer (Kudo '18 spec as
+    pinned in functions/unigram.py's docstring — reimplemented here
+    with dicts, no Spark/engine imports): word histogram -> positional
+    substring counts -> micro-nat scores -> EM rounds of Viterbi
+    segmentation + recount -> char-preserving frequency prune."""
+    import math
+    from collections import Counter
+
+    UNK = -20_000_000
+
+    docs = _documents(sf_dir)
+    hist: Counter = Counter()
+    for t in docs["text"]:
+        if t is None or not str(t).strip():
+            continue
+        hist.update(str(t).split())
+
+    def rescore(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {
+            p: math.floor(math.log(c / total) * 1_000_000)
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    def viterbi(word: str, scores: dict) -> tuple:
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (0, 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                prev = best[j]
+                if prev is None:
+                    continue
+                piece = word[j:i]
+                s = scores.get(piece)
+                if s is None:
+                    if len(piece) > 1:
+                        continue
+                    s = UNK
+                cand = (prev[0] + s, prev[1] - 1, prev[2] + (piece,))
+                cur = best[i]
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]) or (
+                    (cand[0], cand[1]) == (cur[0], cur[1]) and cand[2] < cur[2]
+                ):
+                    best[i] = cand
+        return best[n][2]
+
+    counts: Counter = Counter()
+    for w, c in hist.items():
+        for s in range(len(w)):
+            for L in range(1, min(max_piece_len, len(w) - s) + 1):
+                counts[w[s : s + L]] += c
+    counts = {
+        p: c for p, c in counts.items() if len(p) == 1 or c >= min_count
+    }
+    scores = rescore(counts)
+    chars = {p for p in counts if len(p) == 1}
+
+    for _ in range(n_iters):
+        seg_cache: dict = {}
+        new_counts: Counter = Counter()
+        for w, c in hist.items():
+            toks = seg_cache.get(w)
+            if toks is None:
+                toks = viterbi(w, scores)
+                seg_cache[w] = toks
+            for t in toks:
+                new_counts[t] += c
+        for ch in chars:
+            new_counts.setdefault(ch, 1)
+        counts = dict(new_counts)
+        scores = rescore(counts)
+
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    n_multi = max(0, vocab_size - len(chars))
+    final = {p: counts.get(p, 1) for p in chars}
+    final.update(dict(multi[:n_multi]))
+    fscores = rescore(final)
+    return hist, final, fscores, viterbi
+
+
+def build_unigram_vocab(
+    sf_dir: str = CORRECTNESS_SF,
+    vocab_size: int = 120,
+    n_iters: int = 2,
+    max_piece_len: int = 3,
+    min_count: int = 2,
+) -> str:
+    import pyarrow as pa
+
+    _, final, fscores, _ = _unigram_core(
+        sf_dir, vocab_size, n_iters, max_piece_len, min_count
+    )
+    rows = sorted((p, final[p], fscores[p]) for p in final)
+    df = pd.DataFrame(rows, columns=["piece", "count", "score"])
+    schema = pa.schema(
+        [("piece", pa.string()), ("count", pa.int64()), ("score", pa.int64())]
+    )
+    return _write(df, "unigram_vocab.parquet", schema)
+
+
+def build_unigram_segments(
+    sf_dir: str = CORRECTNESS_SF,
+    vocab_size: int = 120,
+    n_iters: int = 2,
+    max_piece_len: int = 3,
+    min_count: int = 2,
+) -> str:
+    """(doc_id, n_tokens, toks_fp): Viterbi-tokenize every doc with
+    the trained vocab; fp = md5 of the unit-separator-joined tokens
+    (the engine must reproduce train AND apply to hash-match)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    _, _, fscores, viterbi = _unigram_core(
+        sf_dir, vocab_size, n_iters, max_piece_len, min_count
+    )
+    docs = _documents(sf_dir)
+    rows = []
+    cache: dict = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks: list = []
+        if t is not None and str(t).strip():
+            for w in str(t).split():
+                got = cache.get(w)
+                if got is None:
+                    got = viterbi(w, fscores)
+                    cache[w] = got
+                toks.extend(got)
+        fp = hashlib.md5("\x1f".join(toks).encode("utf-8")).hexdigest()
+        rows.append({"doc_id": int(doc_id), "n_tokens": len(toks), "toks_fp": fp})
+    df = pd.DataFrame(rows)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("toks_fp", pa.string())]
+    )
+    return _write(df, "unigram_segments.parquet", schema)

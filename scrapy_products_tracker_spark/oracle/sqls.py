@@ -99,6 +99,8 @@ def oracle_sql() -> dict[str, str]:
     p_inc = OB.build_incremental_image_inputs()
     p_bpe = OB.build_bpe_merges()
     p_bseg = OB.build_bpe_segments()
+    p_uvoc = OB.build_unigram_vocab()
+    p_useg = OB.build_unigram_segments()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -871,6 +873,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_tokens": f"""
             SELECT id, n_bpe_tokens, toks_fp
             FROM read_parquet('{p_bseg}') ORDER BY id
+        """,
+        "unigram_train_vocab": f"""
+            SELECT piece, count, score FROM read_parquet('{p_uvoc}')
+        """,
+        "unigram_segment_tokens": f"""
+            SELECT doc_id AS id, n_tokens, toks_fp
+            FROM read_parquet('{p_useg}') ORDER BY id
         """,
         "binary_payload_stats": """
             SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
