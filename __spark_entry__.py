@@ -787,6 +787,19 @@ def q_price_change_events(spark, sf):
     return price_change_events(spark, store)
 
 
+def q_compression_ratios(spark, sf):
+    """Deflate compression-ratio quality signal
+    (functions/text.py:compression_ratio_stats — the Gopher-class
+    low-information/spam flag): per-doc integer milli ratios, one
+    map-only Arrow kernel. Oracle = the same zlib level-6 computation
+    in the independent builder (shared-zlib determinism contract in
+    the docstring)."""
+    from scrapy_products_tracker_spark.functions.text import compression_ratio_stats
+
+    d = _t(spark, sf, "documents")
+    return compression_ratio_stats(d)
+
+
 def q_unigram_vocab(spark, sf):
     """Distributed unigram-LM tokenizer training
     (functions/unigram.py, Kudo '18): positional substring init, 2 EM
@@ -1376,6 +1389,22 @@ def q_ivf_trained_topk(spark, sf):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     cents, _ = SIM.kmeans_refine(corpus, n_cells=16, iters=2)
     return SIM.ann_topk_ivf(corpus, qvec, k=10, n_probe=4, centroids=cents)
+
+
+def q_ivfpq_trained(spark, sf):
+    """Trained coarse quantizer composed with PQ fine ranking — the
+    full FAISS-IVFPQ training story: kmeans_refine (2 Lloyd
+    iterations) supplies the coarse cells, pq_codebooks the fine
+    codebooks, ann_topk_ivfpq probes 4/16 cells and ranks by int64
+    ADC. Oracle unrolls Lloyd + probe + PQ end-to-end in pure SQL."""
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") > 0)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cb = SIM.pq_codebooks(corpus, m=4, k=16)
+    cents, _ = SIM.kmeans_refine(corpus, n_cells=16, iters=2)
+    return SIM.ann_topk_ivfpq(
+        corpus, qvec, cb, k=10, n_cells=16, n_probe=4, centroids=cents
+    )
 
 
 def q_winnow_fingerprints(spark, sf):
@@ -2483,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": q_ivfpq_ann,
         "kmeans_refine_cells": q_kmeans_refine,
         "ivf_trained_topk": q_ivf_trained_topk,
+        "ivfpq_trained_topk": q_ivfpq_trained,
         "phash_image_neardup": q_phash_image_neardup,
         "image_dedup_survivors": q_image_dedup_survivors,
         "image_dedup_incremental": q_image_dedup_incremental,
@@ -2520,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": q_line_dedup_stats,
         "main_content_blocks": q_main_content,
         "cdx_revisit_records": q_cdx_revisits,
+        "compression_ratio_stats": q_compression_ratios,
         "unigram_train_vocab": q_unigram_vocab,
         "unigram_segment_tokens": q_unigram_segment,
         "latency_percentiles": q_latency_percentiles,

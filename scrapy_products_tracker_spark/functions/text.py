@@ -974,3 +974,57 @@ def line_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.split(deduped, "\n")).alias("n_lines_kept"),
         F.md5(deduped).alias("dedup_md5"),
     )
+
+
+def compression_ratio_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deflate compression ratio per document — the classic
+    low-information/boilerplate/spam signal (Gopher-class quality
+    stacks flag pages whose text compresses too well: repeated
+    templates, keyword stuffing, generated spam all have low
+    Kolmogorov-ish content).  Returns ``(id, raw_len, zlib_len,
+    ratio_milli)`` with ``ratio_milli = zlib_len * 1000 // raw_len``
+    (integer milli-units; empty/NULL text -> ratio 1000, the
+    incompressible convention, so downstream "too compressible"
+    filters never select empties).
+
+    One Arrow-batched kernel (compression is inherently byte-level
+    Python work), map-only — zero shuffle, partition-parallel.
+
+    Determinism contract: zlib level 6 on UTF-8 bytes; the engine
+    kernel and the oracle builder run the SAME zlib build in this
+    container, which is what the gate compares.  Across zlib builds
+    the BYTES may differ (DEFLATE encoders are not canonical), so the
+    ratio is a quality SIGNAL, not a stable fingerprint — use
+    fingerprint()/md5 for identity."""
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("raw_len", LongType()),
+            StructField("zlib_len", LongType()),
+            StructField("ratio_milli", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw, comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                b = ("" if t is None else str(t)).encode("utf-8")
+                n = len(b)
+                z = len(zlib.compress(b, 6)) if n else 0
+                raw.append(n)
+                comp.append(z)
+                ratio.append(z * 1000 // n if n else 1000)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "raw_len": raw, "zlib_len": comp, "ratio_milli": ratio}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

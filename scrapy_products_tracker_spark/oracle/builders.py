@@ -1608,3 +1608,36 @@ def build_unigram_segments(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("toks_fp", pa.string())]
     )
     return _write(df, "unigram_segments.parquet", schema)
+
+
+def build_compression_ratios(sf_dir: str = CORRECTNESS_SF) -> str:
+    """Independent per-doc deflate ratios (same zlib build as the
+    engine kernel — the documented determinism contract)."""
+    import zlib
+
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        b = ("" if t is None else str(t)).encode("utf-8")
+        n = len(b)
+        z = len(zlib.compress(b, 6)) if n else 0
+        rows.append(
+            {
+                "id": int(doc_id),
+                "raw_len": n,
+                "zlib_len": z,
+                "ratio_milli": z * 1000 // n if n else 1000,
+            }
+        )
+    df = pd.DataFrame(rows)
+    schema = pa.schema(
+        [
+            ("id", pa.int64()),
+            ("raw_len", pa.int64()),
+            ("zlib_len", pa.int64()),
+            ("ratio_milli", pa.int64()),
+        ]
+    )
+    return _write(df, "compression_ratios.parquet", schema)

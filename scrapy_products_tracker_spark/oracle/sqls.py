@@ -101,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
     p_bseg = OB.build_bpe_segments()
     p_uvoc = OB.build_unigram_vocab()
     p_useg = OB.build_unigram_segments()
+    p_zr = OB.build_compression_ratios()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -873,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_tokens": f"""
             SELECT id, n_bpe_tokens, toks_fp
             FROM read_parquet('{p_bseg}') ORDER BY id
+        """,
+        "compression_ratio_stats": f"""
+            SELECT id, raw_len, zlib_len, ratio_milli FROM read_parquet('{p_zr}')
         """,
         "unigram_train_vocab": f"""
             SELECT piece, count, score FROM read_parquet('{p_uvoc}')
@@ -1886,6 +1890,80 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(e.v, (SELECT v FROM q)), 6) AS cosine
             FROM e JOIN a3 USING (vec_id) JOIN probed p ON a3.cell_id = p.cell_id
             ORDER BY cosine DESC, e.vec_id LIMIT 10
+        """,
+        # ivf_trained_topk's two Lloyd iterations (c0..a3) composed
+        # with ivfpq_ann_topk's PQ fine stage — the trained coarse
+        # quantizer feeds the probe, the lowest-id codebooks the ADC
+        "ivfpq_trained_topk": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id > 0),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+            c0 AS (SELECT vec_id AS cell_id, v AS c FROM e ORDER BY vec_id LIMIT 16),
+            a1 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c0 c) WHERE rn = 1),
+            m1 AS (SELECT a1.cell_id, p.pos, round(avg(e.v[p.pos]), 6) AS m
+                   FROM a1 JOIN e USING (vec_id),
+                        unnest(generate_series(1, len(e.v))) AS p(pos)
+                   GROUP BY 1, 2),
+            c1 AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM m1 GROUP BY cell_id
+                   UNION ALL
+                   SELECT cell_id, c FROM c0 WHERE cell_id NOT IN (SELECT cell_id FROM m1)),
+            a2 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c1 c) WHERE rn = 1),
+            m2 AS (SELECT a2.cell_id, p.pos, round(avg(e.v[p.pos]), 6) AS m
+                   FROM a2 JOIN e USING (vec_id),
+                        unnest(generate_series(1, len(e.v))) AS p(pos)
+                   GROUP BY 1, 2),
+            c2 AS (SELECT cell_id, list(m ORDER BY pos) AS c FROM m2 GROUP BY cell_id
+                   UNION ALL
+                   SELECT cell_id, c FROM c1 WHERE cell_id NOT IN (SELECT cell_id FROM m2)),
+            a3 AS (SELECT vec_id, cell_id FROM (
+                     SELECT e.vec_id, c.cell_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY -round(list_cosine_similarity(e.v, c.c), 6), c.cell_id) AS rn
+                     FROM e CROSS JOIN c2 c) WHERE rn = 1),
+            probed AS (SELECT cell_id FROM (
+                     SELECT c.cell_id,
+                            row_number() OVER (
+                              ORDER BY round(list_cosine_similarity((SELECT v FROM qv), c.c), 6) DESC,
+                                       c.cell_id) AS rn
+                     FROM c2 c) WHERE rn <= 4),
+            cand AS (SELECT e.vec_id, e.v FROM e
+                     JOIN a3 USING (vec_id) JOIN probed USING (cell_id)),
+            iv AS (SELECT vec_id,
+                          list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                   FROM cand),
+            cbw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                           list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                    FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            subs AS (SELECT s FROM unnest(generate_series(0, 3)) AS t(s)),
+            cbs AS (SELECT s, code, w[s*16+1 : s*16+16] AS c FROM cbw, subs),
+            ivs AS (SELECT vec_id, s, w[s*16+1 : s*16+16] AS u FROM iv, subs),
+            d2 AS (SELECT ivs.vec_id, ivs.s, cbs.code,
+                          list_sum(list_transform(list_zip(ivs.u, cbs.c),
+                            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM ivs JOIN cbs USING (s)),
+            enc AS (SELECT vec_id, s, code FROM (
+                      SELECT vec_id, s, code,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d, code) AS rn FROM d2) WHERE rn = 1),
+            qiv AS (SELECT list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS w
+                    FROM qv),
+            qs AS (SELECT s, (SELECT w FROM qiv)[s*16+1 : s*16+16] AS u FROM subs),
+            lut AS (SELECT qs.s, cbs.code,
+                           list_sum(list_transform(list_zip(qs.u, cbs.c),
+                             x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                    FROM qs JOIN cbs ON qs.s = cbs.s),
+            adc AS (SELECT enc.vec_id, SUM(lut.d) AS adc FROM enc
+                    JOIN lut ON enc.s = lut.s AND enc.code = lut.code GROUP BY 1)
+            SELECT vec_id, CAST(adc AS BIGINT) AS adc_units
+            FROM adc ORDER BY adc_units, vec_id LIMIT 10
         """,
         "pq_ann_topk": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

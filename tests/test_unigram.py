@@ -85,3 +85,24 @@ def test_segment_roundtrip_and_hostiles(spark, corpus):
 def test_train_validates(spark, corpus):
     with pytest.raises(ValueError):
         unigram_train(corpus, vocab_size=0)
+
+
+def test_compression_ratio_signal(spark):
+    """Deflate ratio: repeated boilerplate compresses far better than
+    varied prose; empties pin to the incompressible convention."""
+    from scrapy_products_tracker_spark.functions.text import compression_ratio_stats
+
+    rows = [
+        (1, "buy now " * 200),                       # spammy repetition
+        (2, "The quick brown fox jumps over lazy dogs while seventeen "
+            "unrelated clauses wander through different vocabulary items."),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in compression_ratio_stats(df).collect()}
+    assert got[1]["ratio_milli"] < got[2]["ratio_milli"]  # spam compresses better
+    assert got[1]["ratio_milli"] < 100                     # 200x repeat crushes
+    assert got[3]["ratio_milli"] == 1000 and got[3]["raw_len"] == 0
+    assert got[4]["ratio_milli"] == 1000
+    assert got[2]["zlib_len"] > 0 and got[2]["raw_len"] > 0
