@@ -1566,6 +1566,20 @@ def q_multimodal_decode_stats(spark, sf):
     )
 
 
+def q_image_channel_stats(spark, sf):
+    """Per-format per-channel pixel means (imaging/quality.py:
+    image_channel_stats — the dataset-normalization numbers a vision
+    training run computes): int64 pixel sums + DIV milli-means, one
+    Arrow decode kernel + one tiny aggregate. Oracle recomputes from
+    the generator's ground-truth source pixels (+ jpeg surrogate
+    closed form) — the codec decode path never runs oracle-side."""
+    from scrapy_products_tracker_spark.imaging.quality import image_channel_stats
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+    return image_channel_stats(img)
+
+
 def q_phash_image_neardup(spark, sf):
     """Near-duplicate image pairs by banded perceptual-hash Hamming
     join (imaging/neardup.py): EXACT for dist<=7 via the pigeonhole
@@ -2519,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_best_caption": q_image_dedup_best_caption,
         "image_caption_dedup_survivors": q_image_caption_dedup,
         "multimodal_decode_stats": q_multimodal_decode_stats,
+        "image_channel_stats": q_image_channel_stats,
         "image_metadata_scrub": q_image_metadata_scrub,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "cdc_dedup_stats": q_cdc_dedup_stats,

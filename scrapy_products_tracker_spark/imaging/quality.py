@@ -102,3 +102,63 @@ def image_quality_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("image_id", "fmt", "bytes").mapInPandas(_kernel, IMAGE_QUALITY_SCHEMA)
+
+
+def image_channel_stats(df: DataFrame, fmt_col: str = "fmt", bytes_col: str = "bytes") -> DataFrame:
+    """Per-format per-CHANNEL pixel statistics — the dataset
+    normalization numbers (per-channel mean) every vision training
+    run computes over its corpus before training.  All arithmetic is
+    int64 (pixel sums, then floor-milli means), so the result is a
+    pure function of the decoded pixels: ``(fmt, n, n_ok, total_px,
+    ch0_mean_milli, ch1_mean_milli, ch2_mean_milli)``.
+
+    One Arrow decode kernel (map-only) + one tiny per-format
+    aggregate; undecodable payloads count in ``n`` but contribute no
+    sums (n_ok counts successes) — report-never-drop, like the other
+    audit kernels in this module."""
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fmt", T.StringType()),
+            T.StructField("ok", T.IntegerType()),
+            T.StructField("px", T.LongType()),
+            T.StructField("s0", T.LongType()),
+            T.StructField("s1", T.LongType()),
+            T.StructField("s2", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    px = decode_image(bytes(data))
+                    n = int(px.shape[0] * px.shape[1])
+                    s = px.reshape(-1, px.shape[2]).sum(axis=0, dtype=np.int64)
+                    rows.append((fmt, 1, n, int(s[0]), int(s[1]), int(s[2])))
+                except Exception:
+                    rows.append((fmt, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(rows, columns=["fmt", "ok", "px", "s0", "s1", "s2"])
+
+    per = df.mapInPandas(kernel, out_schema)
+    sums = per.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum("px").alias("total_px"),
+        F.sum("s0").alias("_s0"),
+        F.sum("s1").alias("_s1"),
+        F.sum("s2").alias("_s2"),
+    )
+    # int64 DIV keeps the milli-means engine-exact (no double rounding)
+    mean_milli = lambda c: F.expr(f"{c} * 1000L div total_px")
+    return sums.select(
+        "fmt",
+        "n",
+        "n_ok",
+        "total_px",
+        mean_milli("_s0").alias("ch0_mean_milli"),
+        mean_milli("_s1").alias("ch1_mean_milli"),
+        mean_milli("_s2").alias("ch2_mean_milli"),
+    ).orderBy("fmt")

@@ -1641,3 +1641,56 @@ def build_compression_ratios(sf_dir: str = CORRECTNESS_SF) -> str:
         ]
     )
     return _write(df, "compression_ratios.parquet", schema)
+
+
+def build_channel_stats_expected() -> str:
+    """Expected per-format per-channel stats from the generator's
+    ground-truth source pixels (+ the documented jpeg surrogate
+    quantization) — the codec decode path never runs here. Same
+    int64-sum/floor-milli arithmetic the engine op promises."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    acc: dict = {}
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt
+        if fmt == "jpeg":
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        n = pixels.shape[0] * pixels.shape[1]
+        s = pixels.reshape(-1, pixels.shape[2]).sum(axis=0, dtype=np.int64)
+        a = acc.setdefault(fmt, [0, 0, 0, 0, 0, 0])  # n, n_ok, px, s0, s1, s2
+        a[0] += 1
+        a[1] += 1
+        a[2] += n
+        a[3] += int(s[0])
+        a[4] += int(s[1])
+        a[5] += int(s[2])
+    rows = [
+        {
+            "fmt": fmt,
+            "n": a[0],
+            "n_ok": a[1],
+            "total_px": a[2],
+            "ch0_mean_milli": a[3] * 1000 // a[2],
+            "ch1_mean_milli": a[4] * 1000 // a[2],
+            "ch2_mean_milli": a[5] * 1000 // a[2],
+        }
+        for fmt, a in sorted(acc.items())
+    ]
+    df = pd.DataFrame(rows)
+    schema = pa.schema(
+        [
+            ("fmt", pa.string()),
+            ("n", pa.int64()),
+            ("n_ok", pa.int64()),
+            ("total_px", pa.int64()),
+            ("ch0_mean_milli", pa.int64()),
+            ("ch1_mean_milli", pa.int64()),
+            ("ch2_mean_milli", pa.int64()),
+        ]
+    )
+    return _write(df, "channel_stats.parquet", schema)

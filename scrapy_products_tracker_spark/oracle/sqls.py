@@ -102,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
     p_uvoc = OB.build_unigram_vocab()
     p_useg = OB.build_unigram_segments()
     p_zr = OB.build_compression_ratios()
+    p_chs = OB.build_channel_stats_expected()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -369,6 +370,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_end_to_end": f"""
             SELECT round, url, domain, within_round_rank FROM read_parquet('{p_order}')
+        """,
+        "image_channel_stats": f"""
+            SELECT fmt, n, n_ok, total_px,
+                   ch0_mean_milli, ch1_mean_milli, ch2_mean_milli
+            FROM read_parquet('{p_chs}') ORDER BY fmt
         """,
         "multimodal_decode_stats": f"""
             SELECT fmt, n, n_ok, total_px, avg_intensity

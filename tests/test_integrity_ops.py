@@ -177,3 +177,30 @@ def test_quality_metrics_closed_forms(spark):
     assert out["junk"]["brightness_milli"] is None
     assert out["nul"]["entropy_milli"] is None
     assert len(out) == 4  # audit semantics: every row reported
+
+
+def test_image_channel_stats_reports_never_drops(spark):
+    """Channel means are int64-exact over decodable payloads;
+    undecodable rows count in n but contribute no sums."""
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging.codec import encode_image
+    from scrapy_products_tracker_spark.imaging.quality import image_channel_stats
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 30
+    rows = [
+        ("a", encode_image(px, "png"), "png"),
+        ("b", encode_image(px, "png"), "png"),
+        ("c", b"garbage-not-an-image", "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["fmt"]: r.asDict() for r in image_channel_stats(df).collect()}
+    g = got["png"]
+    assert g["n"] == 3 and g["n_ok"] == 2
+    assert g["total_px"] == 32  # junk contributes nothing
+    assert (g["ch0_mean_milli"], g["ch1_mean_milli"], g["ch2_mean_milli"]) == (
+        10000, 20000, 30000,
+    )
