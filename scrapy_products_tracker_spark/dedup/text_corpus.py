@@ -180,6 +180,8 @@ def curate_corpus(
     classifier_margin_unats: int = 0,
     classifier_buckets: int = 512,
     scrub_pii: bool = False,
+    dedup_lines: bool = False,
+    min_zratio_milli: int | None = None,
     ppl_drop_tail: bool = False,
     ppl_group_col: str | None = None,
     ppl_vocab_size: int = 64,
@@ -192,6 +194,10 @@ def curate_corpus(
        (:func:`~..functions.text.pii_scrub`) applied to ``text_col``
        before anything reads it, so quality scores, dedup
        fingerprints and packed spans all see the redacted bytes;
+    0b. **boilerplate removal** (when ``dedup_lines``) — intra-doc
+       repeated-line dedup (:func:`~..functions.text.dedup_doc_lines`)
+       so pages differing only in nav/footer boilerplate collapse
+       onto one content fingerprint;
     1. **filter** — C4-style row rules at the scan: whitespace token
        count ``>= min_tokens``, composite ``quality_score >=
        min_quality``, and (when ``lang`` is given) the stopword-density
@@ -199,6 +205,9 @@ def curate_corpus(
        floor, so contentless docs exit here (contrast
        :func:`dedup_corpus` standalone, which passes NULL text through
        — a curation funnel's quality gate IS the place they drop);
+    1a. **compressibility gate** (when ``min_zratio_milli``) — deflate
+       ratio floor (:func:`~..functions.text.compression_ratio_stats`):
+       template spam / keyword stuffing drops here;
     1b. **learned gate** (when ``classifier_target`` is given) — a
        binary Naive-Bayes gate (CCNet idiom,
        :mod:`~..functions.classify`): train target-vs-background on
@@ -244,12 +253,37 @@ def curate_corpus(
         from ..functions.text import pii_scrub
 
         df = df.withColumn(text_col, pii_scrub(F.col(text_col)))
+    if dedup_lines:
+        # 0b. intra-doc boilerplate removal (CCNet/Dolma line pass,
+        # functions/text.dedup_doc_lines): repeated nav/footer lines
+        # vanish BEFORE quality scoring and dedup fingerprinting, so
+        # two pages that differ only in boilerplate collapse onto the
+        # same content fingerprint. Row-local column algebra.
+        from ..functions.text import dedup_doc_lines
+
+        df = df.withColumn(text_col, dedup_doc_lines(F.col(text_col)))
     cond = (token_count(F.col(text_col)) >= F.lit(int(min_tokens))) & (
         quality_score(F.col(text_col)) >= F.lit(float(min_quality))
     )
     if lang is not None:
         cond = cond & (lang_guess(F.col(text_col)) == F.lit(lang))
     kept = df.filter(cond)
+    if min_zratio_milli is not None:
+        # 1a. compressibility gate (Gopher-class spam signal,
+        # functions/text.compression_ratio_stats): drop docs whose
+        # deflate ratio is below the floor — template spam and
+        # keyword stuffing compress far better than prose. Map-only
+        # Arrow kernel over a narrow (id, text) projection; the tiny
+        # verdict joins back on the 8-byte id like the other gates.
+        from ..functions.text import compression_ratio_stats
+
+        zr = compression_ratio_stats(kept, id_col=id_col, text_col=text_col)
+        kept = kept.join(
+            zr.filter(F.col("ratio_milli") >= F.lit(int(min_zratio_milli))).select(
+                F.col("id").alias(id_col)
+            ),
+            id_col,
+        )
     if classifier_target is not None:
         # 1b. learned quality gate (CCNet idiom): train a binary NB on
         # the rule-labeled rows themselves (target vs background),
