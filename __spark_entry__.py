@@ -2479,6 +2479,35 @@ def q_latency_percentiles(spark, sf):
     return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
 
 
+def q_hll_distinct_counts(spark, sf):
+    """HyperLogLog distinct sketch (functions/sketches.py:hll_distinct
+    — the bounded-state twin of the exact URL-seen accounting the
+    reference gets from its MySQL unique key): per-group registers
+    via ONE map-side-combinable exchange whose post-shuffle size is
+    <= groups x 1024 rows no matter the input row count; raw-HLL
+    estimate in staged int64 fixed point (no libm anywhere). Oracle =
+    an independent pure-Python HLL over the same xxhash64 domain
+    (oracle/builders.build_hll_expected)."""
+    from scrapy_products_tracker_spark.functions.sketches import hll_distinct
+
+    li = _t(spark, sf, "lineitem")
+    return hll_distinct(li, ["l_returnflag"], F.col("l_orderkey")).orderBy(
+        "l_returnflag"
+    )
+
+
+def q_cms_heavyhitters(spark, sf):
+    """Count-Min heavy hitters (functions/sketches.py): the corpus is
+    tokenized + shuffled exactly ONCE into a token histogram; the
+    d x w counter grid (<=4096 cells, broadcastable) and the exact
+    top-k probes both derive from it; estimate = min over hash rows
+    (one-sided error, cms_est >= exact always). Oracle = independent
+    pure-Python Counter + grid (oracle/builders.build_cms_expected)."""
+    from scrapy_products_tracker_spark.functions.sketches import cms_topk_estimates
+
+    return cms_topk_estimates(_t(spark, sf, "documents"), k=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order = criticality (VERDICT r03 #2): the driver's
     # correctness gate may sample a prefix of this registry, so the
@@ -2595,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_alignment_filter": q_clip_alignment,
         "curation_pipeline": q_curation_pipeline,
         "corpus_curation_pipeline": q_curate_corpus,
+        "hll_distinct_counts": q_hll_distinct_counts,
+        "cms_heavyhitters": q_cms_heavyhitters,
         "simhash_neardup": q_simhash_neardup,
         "json_projection": q_json_projection,
         "price_parse": q_price_parse,

@@ -5,6 +5,7 @@ from .sampling import (
     temperature_sample_threshold,
 )
 from .joins import asof_join, range_join
+from .sketches import cms_cells, cms_topk_estimates, hll_distinct, hll_registers
 from .text import chunk_windows, dedup_doc_lines, line_dedup_stats, perplexity_buckets, pii_counts, pii_scrub, pii_scrub_stats
 from .hashing import bloom_hash_cols, murmur3_32, murmur3_col, murmur3_str, url_hash_col
 from .urls import (
@@ -21,6 +22,10 @@ from .urls import (
 __all__ = [
     "asof_join",
     "range_join",
+    "cms_cells",
+    "cms_topk_estimates",
+    "hll_distinct",
+    "hll_registers",
     "chunk_windows",
     "mixture_sample",
     "perplexity_buckets",

@@ -1694,3 +1694,102 @@ def build_channel_stats_expected() -> str:
         ]
     )
     return _write(df, "channel_stats.parquet", schema)
+
+
+def build_hll_expected(sf_dir: str = CORRECTNESS_SF) -> str:
+    """Independent HyperLogLog twin (functions/sketches.py contract):
+    xxhash64(l_orderkey) registers per l_returnflag, raw-HLL estimate
+    in the exact staged int64 arithmetic the engine promises (unit
+    shift 50, >>20 / <<30 staging, 1<<42 clamp, alpha_micro 720541)."""
+    import pyarrow as pa
+
+    from ..functions.hashing import xxhash64_long
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    p, alpha_micro = 10, 720_541
+    m, w = 1 << p, 64 - p
+    regs: dict = {}
+    exact: dict = {}
+    for flag, okey in zip(li["l_returnflag"], li["l_orderkey"]):
+        if okey is None:
+            continue
+        exact.setdefault(flag, set()).add(int(okey))
+        hu = xxhash64_long(int(okey)) & ((1 << 64) - 1)
+        b, suf = hu >> w, hu & ((1 << w) - 1)
+        M = regs.setdefault(flag, {})
+        r = w + 1 - suf.bit_length()
+        if r > M.get(b, 0):
+            M[b] = r
+    rows = []
+    for flag in sorted(regs):
+        M = regs[flag]
+        nz = len(M)
+        S = sum((1 << 50) >> r for r in M.values()) + (m - nz) * (1 << 50)
+        q = min((m * m << 30) // max(S >> 20, 1), 1 << 42)
+        est = (q * alpha_micro) // 1000
+        ex = len(exact[flag])
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_nonzero_registers": nz,
+                "n_zero_registers": m - nz,
+                "sum_units": S,
+                "est_milli": est,
+                "exact_distinct": ex,
+                "rel_err_milli": abs(est - ex * 1000) // max(ex, 1),
+            }
+        )
+    schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("n_nonzero_registers", pa.int32()),
+            ("n_zero_registers", pa.int32()),
+            ("sum_units", pa.int64()),
+            ("est_milli", pa.int64()),
+            ("exact_distinct", pa.int64()),
+            ("rel_err_milli", pa.int64()),
+        ]
+    )
+    return _write(pd.DataFrame(rows), "hll_expected.parquet", schema)
+
+
+def build_cms_expected(sf_dir: str = CORRECTNESS_SF, d: int = 4, w: int = 1024, k: int = 40) -> str:
+    """Independent Count-Min twin: exact token histogram (tokens_col
+    whitespace convention), d x w grid via xxhash64('cms{r}:{tok}') %
+    w, estimate = min over rows; probes = exact top-k (cnt desc,
+    token asc)."""
+    import re as _re
+
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+    cnt: dict = {}
+    for t in docs["text"]:
+        if t is None or str(t).strip() == "":
+            continue
+        for tok in _re.split(r"\s+", str(t).strip()):
+            if tok:
+                cnt[tok] = cnt.get(tok, 0) + 1
+    cells: dict = {}
+    for tok, c in cnt.items():
+        for r in range(d):
+            key = (r, xxhash64_str(f"cms{r}:{tok}") % w)
+            cells[key] = cells.get(key, 0) + c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    rows = []
+    for tok, c in top:
+        est = min(cells[(r, xxhash64_str(f"cms{r}:{tok}") % w)] for r in range(d))
+        rows.append(
+            {"token": tok, "exact_cnt": c, "cms_est": est, "overcount": est - c}
+        )
+    schema = pa.schema(
+        [
+            ("token", pa.string()),
+            ("exact_cnt", pa.int64()),
+            ("cms_est", pa.int64()),
+            ("overcount", pa.int64()),
+        ]
+    )
+    return _write(pd.DataFrame(rows), "cms_expected.parquet", schema)

@@ -72,6 +72,8 @@ def oracle_sql() -> dict[str, str]:
     p_qual = OB.build_quality_expected()
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
+    p_hll = OB.build_hll_expected()
+    p_cms = OB.build_cms_expected()
     _, _, p_robx = OB.build_robots_fixture()
     p_fru = OB.build_frontier_urls()
 
@@ -883,6 +885,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compression_ratio_stats": f"""
             SELECT id, raw_len, zlib_len, ratio_milli FROM read_parquet('{p_zr}')
+        """,
+        "hll_distinct_counts": f"""
+            SELECT l_returnflag, n_nonzero_registers, n_zero_registers,
+                   sum_units, est_milli, exact_distinct, rel_err_milli
+            FROM read_parquet('{p_hll}') ORDER BY l_returnflag
+        """,
+        "cms_heavyhitters": f"""
+            SELECT token, exact_cnt, cms_est, overcount
+            FROM read_parquet('{p_cms}') ORDER BY exact_cnt DESC, token
         """,
         "unigram_train_vocab": f"""
             SELECT piece, count, score FROM read_parquet('{p_uvoc}')
