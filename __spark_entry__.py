@@ -1031,6 +1031,29 @@ def q_frontier_pagerank(spark, sf):
     return r.orderBy(F.desc("rank_units"), "node").limit(100)
 
 
+def q_hits_topk(spark, sf):
+    """Hub/authority split of the same deterministic link graph:
+    Kleinberg HITS, 2 iterations, int64 fixed-point with integer
+    max-renormalization per half-step (functions/graph.py:hits_units).
+    Hubs = the reference's category/listing pages; authorities = the
+    product detail pages — top-100 authorities with hub tiebreak. The
+    oracle unrolls both iterations relationally, renorm divisor as a
+    scalar MAX subquery."""
+    from scrapy_products_tracker_spark.functions.graph import hits_units
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("node"))
+    n = d.count()
+    edges = d.select(
+        F.col("node").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_j"),
+    ).select(
+        "src",
+        ((F.col("src") * 31 + F.col("_j") * 7919) % F.lit(int(n))).alias("dst"),
+    )
+    r = hits_units(edges, nodes=d, iters=2)
+    return r.orderBy(F.desc("auth_units"), F.desc("hub_units"), "node").limit(100)
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring: self-trained add-1/2 bigram model
     (top-64 vocab + <unk>, <s>-prefixed streams); per-doc NLL in exact
@@ -2581,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_index": q_anchor_index,
         "focused_priority_boost": q_focused_boost,
         "frontier_pagerank_topk": q_frontier_pagerank,
+        "hits_hub_auth_topk": q_hits_topk,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

@@ -194,3 +194,79 @@ def focused_priority_boost(
         boost.alias("boost"),
         (F.col(priority_col).cast("long") + boost).alias("boosted_priority"),
     )
+
+
+def hits_units(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 2,
+    unit: int = DEFAULT_UNIT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, hub_units, auth_units) after ``iters`` Kleinberg HITS
+    iterations (Kleinberg, JACM'99) in int64 fixed-point.
+
+    Complements :func:`pagerank_units` on the same discovered link
+    graph: PageRank feeds the frontier's ``priority`` by global
+    importance; HITS separates *hubs* (category/listing pages that
+    point at many good pages — the reference's category spiders,
+    spiders/*.py, crawl exactly these) from *authorities* (the product
+    detail pages they point at). A focused product crawl claims high-
+    hub pages first to maximize detail-page discovery per fetch.
+
+    Determinism contract: all scores are int64 units; each half-step is
+      auth'(v) = Σ_{u→v} hub(u)   then   auth = auth' div d_a
+      hub'(u)  = Σ_{u→v} auth(v)  then   hub  = hub'  div d_h
+    where ``d = max(1, max(score') div unit)`` — the integer stand-in
+    for HITS' L2 normalization (only the *ordering* is consumed
+    downstream, and floor-div by a scalar preserves int ordering).
+    Integer sums are order-free, so results are bit-identical across
+    partitionings/engines. Renormalizing every step bounds scores by
+    ``unit * max_indegree`` — no overflow at any graph scale (raw
+    power iteration overflows int64 in 2 rounds at 10^7-degree hubs).
+
+    Scale shape (10^10 edges): two shuffles per iteration (edges ⋈
+    scores on src resp. dst + the groupBy int64 sum with map-side
+    partial agg — hot authorities combine locally before the
+    exchange). The normalization divisor is a single 8-byte ``max``
+    scalar per half-step — an O(1) driver value, not a driver data
+    path. Score frames are ``localCheckpoint``-ed every iteration
+    (same lineage discipline as dedup/text_corpus.py cluster loop:
+    without the cut, Catalyst re-analyzes a plan that doubles per
+    round)."""
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    nodes = nodes.localCheckpoint()
+    e = e.localCheckpoint()
+
+    def _half_step(scores: DataFrame, join_on: str, out_of: str) -> DataFrame:
+        # new(x) = Σ over edges of scores(other end); renormalize by the
+        # integer divisor max(1, max div unit).
+        flow = (
+            e.join(scores.withColumnRenamed("node", join_on), join_on)
+            .groupBy(F.col(out_of).alias("node"))
+            .agg(F.sum("s").alias("_raw"))  # int64 sum: order-free, exact
+        )
+        raw = nodes.join(flow, "node", "left").select(
+            "node", F.coalesce(F.col("_raw"), F.lit(0)).cast("long").alias("_raw")
+        ).localCheckpoint()
+        mx = raw.agg(F.max("_raw")).first()[0] or 0
+        d = max(1, mx // unit)
+        return raw.select("node", F.expr(f"_raw div {int(d)}").alias("s"))
+
+    hub = nodes.select("node", F.lit(int(unit)).cast("long").alias("s"))
+    auth = nodes.select("node", F.lit(int(unit)).cast("long").alias("s"))
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst")   # authorities gather hub mass
+        hub = _half_step(auth, "dst", "src")   # hubs gather authority mass
+    return nodes.join(
+        hub.select("node", F.col("s").alias("hub_units")), "node"
+    ).join(auth.select("node", F.col("s").alias("auth_units")), "node")

@@ -1046,6 +1046,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, r AS rank_units FROM r3
             ORDER BY rank_units DESC, node LIMIT 100
         """,
+        # HITS (Kleinberg'99), 2 iterations unrolled; int fixed-point,
+        # per-half-step renorm divisor = GREATEST(1, MAX(raw) // unit)
+        # as a scalar subquery — the exact twin of graph.hits_units.
+        "hits_hub_auth_topk": r"""
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+            nn AS (SELECT count(*) AS n FROM d),
+            e AS (SELECT node AS src, (node * 31 + j * 7919) % nn.n AS dst
+                  FROM d, nn, unnest([1, 2, 3]) AS t(j)),
+            h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM d),
+            a1r AS (SELECT d.node, CAST(COALESCE(f.s, 0) AS BIGINT) AS s
+                    FROM d LEFT JOIN (
+                      SELECT e.dst AS node, SUM(h0.s) AS s
+                      FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst) f
+                    USING (node)),
+            a1 AS (SELECT node,
+                          s // GREATEST(1, (SELECT MAX(s) FROM a1r) // 1000000) AS s
+                   FROM a1r),
+            h1r AS (SELECT d.node, CAST(COALESCE(f.s, 0) AS BIGINT) AS s
+                    FROM d LEFT JOIN (
+                      SELECT e.src AS node, SUM(a1.s) AS s
+                      FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src) f
+                    USING (node)),
+            h1 AS (SELECT node,
+                          s // GREATEST(1, (SELECT MAX(s) FROM h1r) // 1000000) AS s
+                   FROM h1r),
+            a2r AS (SELECT d.node, CAST(COALESCE(f.s, 0) AS BIGINT) AS s
+                    FROM d LEFT JOIN (
+                      SELECT e.dst AS node, SUM(h1.s) AS s
+                      FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst) f
+                    USING (node)),
+            a2 AS (SELECT node,
+                          s // GREATEST(1, (SELECT MAX(s) FROM a2r) // 1000000) AS s
+                   FROM a2r),
+            h2r AS (SELECT d.node, CAST(COALESCE(f.s, 0) AS BIGINT) AS s
+                    FROM d LEFT JOIN (
+                      SELECT e.src AS node, SUM(a2.s) AS s
+                      FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src) f
+                    USING (node)),
+            h2 AS (SELECT node,
+                          s // GREATEST(1, (SELECT MAX(s) FROM h2r) // 1000000) AS s
+                   FROM h2r)
+            SELECT d.node, h2.s AS hub_units, a2.s AS auth_units
+            FROM d JOIN h2 USING (node) JOIN a2 USING (node)
+            ORDER BY auth_units DESC, hub_units DESC, node LIMIT 100
+        """,
         "lm_perplexity_scores": r"""
             WITH w AS (SELECT doc_id AS doc,
                               CASE WHEN text IS NULL OR trim(text) = '' THEN NULL

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from scrapy_products_tracker_spark.dedup import semdedup
 from scrapy_products_tracker_spark.functions.graph import (
+    hits_units,
     pagerank_priority,
     pagerank_units,
 )
@@ -59,6 +60,52 @@ def test_pagerank_zero_iters_is_uniform(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
     ranks = pagerank_units(e, iters=0).collect()
     assert {r["rank_units"] for r in ranks} == {1_000_000}
+
+
+def py_hits(edges, nodes, iters=2, unit=1_000_000):
+    hub = {n: unit for n in nodes}
+    auth = {n: unit for n in nodes}
+    for _ in range(iters):
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[d] += hub[s]
+        div = max(1, max(raw.values()) // unit)
+        auth = {n: v // div for n, v in raw.items()}
+        raw = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw[s] += auth[d]
+        div = max(1, max(raw.values()) // unit)
+        hub = {n: v // div for n, v in raw.items()}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_pure_python(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in NODES], "node long")
+    got = {
+        r["node"]: (r["hub_units"], r["auth_units"])
+        for r in hits_units(e, nodes=n, iters=2).collect()
+    }
+    assert got == py_hits(EDGES, NODES, iters=2)
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    a = hits_units(e.repartition(7), iters=2).collect()
+    b = hits_units(e.coalesce(1), iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hits_renormalization_bounds_scores(spark):
+    # a star graph: one hub pointing at k authorities; after renorm the
+    # hub score is ~unit (not unit*k growing per iteration — the
+    # overflow-safety property the int renorm exists for).
+    k = 50
+    e = spark.createDataFrame([(0, i) for i in range(1, k + 1)], "src long, dst long")
+    out = {r["node"]: (r["hub_units"], r["auth_units"])
+           for r in hits_units(e, iters=3).collect()}
+    assert out[0][0] <= 2_000_000  # hub bounded by ~unit, not unit*k^3
+    assert all(out[i][1] == out[1][1] for i in range(2, k + 1))  # symmetric auths
 
 
 def test_pagerank_priority_join(spark):
