@@ -77,3 +77,63 @@ def test_commit_optimistic_concurrency(spark, tmpdir_path):
     v3 = store.commit(fr, meta={"round": 2}, expected_version=v2)
     assert store.latest_version() == v3 > v2
     assert store.read_manifest(v2 + 1) is None  # placeholder, not a snapshot
+
+
+def test_frontier_files_clustered_by_status(spark, tmpdir_path):
+    """Frontier bucket files are physically clustered by (status,
+    CLAIM_ORDER): the claim scan's `status = PENDING` filter then skips
+    whole parquet row groups of finished rows via min/max stats — the
+    at-scale I/O cut for a mature frontier. Pins both the full-rewrite
+    and the dirty-bucket-delta write paths."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    def _assert_clustered(root, manifest):
+        for rel in manifest["frontier"]["buckets"].values():
+            for f in Path(root, rel).glob("*.parquet"):
+                t = pq.read_table(
+                    f, columns=["status", "priority", "depth", "discovered_seq"]
+                )
+                keys = list(
+                    zip(
+                        t["status"].to_pylist(),
+                        t["priority"].to_pylist(),
+                        t["depth"].to_pylist(),
+                        t["discovered_seq"].to_pylist(),
+                    )
+                )
+                assert keys == sorted(keys), f"{f} not status/claim-key clustered"
+
+    store = SnapshotParquetStore(tmpdir_path, n_frontier_buckets=4)
+    n = 400
+    rows = [
+        (
+            f"https://d{i % 7}.example.com/p/{i}",
+            (i * 2654435761) % (1 << 62),
+            (i * 13) % 4,          # statuses deliberately interleaved
+            (i * 31) % 11,         # priority
+            (i * 17) % 5,          # depth
+            (i * 101) % 997,       # discovered_seq
+            0,
+        )
+        for i in range(n)
+    ]
+    schema = (
+        "url string, url_hash long, status int, priority long, depth int, "
+        "discovered_seq long, attempt int"
+    )
+    store.commit(spark.createDataFrame(rows, schema), meta={})
+    _assert_clustered(tmpdir_path, store.read_manifest())
+
+    # dirty-bucket delta: flip a slice of statuses; rewritten buckets
+    # must come out re-clustered too
+    upd = spark.createDataFrame(
+        [(r[1], r[0], 3, 1) for r in rows[::5]],
+        "url_hash long, url string, new_status int, new_attempt int",
+    )
+    store.commit(frontier_updates=upd, meta={})
+    _assert_clustered(tmpdir_path, store.read_manifest())
+    # and the data survived unchanged as a set
+    got = store.read_frontier(spark).count()
+    assert got == n
