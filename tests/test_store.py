@@ -137,3 +137,66 @@ def test_frontier_files_clustered_by_status(spark, tmpdir_path):
     # and the data survived unchanged as a set
     got = store.read_frontier(spark).count()
     assert got == n
+
+
+def test_frontier_clustered_row_groups_skippable(spark, tmpdir_path):
+    """At-scale evidence for the clustered layout: with realistic
+    multi-row-group bucket files (block size forced tiny here; 128 MB
+    groups at scale), the (status, claim-key) sort makes most row
+    groups status-homogeneous — their min>PENDING stats let the claim
+    scan's `status = PENDING` pushed filter skip them outright."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from scrapy_products_tracker_spark.schemas import PENDING
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 4096)
+    try:
+        store = SnapshotParquetStore(tmpdir_path, n_frontier_buckets=2)
+        n = 20000
+        rows = [
+            (
+                f"https://d{i % 7}.example.com/p/{i}",
+                (i * 2654435761) % (1 << 62),
+                (i * 13) % 4,  # 1/4 PENDING(0), 3/4 terminal — a young frontier
+                (i * 31) % 11,
+                (i * 17) % 5,
+                i,
+                0,
+            )
+            for i in range(n)
+        ]
+        schema = (
+            "url string, url_hash long, status int, priority long, depth int, "
+            "discovered_seq long, attempt int"
+        )
+        store.commit(spark.createDataFrame(rows, schema), meta={})
+        m = store.read_manifest()
+        total = skippable = 0
+        for rel in m["frontier"]["buckets"].values():
+            for f in Path(tmpdir_path, rel).glob("*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                sidx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "status"
+                )
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(sidx).statistics
+                    total += 1
+                    if st.min > PENDING:
+                        skippable += 1
+        assert total > 20  # the tiny block size really produced many groups
+        # statuses are 3/4 non-pending; clustered layout must make the
+        # bulk of groups skippable (boundary groups straddle runs)
+        assert skippable / total > 0.5, (skippable, total)
+        # and the filtered read is exact
+        got = store.read_frontier(spark).filter(F.col("status") == PENDING).count()
+        assert got == sum(1 for r in rows if r[2] == PENDING)
+    finally:
+        if old is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old)
