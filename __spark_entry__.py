@@ -2437,6 +2437,21 @@ def q_clip_alignment(spark, sf):
     return SIM.paired_alignment(e, threshold_micro=0).orderBy("pair_id")
 
 
+def q_hard_negatives(spark, sf):
+    """In-batch hard-negative mining for contrastive image-caption
+    training (functions/similarity.hard_negative_mine): pairs batched
+    by pair_id div 16, each image anchor ranks the other captions of
+    its batch by cosine (6 dp) and keeps the top-2 — the in-batch
+    softmax's hardest wrong captions. Work is N x batch, never O(N^2);
+    ranked AFTER rounding so both engines rank the same grid."""
+    e = _t(spark, sf, "embeddings")
+    out = SIM.hard_negative_mine(e, k=2, batch_size=16)
+    # row_number is int32 in Spark / BIGINT in DuckDB — align for compare
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "pair_id", "rank"
+    )
+
+
 def q_curation_pipeline(spark, sf):
     """The full curation funnel in ONE lazy plan (imaging/dataset.
     curate): LAION row filters -> exact-bytes dedup (min-id per md5
@@ -2605,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_priority_boost": q_focused_boost,
         "frontier_pagerank_topk": q_frontier_pagerank,
         "hits_hub_auth_topk": q_hits_topk,
+        "hard_negative_topk": q_hard_negatives,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne-31 keeps a_i * x below 2^62 — safe under ANSI long arithmetic
@@ -612,6 +612,65 @@ def paired_alignment(
             cos.alias("cosine"),
             (cos >= F.lit(threshold_micro) / F.lit(1_000_000.0)).alias("keep"),
         )
+    )
+
+
+def hard_negative_mine(
+    emb: DataFrame,
+    k: int = 3,
+    batch_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-batch hard-negative mining over the paired image/caption
+    embeddings layout (see :func:`paired_alignment`: image rows at even
+    ids, caption rows at odd ids, pair p = rows (2p, 2p+1)).
+
+    Contrastive training (CLIP, Radford et al.'21; SigLIP) learns from
+    each image's hardest *wrong* captions. The standard, scale-sane
+    formulation is IN-BATCH mining: partition pairs into deterministic
+    training batches (``batch_id = pair_id div batch_size``), and for
+    each image anchor rank only the OTHER captions of its own batch by
+    cosine — exactly what the in-batch softmax denominator sees. For
+    each anchor the top-``k`` negatives (cosine desc, then neg pair id
+    — a total order) are returned as
+    ``(pair_id, neg_pair_id, batch_id, cosine, rank)``.
+
+    Scale shape: the cross product is bounded to ``batch_size²`` per
+    batch, so total work is ``N × batch_size`` — linear in corpus size
+    for a fixed batch, never the O(N²) all-pairs blowup a naive "most
+    similar caption anywhere" mine would be (that global variant is
+    what the ANN path — ann_topk_ivfpq over caption vectors — is for).
+    One equi-join shuffle on ``batch_id``; the per-anchor top-k window
+    partitions on the anchor pair id (cardinality = N, no skew: every
+    partition is exactly ``batch_size - 1`` rows). Cosine is rounded
+    to 6 dp (the cross-engine float contract) and ranked AFTER
+    rounding, so the order the oracle sees is the order ranked."""
+    if k < 1 or batch_size < 2:
+        raise ValueError("k >= 1 and batch_size >= 2 required")
+    half = F.expr(f"`{id_col}` div 2").cast("long").alias("pair_id")
+    batch = F.expr(f"(`{id_col}` div 2) div {int(batch_size)}").cast("long")
+    img = emb.filter(F.col(id_col) % 2 == 0).select(
+        half, batch.alias("batch_id"),
+        F.col(vec_col).cast("array<double>").alias("_iv"),
+    )
+    txt = emb.filter(F.col(id_col) % 2 == 1).select(
+        half.alias("neg_pair_id"), batch.alias("batch_id"),
+        F.col(vec_col).cast("array<double>").alias("_tv"),
+    )
+    scored = (
+        img.join(txt, "batch_id")
+        .filter(F.col("pair_id") != F.col("neg_pair_id"))
+        .select(
+            "pair_id", "neg_pair_id", "batch_id",
+            F.round(cosine_sim(F.col("_iv"), F.col("_tv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pair_id").orderBy(F.desc("cosine"), "neg_pair_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("pair_id", "neg_pair_id", "batch_id", "cosine", "rank")
     )
 
 

@@ -1694,6 +1694,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id > 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        # in-batch hard negatives: rank rounded cosines (both engines
+        # rank the same 6-dp grid; neg_pair_id breaks grid ties)
+        "hard_negative_topk": """
+            WITH img AS (SELECT vec_id // 2 AS pair_id,
+                                (vec_id // 2) // 16 AS batch_id,
+                                CAST(embedding AS DOUBLE[]) AS iv
+                         FROM embeddings WHERE vec_id % 2 = 0),
+            txt AS (SELECT vec_id // 2 AS neg_pair_id,
+                           (vec_id // 2) // 16 AS batch_id,
+                           CAST(embedding AS DOUBLE[]) AS tv
+                    FROM embeddings WHERE vec_id % 2 = 1),
+            sc AS (SELECT pair_id, neg_pair_id, batch_id,
+                          round(list_cosine_similarity(iv, tv), 6) AS cosine
+                   FROM img JOIN txt USING (batch_id)
+                   WHERE pair_id <> neg_pair_id),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY pair_id ORDER BY cosine DESC, neg_pair_id
+                   ) AS "rank" FROM sc)
+            SELECT pair_id, neg_pair_id, batch_id, cosine, "rank"
+            FROM rk WHERE "rank" <= 2 ORDER BY pair_id, "rank"
+        """,
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm

@@ -172,3 +172,53 @@ def test_dedup_corpus_null_text_passthrough(spark):
 def test_embedding_lsh_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert SIM.embedding_neardup_lsh(empty).count() == 0
+
+
+def test_hard_negative_mine_matches_pure_python(spark):
+    """In-batch hard negatives vs an independent pure-Python miner:
+    same batching, same 6-dp rounding-then-rank, same tie order."""
+    import math
+
+    rnd = random.Random(7)
+    n_pairs, dim, bs, k = 24, 6, 8, 2
+    vecs = {}
+    rows = []
+    for p in range(n_pairs):
+        for par in (0, 1):
+            v = [rnd.uniform(-1, 1) for _ in range(dim)]
+            vecs[2 * p + par] = v
+            rows.append((2 * p + par, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["pair_id"], r["neg_pair_id"], r["cosine"], r["rank"])
+        for r in SIM.hard_negative_mine(df, k=k, batch_size=bs)
+        .orderBy("pair_id", "rank")
+        .collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    want = []
+    for p in range(n_pairs):
+        batch = p // bs
+        cands = sorted(
+            (
+                (-cos(vecs[2 * p], vecs[2 * q + 1]), q)
+                for q in range(n_pairs)
+                if q // bs == batch and q != p
+            ),
+        )[:k]
+        for i, (negcos, q) in enumerate(cands):
+            want.append((p, q, -negcos, i + 1))
+    assert got == want
+    # every anchor got exactly k negatives, all from its own batch
+    per_anchor = {}
+    for p, q, _, _ in got:
+        per_anchor.setdefault(p, []).append(q)
+        assert q // bs == p // bs and q != p
+    assert all(len(v) == k for v in per_anchor.values())
+    assert len(per_anchor) == n_pairs
