@@ -1603,6 +1603,20 @@ def q_image_channel_stats(spark, sf):
     return image_channel_stats(img)
 
 
+def q_image_patch_stats(spark, sf):
+    """ViT patch-grid preprocessing (imaging/quality.image_patch_stats):
+    one Arrow decode kernel fans each image out to its 4x4 integer-
+    lattice patches with int64 channel sums + DIV milli-means. Oracle
+    recomputes from the generator's ground-truth pixels (+ jpeg
+    surrogate closed form) — the codec decode path never runs
+    oracle-side."""
+    from scrapy_products_tracker_spark.imaging.quality import image_patch_stats
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"])
+    return image_patch_stats(img, grid=4).orderBy("image_id", "patch_row", "patch_col")
+
+
 def q_phash_image_neardup(spark, sf):
     """Near-duplicate image pairs by banded perceptual-hash Hamming
     join (imaging/neardup.py): EXACT for dist<=7 via the pigeonhole
@@ -2621,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pagerank_topk": q_frontier_pagerank,
         "hits_hub_auth_topk": q_hits_topk,
         "hard_negative_topk": q_hard_negatives,
+        "image_patch_stats": q_image_patch_stats,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

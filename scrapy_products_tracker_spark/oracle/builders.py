@@ -1696,6 +1696,67 @@ def build_channel_stats_expected() -> str:
     return _write(df, "channel_stats.parquet", schema)
 
 
+def build_patch_stats_expected(grid: int = 4) -> str:
+    """Expected ViT patch-grid stats from the generator's ground-truth
+    source pixels (+ jpeg surrogate quantization) — the codec decode
+    path never runs here. Same integer lattice ``r_i = i*h div g`` and
+    int64-sum/floor-milli arithmetic imaging/quality.image_patch_stats
+    promises."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    g = int(grid)
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt
+        if fmt == "jpeg":
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        h, w = pixels.shape[0], pixels.shape[1]
+        for i in range(g):
+            r0, r1 = (i * h) // g, ((i + 1) * h) // g
+            for j in range(g):
+                c0, c1 = (j * w) // g, ((j + 1) * w) // g
+                patch = pixels[r0:r1, c0:c1]
+                n = int(patch.shape[0] * patch.shape[1])
+                if n == 0:
+                    rows.append((image_id, i, j, 0, 0, 0, 0, None, None, None))
+                    continue
+                s = patch.reshape(-1, patch.shape[2]).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        image_id, i, j, n,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(s[0]) * 1000 // n, int(s[1]) * 1000 // n, int(s[2]) * 1000 // n,
+                    )
+                )
+    cols = [
+        "image_id", "patch_row", "patch_col", "n_px", "s0", "s1", "s2",
+        "mean0_milli", "mean1_milli", "mean2_milli",
+    ]
+    df = pd.DataFrame(rows, columns=cols).sort_values(
+        ["image_id", "patch_row", "patch_col"]
+    )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("patch_row", pa.int32()),
+            ("patch_col", pa.int32()),
+            ("n_px", pa.int64()),
+            ("s0", pa.int64()),
+            ("s1", pa.int64()),
+            ("s2", pa.int64()),
+            ("mean0_milli", pa.int64()),
+            ("mean1_milli", pa.int64()),
+            ("mean2_milli", pa.int64()),
+        ]
+    )
+    return _write(df, "patch_stats.parquet", schema)
+
+
 def build_hll_expected(sf_dir: str = CORRECTNESS_SF) -> str:
     """Independent HyperLogLog twin (functions/sketches.py contract):
     xxhash64(l_orderkey) registers per l_returnflag, raw-HLL estimate

@@ -51,3 +51,45 @@ def test_phash_deterministic_and_locality():
 def test_bad_container_raises():
     with pytest.raises(ValueError):
         decode_image(b"not an image at all")
+
+
+def test_image_patch_stats_reassembles_and_reports(spark):
+    """Patch lattice is a partition of the image: per-channel patch
+    sums must add back to the whole-image sum, every pixel exactly
+    once, for awkward (non-divisible) dims; junk payloads are reported
+    as a (-1,-1) audit row, never dropped."""
+    from scrapy_products_tracker_spark.imaging.quality import image_patch_stats
+
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {}
+    for i, (h, w) in enumerate([(19, 15), (8, 8), (5, 13), (1, 7)]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        iid = f"img{i}"
+        truth[iid] = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        rows.append((iid, bytearray(encode_image(px, "png"))))
+    rows.append(("junk", bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = image_patch_stats(df, grid=4).collect()
+
+    got = {}
+    for r in out:
+        if r["image_id"] == "junk":
+            assert (r["patch_row"], r["patch_col"], r["n_px"]) == (-1, -1, 0)
+            assert r["s0"] is None and r["mean0_milli"] is None
+            continue
+        acc = got.setdefault(r["image_id"], [0, 0, 0, 0])
+        acc[0] += r["n_px"]
+        acc[1] += r["s0"]
+        acc[2] += r["s1"]
+        acc[3] += r["s2"]
+        # milli-mean contract on every non-empty patch
+        if r["n_px"] > 0:
+            assert r["mean0_milli"] == r["s0"] * 1000 // r["n_px"]
+    for i, (h, w) in enumerate([(19, 15), (8, 8), (5, 13), (1, 7)]):
+        iid = f"img{i}"
+        s = truth[iid]
+        assert got[iid] == [h * w, int(s[0]), int(s[1]), int(s[2])]
+    # grid x grid rows per decodable image (empty patches included when h < grid)
+    n_patch_rows = sum(1 for r in out if r["image_id"] != "junk")
+    assert n_patch_rows == 4 * 16

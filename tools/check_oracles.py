@@ -87,8 +87,19 @@ def main():
         elif not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             bad = neq.any(axis=1)
-            emit(f"FAIL {name}: {int(bad.sum())} differing rows; first:")
-            print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duck"]))
+            if int(bad.sum()) == 0:
+                # values equal but pandas .equals() is dtype-sensitive:
+                # the classic cause is int32 (Spark row_number) vs
+                # int64 (DuckDB BIGINT) — name the columns outright
+                dt = [
+                    f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
+                    for c in a.columns
+                    if a[c].dtype != b[c].dtype
+                ]
+                emit(f"FAIL {name}: values equal, dtypes differ ({'; '.join(dt)})")
+            else:
+                emit(f"FAIL {name}: {int(bad.sum())} differing rows; first:")
+                print(pd.concat([a[bad].head(3), b[bad].head(3)], keys=["spark", "duck"]))
             fails += 1
         else:
             emit(f"OK   {name}: {len(a)} rows  ({time.time()-t0:.1f}s)")
