@@ -174,6 +174,40 @@ def q_frontier_claim_topk(spark, sf):
     return claimed.select("url", "domain", "discovered_seq", "within_round_rank")
 
 
+def q_frontier_aging_rank(spark, sf):
+    """Starvation-free claim: the REAL scheduler over aged effective
+    priorities (politeness/scheduler.aged_priority_col — milli-level
+    wait-queue aging, scale-and-restore in the crawl driver). Frontier
+    synthesized with priority = seq%5, discovered_round = seq%13;
+    current round 13, rate 400 milli/round, uniform budget 8, top-100
+    claim. The oracle mirrors the integer aging algebra inline."""
+    from scrapy_products_tracker_spark.politeness import schedule_round
+    from scrapy_products_tracker_spark.politeness.scheduler import aged_priority_col
+
+    cand = (
+        _frontier_from_docs(_t(spark, sf, "documents"))
+        .withColumn("priority", (F.col("discovered_seq") % 5).cast("int"))
+        .withColumn("discovered_round", (F.col("discovered_seq") % 13).cast("int"))
+    )
+    aged = cand.withColumn(
+        "priority", aged_priority_col(13, 400)
+    ).drop("discovered_round")
+    robots = (
+        aged.select("domain").distinct()
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .withColumn("crawl_delay_ms", F.lit(0).cast("long"))
+        .withColumn("max_per_round", F.lit(8))
+    )
+    claimed = schedule_round(aged, robots, chunk_size=100, n_salts=4)
+    return claimed.select(
+        "url",
+        "domain",
+        "discovered_seq",
+        F.col("priority").alias("eff_priority"),
+        "within_round_rank",
+    )
+
+
 def q_politeness_budget_rank(spark, sf):
     """P1/P5/R3 via the REAL scheduler with crawl-delay-derived budgets:
     effective budget = min(max_per_round, round_ms // crawl_delay)."""
@@ -2636,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hub_auth_topk": q_hits_topk,
         "hard_negative_topk": q_hard_negatives,
         "image_patch_stats": q_image_patch_stats,
+        "frontier_aging_rank": q_frontier_aging_rank,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

@@ -46,7 +46,13 @@ from ..fetchers.synthetic import (
 from ..frontier.store import frontier_bucket_col
 from ..functions.hashing import url_hash_col
 from ..functions.urls import canonicalize_udf, domain_of
-from ..politeness.scheduler import CLAIM_ORDER, mark_robots, max_effective_budget, schedule_round
+from ..politeness.scheduler import (
+    CLAIM_ORDER,
+    aged_priority_col,
+    mark_robots,
+    max_effective_budget,
+    schedule_round,
+)
 from ..schemas import ERROR, HARDWARE_ERROR, PENDING, SKIPPED_ROBOTS, SUCCESS
 from ..synth.world import PAGINATION_SIZE
 from .parse import discover_children, encode_seq, position_of
@@ -119,6 +125,15 @@ class CrawlConfig:
     # claim scan then touches only the live slice. Provably invisible:
     # skipped buckets contain no claimable row (equivalence-tested).
     claim_bucket_pruning: bool = True
+    # starvation-free claim aging (politeness/scheduler.
+    # aged_priority_col): effective priority improves by this many
+    # milli-levels per waited round, applied scale-and-restore around
+    # the claim (children always inherit BASE priority through parse
+    # lineage). 0 = off (parity default — the fixtures pin pure
+    # (priority, depth, seq) claim order). On an importance-fed
+    # 10^10-URL frontier this bounds every URL's wait to
+    # Δpriority*1000/rate rounds instead of forever.
+    aging_milli_per_round: int = 0
     # adaptive politeness (politeness/adaptive.py): one AIMD budget step
     # per round from fetch outcomes. Opt-in — the parity fixtures pin
     # the reference's STATIC budgets; turning this on legitimately
@@ -477,9 +492,27 @@ class CrawlDriver:
         else:
             claim_scan = frontier
         pending = claim_scan.filter(F.col("status") == PENDING)
-        narrow = pending.select(
+        _narrow_cols = [
             "url", "url_hash", "domain", "tier", "priority", "depth", "discovered_seq", "attempt"
-        )
+        ]
+        if self.cfg.aging_milli_per_round:
+            # scale-and-restore: the aged value is what schedule_round
+            # sorts on; _base_priority rides along and is restored after
+            # the claim so lineage inheritance sees base units
+            narrow = (
+                pending.select(
+                    *_narrow_cols,
+                    F.col("priority").alias("_base_priority"),
+                    "discovered_round",
+                )
+                .withColumn(
+                    "priority",
+                    aged_priority_col(round_no, self.cfg.aging_milli_per_round),
+                )
+                .drop("discovered_round")
+            )
+        else:
+            narrow = pending.select(*_narrow_cols)
         # upper bound on PENDING rows, maintained incrementally in the
         # manifest meta (seed sets it; each round subtracts terminal
         # resolutions and adds pending inserts; rearm_session resets it
@@ -495,6 +528,10 @@ class CrawlDriver:
             max_budget=self._max_budget,
             pending_hint=pending_hint,
         )
+        if self.cfg.aging_milli_per_round:
+            claimed = claimed.withColumn(
+                "priority", F.col("_base_priority").cast("int")
+            ).drop("_base_priority")
         # spread the claimed batch back across the cluster: the claim's
         # final top-k is single-partition, and fetch/parse/decode must
         # not inherit that (hash on url_hash keeps domains mixed, which

@@ -127,6 +127,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
             FROM claimed
         """,
+        # wait-queue aging: eff = priority*1000 - age*rate (ints only);
+        # depth uniform, seq unique -> (eff, seq) is the total order
+        "frontier_aging_rank": """
+            WITH cand AS (
+              SELECT concat('https://', source, '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     concat(source, '.example.com') AS domain,
+                     doc_id AS discovered_seq,
+                     CAST((doc_id % 5) * 1000 - (13 - (doc_id % 13)) * 400 AS BIGINT) AS eff
+              FROM documents),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY eff, discovered_seq) AS rnk
+              FROM cand),
+            claimed AS (
+              SELECT url, domain, discovered_seq, eff FROM ranked
+              WHERE rnk <= 8 ORDER BY eff, discovered_seq LIMIT 100)
+            SELECT url, domain, discovered_seq, eff AS eff_priority,
+                   CAST(ROW_NUMBER() OVER (ORDER BY eff, discovered_seq) AS INT) AS within_round_rank
+            FROM claimed
+        """,
         "politeness_budget_rank": """
             WITH cand AS (
               SELECT concat('https://', source, '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url,

@@ -50,6 +50,44 @@ def effective_budget_col(round_ms: int = DEFAULT_ROUND_MS):
     return F.least(F.col("max_per_round"), by_delay)
 
 
+def aged_priority_col(
+    current_round: int,
+    aging_milli: int,
+    priority_col: str = "priority",
+    round_col: str = "discovered_round",
+):
+    """Starvation-free effective claim priority (the wait-queue aging
+    of Mercator/Heritrix-class frontiers): a PENDING row's priority
+    improves linearly with how many rounds it has waited,
+
+        effective = priority * 1000 - age_rounds * aging_milli
+
+    in int64 milli-priority units (CLAIM_ORDER sorts ascending, so
+    subtracting age claims older rows earlier). ``aging_milli`` is the
+    bridge rate: 1000 means one full priority level per waiting round;
+    a PageRank-fed frontier (graph.pagerank_priority) uses a small
+    rate so importance dominates short-term but nothing starves
+    forever — after ``Δpriority * 1000 / aging_milli`` rounds ANY row
+    outranks a fresh higher-priority one. Age clamps at 0 (rows
+    discovered "this round" never get a penalty from clock skew).
+
+    Pure column algebra over two int columns — the claim scan's plan
+    is unchanged (no join, no shuffle, stats pushdown unaffected).
+    The crawl driver applies it scale-and-restore: the aged value
+    feeds scheduling only; the row's BASE priority is what children
+    inherit through parse lineage (crawl/parse.py propagates
+    ``priority``), so aging never compounds across depth."""
+    if aging_milli < 0:
+        raise ValueError("aging_milli must be >= 0")
+    age = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(int(current_round)).cast("long") - F.col(round_col).cast("long"),
+    )
+    return (
+        F.col(priority_col).cast("long") * 1000 - age * F.lit(int(aging_milli))
+    ).cast("long")
+
+
 def mark_robots(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """Single-pass robots check: candidates + ``_robots_blocked`` bool.
     Robots is tiny (one row per domain) -> broadcast join; the literal

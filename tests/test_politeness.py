@@ -85,3 +85,79 @@ def test_apply_robots_prefix_split(spark):
     allowed, skipped = apply_robots(cands, robots)
     assert {r["url"] for r in skipped.collect()} == {"https://a.com/private/x"}
     assert allowed.count() == 2
+
+
+def test_aged_priority_starvation_freedom(spark):
+    """Wait-queue aging: an old low-importance row eventually outranks
+    a fresh high-importance one; age clamps at zero; rate 0 == base
+    order scaled (pure no-op modulo the x1000 scale)."""
+    from scrapy_products_tracker_spark.politeness.scheduler import aged_priority_col
+
+    rows = [
+        # url, url_hash, domain, tier, priority, depth, seq, round
+        ("https://a/old", 1, "a", 0, 5, 0, 1, 0),    # poor priority, waited 10
+        ("https://a/new", 2, "a", 0, 0, 0, 2, 10),   # best priority, fresh
+        ("https://a/skew", 3, "a", 0, 1, 0, 3, 99),  # "future" round: age clamps to 0
+    ]
+    schema = (
+        "url string, url_hash long, domain string, tier int, priority int, "
+        "depth int, discovered_seq long, discovered_round int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["url"]: r["eff"]
+        for r in df.select(
+            "url", aged_priority_col(10, 600).alias("eff")
+        ).collect()
+    }
+    assert got["https://a/old"] == 5 * 1000 - 10 * 600   # -1000: now beats fresh 0
+    assert got["https://a/new"] == 0
+    assert got["https://a/skew"] == 1000                 # no negative-age bonus
+    assert got["https://a/old"] < got["https://a/new"] < got["https://a/skew"]
+
+    zero = {
+        r["url"]: r["eff"]
+        for r in df.select("url", aged_priority_col(10, 0).alias("eff")).collect()
+    }
+    assert zero == {u: p * 1000 for u, p in
+                    [("https://a/old", 5), ("https://a/new", 0), ("https://a/skew", 1)]}
+
+
+def test_driver_aging_scale_and_restore(tmpdir_path):
+    """CrawlDriver(aging_milli_per_round=...) changes only ORDER, never
+    totals, and claimed/persisted rows carry BASE priority units."""
+    import tempfile
+
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots
+    from scrapy_products_tracker_spark.session import get_spark
+    from scrapy_products_tracker_spark.synth import T1_SMOKE, generate_world, write_world
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    tmp = tempfile.mkdtemp(dir=tmpdir_path)
+    paths = write_world(generate_world(T1_SMOKE), tmp + "/world")
+
+    def crawl(aging):
+        store = SnapshotParquetStore(tmp + f"/store_{aging}")
+        drv = CrawlDriver(
+            spark,
+            store,
+            spark.read.parquet(paths["pages"]),
+            spark.read.parquet(paths["image_caption"]),
+            load_robots(spark, paths["robots"]),
+            CrawlConfig(chunk_size=50, aging_milli_per_round=aging),
+        )
+        drv.seed(spark.read.parquet(paths["seeds"]))
+        meta = drv.run()
+        fr = store.read_frontier(spark)
+        return meta["counters"], fr
+
+    base_counters, base_fr = crawl(0)
+    aged_counters, aged_fr = crawl(2500)
+    assert aged_counters == base_counters  # totals invariant
+    # persisted priorities are BASE units (restore happened): the
+    # frontier never contains the x1000-scaled effective values
+    mx = aged_fr.agg(F.max(F.abs(F.col("priority")))).first()[0]
+    bx = base_fr.agg(F.max(F.abs(F.col("priority")))).first()[0]
+    assert mx == bx
