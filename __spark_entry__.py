@@ -1651,6 +1651,34 @@ def q_image_patch_stats(spark, sf):
     return image_patch_stats(img, grid=4).orderBy("image_id", "patch_row", "patch_col")
 
 
+def q_image_border_stats(spark, sf):
+    """Letterbox/pillarbox detection over planted borders: decode ->
+    pad each world image with xxhash64-derived widths of a uniform
+    color (imaging/quality.pad_images — the aspect-bucket padding
+    kernel) -> count uniform edge runs bit-exactly
+    (imaging/quality.image_border_stats). Oracle replays pad+detect
+    over the generator's ground-truth pixels with an independent
+    vectorized scan."""
+    from scrapy_products_tracker_spark.imaging.quality import (
+        image_border_stats,
+        pad_images,
+    )
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).select("image_id", "bytes")
+    wid = lambda s: F.pmod(
+        F.xxhash64(F.concat(F.col("image_id"), F.lit(s))), F.lit(4)
+    ).cast("int")
+    src = (
+        img.withColumn("_t", wid("~bt"))
+        .withColumn("_b", wid("~bb"))
+        .withColumn("_l", wid("~bl"))
+        .withColumn("_r", wid("~br"))
+    )
+    padded = pad_images(src, "_t", "_b", "_l", "_r")
+    return image_border_stats(padded).orderBy("image_id")
+
+
 def q_phash_image_neardup(spark, sf):
     """Near-duplicate image pairs by banded perceptual-hash Hamming
     join (imaging/neardup.py): EXACT for dist<=7 via the pigeonhole
@@ -2671,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_topk": q_hard_negatives,
         "image_patch_stats": q_image_patch_stats,
         "frontier_aging_rank": q_frontier_aging_rank,
+        "image_border_stats": q_image_border_stats,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

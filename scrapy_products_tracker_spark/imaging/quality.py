@@ -256,3 +256,139 @@ def image_patch_stats(
         mean("s1").alias("mean1_milli"),
         mean("s2").alias("mean2_milli"),
     )
+
+
+def pad_images(
+    df: DataFrame,
+    top_col: str,
+    bottom_col: str,
+    left_col: str,
+    right_col: str,
+    color: tuple = (8, 8, 8),
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Uniform-border padding: decode, pad each side by the per-row
+    widths in the four int columns with a constant ``color``, re-encode
+    lossless PNG. The preprocessing twin of aspect bucketing
+    (imaging/dataset.aspect_bucket_assign): a bucketed training batch
+    pads its members to the bucket's common shape rather than
+    distorting them with a resize — this is that pad as an Arrow
+    kernel. Output: ``(image_id, bytes, fmt)`` with fmt='png'
+    (padding must not re-lose pixels, so the output container is the
+    lossless one regardless of input fmt). Undecodable rows are
+    REPORTED with NULL bytes/fmt, never dropped. Map-only, no shuffle;
+    payload bytes stay inside the kernel."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+    c = np.asarray(color, dtype=np.uint8)
+    from .codec import encode_image
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, t, b, lft, r in zip(
+                pdf[id_col], pdf[bytes_col],
+                pdf[top_col], pdf[bottom_col], pdf[left_col], pdf[right_col],
+            ):
+                try:
+                    px = decode_image(bytes(data))
+                    t, b, lft, r = int(t), int(b), int(lft), int(r)
+                    if min(t, b, lft, r) < 0:
+                        raise ValueError("negative pad width")
+                    h, w, ch = px.shape
+                    out = np.empty((h + t + b, w + lft + r, ch), dtype=np.uint8)
+                    out[:, :] = c[:ch]
+                    out[t:t + h, lft:lft + w] = px
+                    rows.append((iid, encode_image(out, "png"), "png"))
+                except Exception:
+                    rows.append((iid, None, None))
+            yield pd.DataFrame(rows, columns=[id_col, "bytes", "fmt"])
+
+    return df.select(
+        id_col, bytes_col, top_col, bottom_col, left_col, right_col
+    ).mapInPandas(kernel, out_schema)
+
+
+def image_border_stats(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Uniform-border (letterbox/pillarbox) detection — the standard
+    crawled-image cleaning signal: thumbnails arrive letterboxed, and
+    training pipelines crop the bars (or drop the row when content
+    shrinks to nothing).
+
+    Per side, the border width is the count of consecutive full rows
+    (cols) from that edge inward whose every pixel EQUALS the side's
+    corner pixel (top/left anchor ``px[0,0]``, bottom ``px[H-1,0]``,
+    right ``px[0,W-1]``) — pure integer pixel comparisons, a bit-exact
+    function of the decoded image (no tolerance knob to drift across
+    engines). A fully uniform image reports full-extent borders on
+    every side. Output: ``(image_id, ok, h, w, top, bottom, left,
+    right, letterboxed, content_px)`` where letterboxed =
+    (top>0 AND bottom>0) OR (left>0 AND right>0), content_px =
+    max(0, h-top-bottom) * max(0, w-left-right). Undecodable rows
+    report ok=0 with NULL metrics (audit semantics). Map-only."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("ok", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("top", T.IntegerType()),
+            T.StructField("bottom", T.IntegerType()),
+            T.StructField("left", T.IntegerType()),
+            T.StructField("right", T.IntegerType()),
+            T.StructField("letterboxed", T.IntegerType()),
+            T.StructField("content_px", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    px = decode_image(bytes(data))
+                    rows.append((iid, 1) + border_widths(px))
+                except Exception:
+                    rows.append((iid, 0) + (None,) * 8)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "h", "w", "top", "bottom", "left", "right",
+                    "letterboxed", "content_px",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, out_schema)
+
+
+def border_widths(px: np.ndarray) -> tuple:
+    """(h, w, top, bottom, left, right, letterboxed, content_px) for
+    decoded pixels — the shared pure-numpy core of image_border_stats,
+    also replayed verbatim by the oracle builder over ground-truth
+    pixels (the detection math itself is the contract)."""
+    h, w = int(px.shape[0]), int(px.shape[1])
+
+    def run(side_color, slices):
+        n = 0
+        for sl in slices:
+            if (px[sl] == side_color).all():
+                n += 1
+            else:
+                break
+        return n
+
+    top = run(px[0, 0], [(i, slice(None)) for i in range(h)])
+    bottom = run(px[h - 1, 0], [(i, slice(None)) for i in range(h - 1, -1, -1)])
+    left = run(px[0, 0], [(slice(None), j) for j in range(w)])
+    right = run(px[0, w - 1], [(slice(None), j) for j in range(w - 1, -1, -1)])
+    boxed = int((top > 0 and bottom > 0) or (left > 0 and right > 0))
+    content = max(0, h - top - bottom) * max(0, w - left - right)
+    return (h, w, top, bottom, left, right, boxed, content)

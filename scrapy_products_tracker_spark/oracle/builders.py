@@ -1757,6 +1757,63 @@ def build_patch_stats_expected(grid: int = 4) -> str:
     return _write(df, "patch_stats.parquet", schema)
 
 
+def build_border_stats_expected() -> str:
+    """Expected letterbox-detection rows for the planted-border world:
+    per image, pad the generator's ground-truth pixels (+ jpeg
+    surrogate) with xxhash64-derived widths of color (8,8,8), then
+    count uniform edge runs with an INDEPENDENT vectorized scan (the
+    engine kernel scans row-by-row; this uses argmax over whole-row
+    equality masks) — same contract, different code path."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    def borders(px: np.ndarray) -> tuple:
+        h, w = int(px.shape[0]), int(px.shape[1])
+        row_eq = lambda c: (px == c).all(axis=(1, 2))
+        col_eq = lambda c: (px == c).all(axis=(0, 2))
+
+        def lead(mask):
+            return int(len(mask)) if mask.all() else int(np.argmax(~mask))
+
+        top = lead(row_eq(px[0, 0]))
+        bottom = lead(row_eq(px[h - 1, 0])[::-1])
+        left = lead(col_eq(px[0, 0]))
+        right = lead(col_eq(px[0, w - 1])[::-1])
+        boxed = int((top > 0 and bottom > 0) or (left > 0 and right > 0))
+        content = max(0, h - top - bottom) * max(0, w - left - right)
+        return (h, w, top, bottom, left, right, boxed, content)
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt
+        if fmt == "jpeg":
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        t = xxhash64_str(image_id + "~bt") % 4
+        b = xxhash64_str(image_id + "~bb") % 4
+        lft = xxhash64_str(image_id + "~bl") % 4
+        r = xxhash64_str(image_id + "~br") % 4
+        h0, w0, ch = pixels.shape
+        padded = np.empty((h0 + t + b, w0 + lft + r, ch), dtype=np.uint8)
+        padded[:, :] = np.asarray((8, 8, 8), dtype=np.uint8)[:ch]
+        padded[t:t + h0, lft:lft + w0] = pixels
+        rows.append((image_id, 1) + borders(padded))
+    cols = [
+        "image_id", "ok", "h", "w", "top", "bottom", "left", "right",
+        "letterboxed", "content_px",
+    ]
+    df = pd.DataFrame(rows, columns=cols).sort_values("image_id")
+    schema = pa.schema(
+        [("image_id", pa.string())]
+        + [(c, pa.int32()) for c in cols[1:-1]]
+        + [("content_px", pa.int64())]
+    )
+    return _write(df, "border_stats.parquet", schema)
+
+
 def build_hll_expected(sf_dir: str = CORRECTNESS_SF) -> str:
     """Independent HyperLogLog twin (functions/sketches.py contract):
     xxhash64(l_orderkey) registers per l_returnflag, raw-HLL estimate

@@ -106,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
     p_zr = OB.build_compression_ratios()
     p_chs = OB.build_channel_stats_expected()
     p_patch = OB.build_patch_stats_expected()
+    p_border = OB.build_border_stats_expected()
     p_ao, p_ab = OB.build_adaptive_inputs()
     p_chain = OB.build_chain_signatures()
     export_cols = ", ".join(OB.EXPORT_COLS)
@@ -397,6 +398,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT fmt, n, n_ok, total_px,
                    ch0_mean_milli, ch1_mean_milli, ch2_mean_milli
             FROM read_parquet('{p_chs}') ORDER BY fmt
+        """,
+        "image_border_stats": f"""
+            SELECT image_id, ok, h, w, "top", bottom, "left", "right",
+                   letterboxed, content_px
+            FROM read_parquet('{p_border}') ORDER BY image_id
         """,
         "image_patch_stats": f"""
             SELECT image_id, patch_row, patch_col, n_px, s0, s1, s2,

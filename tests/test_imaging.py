@@ -93,3 +93,39 @@ def test_image_patch_stats_reassembles_and_reports(spark):
     # grid x grid rows per decodable image (empty patches included when h < grid)
     n_patch_rows = sum(1 for r in out if r["image_id"] != "junk")
     assert n_patch_rows == 4 * 16
+
+
+def test_pad_then_border_roundtrip(spark):
+    """border_stats(pad_images(x)) recovers the planted widths on
+    noisy content (noise edges never match the pad color), reports the
+    full extent on a uniform image, and audits junk rows."""
+    from scrapy_products_tracker_spark.imaging.quality import (
+        image_border_stats,
+        pad_images,
+    )
+
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(16, 240, size=(11, 9, 3), dtype=np.uint8)
+    flat = np.full((6, 5, 3), 8, dtype=np.uint8)  # pad color == content
+    rows = [
+        ("noisy", bytearray(encode_image(noisy, "png")), 2, 0, 1, 3),
+        ("flat", bytearray(encode_image(flat, "png")), 1, 1, 0, 0),
+        ("junk", bytearray(b"xx"), 1, 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, t int, b int, l int, r int"
+    )
+    padded = pad_images(df, "t", "b", "l", "r")
+    out = {r["image_id"]: r for r in image_border_stats(padded).collect()}
+
+    n = out["noisy"]
+    assert (n["h"], n["w"]) == (11 + 2, 9 + 4)
+    assert (n["top"], n["bottom"], n["left"], n["right"]) == (2, 0, 1, 3)
+    assert n["letterboxed"] == 1 and n["content_px"] == 11 * 9
+
+    f = out["flat"]  # uniform content merges with the pad: full-extent borders
+    assert (f["top"], f["bottom"]) == (f["h"], f["h"])
+    assert f["content_px"] == 0
+
+    j = out["junk"]
+    assert j["ok"] == 0 and j["h"] is None and j["content_px"] is None
