@@ -208,6 +208,33 @@ def q_frontier_aging_rank(spark, sf):
     )
 
 
+def q_redirect_resolution(spark, sf):
+    """Bounded 3xx chain resolution via the REAL fetch kernel
+    (fetchers/synthetic.follow_redirects, cap 3 — Scrapy
+    REDIRECT_MAX_TIMES semantics; reference NACK test
+    tests/rmq_new_tests/test_max_redirections_reached_nacked.py).
+    Synthetic map: doc_id%10<4 redirects u/i -> u/(i+1), so decades
+    carry chains of length 4,3,2,1 — the 4-chain exceeds the cap.
+    Oracle unrolls the same three joins + the exceeded check."""
+    from scrapy_products_tracker_spark.fetchers.synthetic import follow_redirects
+
+    d = _t(spark, sf, "documents")
+    mk = lambda c: F.concat(F.lit("https://r.example.com/u/"), c.cast("string"))
+    urls = d.select(
+        mk(F.col("doc_id")).alias("url"), F.col("doc_id").cast("long").alias("doc_id")
+    )
+    reds = urls.filter(F.col("doc_id") % 10 < 4).select(
+        "url", mk(F.col("doc_id") + 1).alias("redirect_to")
+    )
+    out = follow_redirects(urls.select("url"), reds, max_hops=3)
+    return out.select(
+        "url",
+        "final_url",
+        F.col("n_redirects").cast("int").alias("n_redirects"),
+        "redirect_exceeded",
+    ).orderBy("url")
+
+
 def q_politeness_budget_rank(spark, sf):
     """P1/P5/R3 via the REAL scheduler with crawl-delay-derived budgets:
     effective budget = min(max_per_round, round_ms // crawl_delay)."""
@@ -2700,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patch_stats": q_image_patch_stats,
         "frontier_aging_rank": q_frontier_aging_rank,
         "image_border_stats": q_image_border_stats,
+        "redirect_resolution": q_redirect_resolution,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

@@ -125,6 +125,17 @@ class CrawlConfig:
     # claim scan then touches only the live slice. Provably invisible:
     # skipped buckets contain no claimable row (equivalence-tested).
     claim_bucket_pruning: bool = True
+    # redirect following (fetchers/synthetic.follow_redirects):
+    # Scrapy's RedirectMiddleware semantic — 3xx chains resolve to
+    # their landing page inside the fetch, bounded by this many hops;
+    # a chain/loop still unresolved after the budget lands on a 3xx
+    # row and classifies FAIL_LOGIC/ERROR (the reference's
+    # max-redirections-reached NACK, tests/rmq_new_tests/
+    # test_max_redirections_reached_nacked.py). None = off (parity
+    # default; also off when the page table has no redirect_to
+    # column). Claimed rows keep their CLAIM url for lineage/dedup
+    # (request-url semantics); final_url rides along in fx.
+    max_redirect_times: int | None = None
     # starvation-free claim aging (politeness/scheduler.
     # aged_priority_col): effective priority improves by this many
     # milli-levels per waited round, applied scale-and-restore around
@@ -551,10 +562,32 @@ class CrawlDriver:
         if self.fetch_fn is not None:
             fx = self.fetch_fn(claimed, round_no).persist()
         else:
-            resolved = resolve_pages(claimed, self.pages)
+            to_fetch = claimed
+            follow = (
+                self.cfg.max_redirect_times is not None
+                and "redirect_to" in self.pages.columns
+            )
+            if follow:
+                from ..fetchers.synthetic import follow_redirects
+
+                reds = self.pages.filter(
+                    F.col("redirect_to").isNotNull()
+                ).select("url", "redirect_to")
+                to_fetch = (
+                    follow_redirects(claimed, reds, self.cfg.max_redirect_times)
+                    .withColumn("_claim_url", F.col("url"))
+                    .withColumn("url", F.col("final_url"))
+                )
+            resolved = resolve_pages(to_fetch, self.pages)
             if self.cfg.simulate_latency_scale > 0:
                 resolved = with_simulated_latency(resolved, self.cfg.simulate_latency_scale)
-            fx = classify_fetch(resolved, inline_retries=self.cfg.inline_retries).persist()
+            fx = classify_fetch(resolved, inline_retries=self.cfg.inline_retries)
+            if follow:
+                # exceeded chains landed on a 3xx row -> classify_fetch
+                # already produced the FAIL_LOGIC/ERROR class; restore
+                # the claim url for lineage/dedup/MERGE identity
+                fx = fx.withColumn("url", F.col("_claim_url")).drop("_claim_url")
+            fx = fx.persist()
         cached: list[DataFrame] = [fx]
 
         # --- frontier expansion (F1-F5) --------------------------------

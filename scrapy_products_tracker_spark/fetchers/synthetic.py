@@ -74,6 +74,61 @@ def with_simulated_latency(resolved: DataFrame, scale: float) -> DataFrame:
     return resolved.mapInPandas(_sleep, schema)
 
 
+def follow_redirects(
+    claimed: DataFrame,
+    redirects: DataFrame,
+    max_hops: int = 3,
+    url_col: str = "url",
+) -> DataFrame:
+    """Resolve 3xx chains before the page fetch: ``max_hops`` bounded
+    left joins against the redirect map — the fetch-layer twin of
+    Scrapy's RedirectMiddleware with ``REDIRECT_MAX_TIMES``; a chain
+    (or loop) still unresolved after the budget is the reference's
+    max-redirections-reached NACK
+    (tests/rmq_new_tests/test_max_redirections_reached_nacked.py: a
+    301 pointing at itself must exhaust the budget and nack → here
+    ``redirect_exceeded = 1``, which the crawl driver maps to the
+    FAIL_LOGIC/ERROR class).
+
+    ``redirects`` is (url, redirect_to) — the 3xx slice of the page
+    corpus. Adds ``final_url`` (the landing URL the fetch should
+    resolve), ``n_redirects`` (hops actually taken, ≤ max_hops) and
+    ``redirect_exceeded`` (0/1). Loops never hang: each hop is one
+    bounded join, a cycle simply consumes its budget and exceeds.
+
+    Scale shape: ``max_hops`` equi-joins keyed on the current landing
+    URL (sort-merge at 10^10; the redirect slice of a web corpus is
+    too large to assume broadcastable — Catalyst/AQE will still
+    broadcast it when it measures small). Claims are chunk-bounded, so
+    each hop shuffles only the round's claim, not the corpus."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    r = redirects.select(
+        F.col(redirects.columns[0]).alias("_r_src"),
+        F.col(redirects.columns[1]).alias("_r_dst"),
+    )
+    out = claimed.withColumn("final_url", F.col(url_col)).withColumn(
+        "n_redirects", F.lit(0)
+    )
+    for _ in range(max_hops):
+        out = (
+            out.join(r, out["final_url"] == r["_r_src"], "left")
+            .withColumn(
+                "n_redirects",
+                F.when(
+                    F.col("_r_dst").isNotNull(), F.col("n_redirects") + 1
+                ).otherwise(F.col("n_redirects")),
+            )
+            .withColumn("final_url", F.coalesce(F.col("_r_dst"), F.col("final_url")))
+            .drop("_r_src", "_r_dst")
+        )
+    return (
+        out.join(r, out["final_url"] == r["_r_src"], "left")
+        .withColumn("redirect_exceeded", F.col("_r_dst").isNotNull().cast("int"))
+        .drop("_r_src", "_r_dst")
+    )
+
+
 def classify_fetch(resolved: DataFrame, inline_retries: bool = False) -> DataFrame:
     """Add ``eff_status`` (flaky 403s clear after ``flaky_until``
     attempts — the retry-then-success path, X1) and ``outcome``.

@@ -128,6 +128,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
             FROM claimed
         """,
+        # bounded redirect chains: 3 unrolled left joins + final
+        # exceeded probe — the exact twin of follow_redirects(cap=3)
+        "redirect_resolution": """
+            WITH u AS (SELECT concat('https://r.example.com/u/', CAST(doc_id AS VARCHAR)) AS url
+                       FROM documents),
+            r AS (SELECT concat('https://r.example.com/u/', CAST(doc_id AS VARCHAR)) AS src,
+                         concat('https://r.example.com/u/', CAST(doc_id + 1 AS VARCHAR)) AS dst
+                  FROM documents WHERE doc_id % 10 < 4),
+            h0 AS (SELECT url, url AS final_url, 0 AS n FROM u),
+            h1 AS (SELECT h0.url, COALESCE(r.dst, h0.final_url) AS final_url,
+                          h0.n + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS n
+                   FROM h0 LEFT JOIN r ON h0.final_url = r.src),
+            h2 AS (SELECT h1.url, COALESCE(r.dst, h1.final_url) AS final_url,
+                          h1.n + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS n
+                   FROM h1 LEFT JOIN r ON h1.final_url = r.src),
+            h3 AS (SELECT h2.url, COALESCE(r.dst, h2.final_url) AS final_url,
+                          h2.n + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS n
+                   FROM h2 LEFT JOIN r ON h2.final_url = r.src)
+            SELECT h3.url, h3.final_url, CAST(h3.n AS INT) AS n_redirects,
+                   CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS redirect_exceeded
+            FROM h3 LEFT JOIN r ON h3.final_url = r.src
+            ORDER BY h3.url
+        """,
         # wait-queue aging: eff = priority*1000 - age*rate (ints only);
         # depth uniform, seq unique -> (eff, seq) is the total order
         "frontier_aging_rank": """

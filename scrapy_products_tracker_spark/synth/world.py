@@ -336,6 +336,9 @@ def _arrow_schemas():
                 ("latency_ms", pa.int32()),
                 ("category", pa.string()),
                 ("body", pa.string()),
+                # 3xx landing target (None = not a redirect); consumed
+                # only when CrawlConfig(max_redirect_times=...) is set
+                ("redirect_to", pa.string()),
             ]
         ),
         "endpoints": pa.schema(

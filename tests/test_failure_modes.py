@@ -162,3 +162,98 @@ def test_oracle_agrees_on_failure_world(spark, failure_world, run):
     got = {u: (r["status"], r["attempt"]) for u, r in fr.items()}
     want = {u: (r["status"], r["attempt"]) for u, r in sim.seen.items()}
     assert got == want
+
+
+def test_max_redirections_nacked(spark, tmp_path_factory):
+    """Reference scenario (tests/rmq_new_tests/
+    test_max_redirections_reached_nacked.py): a 301 chain within the
+    budget resolves to its landing page and succeeds under the CLAIM
+    url; a self-loop exhausts REDIRECT_MAX_TIMES and lands ERROR (the
+    NACK analog). Off by default — the parity fixtures never follow."""
+    d = "f.example.com"
+    pages = [
+        _page(f"https://{d}/cat/0", d, 0, outlinks=[
+            f"https://{d}/p/r1", f"https://{d}/p/loop", f"https://{d}/p/ok",
+        ]),
+        _page(f"https://{d}/p/ok", d, 1, image_id="img_ok"),
+    ]
+    # chain r1 -> r2 -> ok (2 hops, cap 3) and loop -> loop (exceeds)
+    for src, dst in [
+        (f"https://{d}/p/r1", f"https://{d}/p/r2"),
+        (f"https://{d}/p/r2", f"https://{d}/p/ok"),
+        (f"https://{d}/p/loop", f"https://{d}/p/loop"),
+    ]:
+        row = _page(src, d, 1, status=301)
+        row["redirect_to"] = dst
+        pages.append(row)
+    seeds = pd.DataFrame([{"url": f"https://{d}/cat/0", "tier": 0, "seed_rank": 0}])
+    robots = pd.DataFrame(
+        [{"domain": d, "disallow_prefixes": [], "crawl_delay_ms": 0, "max_per_round": 16}]
+    )
+    world = World(
+        seeds=seeds,
+        pages=pd.DataFrame(pages),
+        image_caption=pd.DataFrame([_img("img_ok")]),
+        robots=robots,
+        spec=WorldSpec(),
+    )
+    tmp = tmp_path_factory.mktemp("redir")
+    paths = write_world(world, str(tmp))
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    store = SnapshotParquetStore(str(tmp / "store"))
+    drv = CrawlDriver(
+        spark,
+        store,
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["image_caption"]),
+        load_robots(spark, paths["robots"]),
+        CrawlConfig(chunk_size=100, max_redirect_times=3),
+    )
+    drv.seed(spark.read.parquet(paths["seeds"]))
+    drv.run()
+    frontier = {r["url"]: r for r in store.read_frontier(spark).collect()}
+    assert frontier[f"https://{d}/p/r1"]["status"] == SUCCESS     # chain within cap
+    assert frontier[f"https://{d}/p/loop"]["status"] == ERROR     # NACK analog
+    assert frontier[f"https://{d}/p/ok"]["status"] == SUCCESS     # direct fetch untouched
+    # the resolved chain produced an item attributed to the CLAIM url
+    results = store.read_results(spark)
+    urls = {r["url"] for r in results.select("url").collect()}
+    assert f"https://{d}/p/r1" in urls
+
+
+def test_redirects_off_by_default_ignores_column(spark, tmp_path_factory):
+    """With max_redirect_times unset a 301 row classifies FAIL_LOGIC
+    directly (no following), even though redirect_to is populated."""
+    d = "f.example.com"
+    pages = [
+        _page(f"https://{d}/cat/0", d, 0, outlinks=[f"https://{d}/p/r1"]),
+        _page(f"https://{d}/p/ok", d, 1, image_id="img_ok"),
+    ]
+    row = _page(f"https://{d}/p/r1", d, 1, status=301)
+    row["redirect_to"] = f"https://{d}/p/ok"
+    pages.append(row)
+    seeds = pd.DataFrame([{"url": f"https://{d}/cat/0", "tier": 0, "seed_rank": 0}])
+    robots = pd.DataFrame(
+        [{"domain": d, "disallow_prefixes": [], "crawl_delay_ms": 0, "max_per_round": 16}]
+    )
+    world = World(
+        seeds=seeds, pages=pd.DataFrame(pages),
+        image_caption=pd.DataFrame([_img("img_ok")]), robots=robots, spec=WorldSpec(),
+    )
+    tmp = tmp_path_factory.mktemp("redir_off")
+    paths = write_world(world, str(tmp))
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    store = SnapshotParquetStore(str(tmp / "store"))
+    drv = CrawlDriver(
+        spark, store,
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["image_caption"]),
+        load_robots(spark, paths["robots"]),
+        CrawlConfig(chunk_size=100),
+    )
+    drv.seed(spark.read.parquet(paths["seeds"]))
+    drv.run()
+    frontier = {r["url"]: r for r in store.read_frontier(spark).collect()}
+    assert frontier[f"https://{d}/p/r1"]["status"] == ERROR
