@@ -1730,6 +1730,34 @@ def q_phash_image_neardup(spark, sf):
     return phash_neardup_pairs(base.unionAll(variant)).orderBy("id_a", "id_b")
 
 
+def q_dhash_image_neardup(spark, sf):
+    """Gradient-hash near-dup pairs: dhash64 recomputed from PAYLOAD
+    BYTES through the Arrow decode kernel (imaging/media.dhash_table —
+    unlike the phash query, which trusts the metadata column, this one
+    pins decode+hash end to end), one planted <=2-bit variant per
+    image at xxhash64-derived positions, banded Hamming equi-join
+    (pigeonhole-exact, dist<=7). Oracle: pure-Python dhash64 over the
+    generator's ground-truth pixels (+ jpeg surrogate) + all-pairs
+    bit_count SQL."""
+    from scrapy_products_tracker_spark.imaging import phash_neardup_pairs
+    from scrapy_products_tracker_spark.imaging.media import dhash_table
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).select("image_id", "bytes")
+    base = dhash_table(img)
+    flip = lambda expr: F.expr(f"shiftleft(1L, cast(pmod(xxhash64({expr}), 64) as int))")
+    variant = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        F.col("dhash")
+        .bitwiseXOR(flip("concat(image_id, 'd')"))
+        .bitwiseXOR(flip("concat(image_id, 'e')"))
+        .alias("dhash"),
+    )
+    return phash_neardup_pairs(
+        base.unionAll(variant), phash_col="dhash"
+    ).orderBy("id_a", "id_b")
+
+
 def q_image_dedup_survivors(spark, sf):
     """Composed image-dedup cascade (imaging/neardup.image_dedup_survivors):
     exact byte-identity dedup (md5(bytes) group, lowest-id keeper) then
@@ -2728,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_aging_rank": q_frontier_aging_rank,
         "image_border_stats": q_image_border_stats,
         "redirect_resolution": q_redirect_resolution,
+        "dhash_image_neardup": q_dhash_image_neardup,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

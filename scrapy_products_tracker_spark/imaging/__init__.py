@@ -1,4 +1,4 @@
-from .codec import decode_image, encode_image, phash64, psnr
+from .codec import decode_image, dhash64, encode_image, phash64, psnr
 from .dataset import (
     DEFAULT_ASPECT_BUCKETS,
     aspect_bucket_assign,
@@ -52,6 +52,7 @@ __all__ = [
     "png_header_dims",
     "decode_image",
     "encode_image",
+    "dhash64",
     "phash64",
     "psnr",
     "decode_png",

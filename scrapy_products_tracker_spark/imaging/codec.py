@@ -90,3 +90,27 @@ def phash64(pixels: np.ndarray) -> int:
     for b in bits:
         val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val  # signed int64
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (Krawetz dHash): horizontal gradient sign
+    over an 8-row x 9-col block-mean grid — the gradient twin of
+    :func:`phash64`'s average hash. Each bit encodes a relation between
+    NEIGHBORING blocks rather than to the global mean, so uniform
+    brightness/contrast shifts (re-encodes, gamma tweaks) that flip
+    average-hash bits leave dhash bits alone; running both hashes and
+    unioning the candidate pairs is the standard cheap ensemble before
+    a pixel-level confirm."""
+    gray = pixels if pixels.ndim == 2 else pixels.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(10) * w) // 9
+    blocks = np.empty((8, 9), dtype=np.float64)
+    for i in range(8):
+        for j in range(9):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks[:, 1:] > blocks[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val  # signed int64

@@ -343,3 +343,32 @@ def phash_audit(df: DataFrame) -> DataFrame:
     return df.select("image_id", "fmt", "bytes", "phash").mapInPandas(
         _kernel, PHASH_AUDIT_SCHEMA
     )
+
+
+DHASH_SCHEMA = "image_id string, dhash long"
+
+
+def dhash_table(df: DataFrame) -> DataFrame:
+    """(image_id, dhash) via one Arrow decode kernel — the gradient
+    hash companion of the metadata ``phash`` column (codec.dhash64).
+    Undecodable payloads are REPORTED with NULL dhash (audit
+    semantics, same contract as phash_audit). Map-only; payload bytes
+    never leave the kernel."""
+    from .codec import dhash64
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["image_id"], pdf["bytes"]):
+                dh = None
+                if data is not None:
+                    try:
+                        dh = dhash64(decode_image(bytes(data)))
+                    except (ValueError, NotImplementedError, TypeError, struct.error):
+                        dh = None
+                out.append((mid, dh))
+            yield pd.DataFrame(out, columns=["image_id", "dhash"])
+
+    return df.select("image_id", "bytes").mapInPandas(
+        _kernel, DHASH_SCHEMA
+    )

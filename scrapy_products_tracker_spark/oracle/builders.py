@@ -272,6 +272,36 @@ def build_phash_pairs_inputs() -> str:
     )
 
 
+def build_dhash_inputs() -> str:
+    """(image_id, dhash) fixture for the gradient-hash near-dup oracle:
+    dhash64 (codec) over the generator's ground-truth source pixels
+    (+ jpeg surrogate quantization — the decode kernel's contract),
+    plus one <=2-bit planted variant per image at xxhash64-pinned
+    positions ('d'/'e' salts, distinct from the phash fixture's)."""
+    import pyarrow as pa
+
+    from ..imaging.codec import dhash64
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt
+        if fmt == "jpeg":
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        dh = dhash64(pixels)
+        rows.append((image_id, dh))
+        b1 = xxhash64_str(image_id + "d") % 64
+        b2 = xxhash64_str(image_id + "e") % 64
+        rows.append((image_id + "~v", _signed64((dh & _MASK64) ^ (1 << b1) ^ (1 << b2))))
+    schema = pa.schema([("image_id", pa.string()), ("dhash", pa.int64())])
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "dhash"]), "dhash_inputs.parquet", schema
+    )
+
+
 def build_image_dedup_inputs() -> str:
     """(image_id, fp, phash) table for the composed image-dedup oracle:
     per T1 payload image, the original row, an exact byte duplicate

@@ -65,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
         for t in _BLOCK_TERMS
     )
     p_ph = OB.build_phash_pairs_inputs()
+    p_dh = OB.build_dhash_inputs()
     p_imgdd = OB.build_image_dedup_inputs()
     p_hdr = OB.build_header_audit_inputs()
     p_pha = OB.build_phash_audit_expected()
@@ -436,6 +437,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_stats": f"""
             SELECT fmt, n, n_ok, total_px, avg_intensity
             FROM read_parquet('{p_mm}') ORDER BY fmt
+        """,
+        "dhash_image_neardup": f"""
+            WITH t AS (SELECT image_id, dhash FROM read_parquet('{p_dh}'))
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+            FROM t a JOIN t b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+            ORDER BY id_a, id_b
         """,
         "phash_image_neardup": f"""
             WITH t AS (SELECT image_id, phash FROM read_parquet('{p_ph}'))

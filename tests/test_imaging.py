@@ -129,3 +129,21 @@ def test_pad_then_border_roundtrip(spark):
 
     j = out["junk"]
     assert j["ok"] == 0 and j["h"] is None and j["content_px"] is None
+
+
+def test_dhash_gradient_invariance():
+    """dhash is invariant to uniform brightness shifts (the average
+    hash is not — that asymmetry is why running both is the standard
+    ensemble) and changes little under small perturbations."""
+    from scrapy_products_tracker_spark.imaging import dhash64
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(40, 200, size=(32, 32, 3), dtype=np.uint8)
+    base = dhash64(px)
+    assert base == dhash64(px)  # deterministic
+    shifted = np.clip(px.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    assert dhash64(shifted) == base  # gradient signs survive +30 brightness
+    tweaked = px.copy()
+    tweaked[:2, :2] = 255
+    d = bin((dhash64(tweaked) ^ base) & ((1 << 64) - 1)).count("1")
+    assert d <= 8  # local edit flips only nearby gradient bits
