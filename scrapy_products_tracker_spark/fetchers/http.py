@@ -76,6 +76,7 @@ def fetch_http(
     timeout_s: float = 10.0,
     max_attempts: int = MAX_ATTEMPTS,
     user_agent: str = "sparkbot",
+    max_redirects: int | None = None,
 ) -> DataFrame:
     """Claimed batch -> fetched + classified rows over real sockets.
 
@@ -85,6 +86,17 @@ def fetch_http(
     ``resolve_pages`` |> ``classify_fetch(inline_retries=True)``, so
     the crawl driver's downstream (expansion, extraction, stats,
     status state machine) is fetcher-agnostic.
+
+    ``max_redirects``: follow real 3xx Location chains up to this many
+    hops INSIDE the fetch (urllib's own auto-follow is disabled so the
+    budget is ours, like Scrapy's REDIRECT_MAX_TIMES); a chain/loop
+    still 3xx after the budget is terminal FAIL_LOGIC — the
+    reference's max-redirections-reached NACK over genuine sockets,
+    byte-identical to the synthetic
+    ``follow_redirects`` |> ``classify_fetch`` model. Location is
+    interpreted in the canonical public URL space and re-mapped onto
+    ``base_url`` exactly like claim URLs. None (default) = first 3xx
+    terminal (parity with redirect-free crawls).
     """
     out_fields = [f for f in claimed.schema.fields] + [
         f for f in _PAGE_FIELDS if f.name not in claimed.columns
@@ -95,10 +107,17 @@ def fetch_http(
     def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import urllib.error
         import urllib.request
+        from urllib.parse import urljoin
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            # 3xx must surface as HTTPError so OUR budget decides —
+            # urllib's silent auto-follow (its own cap of 10) would
+            # diverge from the synthetic classifier's 3xx semantics
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                return None
 
         def _one(url: str, attempt0: int, proxy: str | None, proxy_auth: str | None):
-            target = _rewrite(url, base_url)
-            handlers = []
+            handlers = [_NoRedirect()]
             if proxy:
                 # strip embedded credentials (they ride the explicit
                 # Proxy-Authorization header, like the reference's
@@ -116,22 +135,37 @@ def fetch_http(
             tries = 0
             while tries < max_attempts:
                 tries += 1
-                req = urllib.request.Request(target, headers={"User-Agent": user_agent})
-                if proxy_auth:
-                    req.add_header("Proxy-Authorization", proxy_auth)
-                try:
-                    with opener.open(req, timeout=timeout_s) as resp:
-                        eff = int(resp.status)
-                        raw = resp.read()
-                    if eff == 200:
-                        try:
-                            env = json.loads(raw.decode("utf-8"))
-                        except Exception:
-                            env = {}  # malformed body: fetched but empty (X6)
-                except urllib.error.HTTPError as e:
-                    eff = int(e.code)
-                except Exception:
-                    eff = -1  # timeout / refused / reset: hardware class
+                cur, hops = url, 0  # each attempt re-walks from the claim url
+                while True:
+                    req = urllib.request.Request(
+                        _rewrite(cur, base_url), headers={"User-Agent": user_agent}
+                    )
+                    if proxy_auth:
+                        req.add_header("Proxy-Authorization", proxy_auth)
+                    try:
+                        with opener.open(req, timeout=timeout_s) as resp:
+                            eff = int(resp.status)
+                            raw = resp.read()
+                        if eff == 200:
+                            try:
+                                env = json.loads(raw.decode("utf-8"))
+                            except Exception:
+                                env = {}  # malformed body: fetched but empty (X6)
+                    except urllib.error.HTTPError as e:
+                        eff = int(e.code)
+                        if (
+                            max_redirects is not None
+                            and 300 <= eff < 400
+                            and hops < max_redirects
+                        ):
+                            loc = e.headers.get("Location") if e.headers else None
+                            if loc:  # follow in canonical space; budget is ours
+                                hops += 1
+                                cur = urljoin(cur, loc)
+                                continue
+                    except Exception:
+                        eff = -1  # timeout / refused / reset: hardware class
+                    break
                 if eff == 200:
                     break
                 if eff not in (403, -1):

@@ -53,6 +53,14 @@ class WorldHTTPServer:
             d = {k: r[k] for k in ("status_code", "flaky_until", *_ENVELOPE_FIELDS)}
             ol = d.get("outlinks")
             d["outlinks"] = [str(u) for u in ol] if ol is not None else []
+            # 3xx rows serve a REAL Location header (canonical URL
+            # space — like a production server; the client re-maps it
+            # onto its loopback base exactly as it maps claim URLs)
+            d["redirect_to"] = (
+                str(r["redirect_to"])
+                if "redirect_to" in pages.columns and pd.notna(r["redirect_to"])
+                else None
+            )
             self._rows[str(r["url"])] = d
         self.latency_scale = latency_scale
         self.hits: dict[str, int] = {}
@@ -142,6 +150,12 @@ class WorldHTTPServer:
         flaky = int(row["flaky_until"]) if not pd.isna(row["flaky_until"]) else 0
         if status == 403 and flaky > 0 and n_prior >= flaky:
             status = 200  # flaky 403 cleared after `flaky_until` hits (X1)
+        if row["redirect_to"] is not None and 300 <= status < 400:
+            h.send_response(status)
+            h.send_header("Location", row["redirect_to"])
+            h.send_header("Content-Length", "0")
+            h.end_headers()
+            return
         if status != 200:
             body = b"{}"
             h.send_response(status)

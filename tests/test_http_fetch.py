@@ -218,3 +218,92 @@ def test_proxy_over_real_sockets(spark):
     # carrying the auth header, resolving to the canonical URL
     assert srv.proxied == [("https://x.test/ok", auth)]
     assert srv.hits["https://x.test/ok"] == 1
+
+
+def test_redirect_parity_over_real_sockets(spark, tmp_path_factory):
+    """Real 301 Location chains over loopback sockets: the http crawl
+    (fetch_http max_redirects=3, urllib auto-follow disabled) must
+    equal the synthetic crawl (CrawlConfig max_redirect_times=3) —
+    chain-within-budget succeeds under the claim url, the self-loop
+    exhausts the budget and lands ERROR (max-redirections NACK),
+    counters/frontier/results identical."""
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging import encode_image, phash64
+    from scrapy_products_tracker_spark.schemas import ERROR, SUCCESS
+    from scrapy_products_tracker_spark.synth.world import World, WorldSpec, write_world
+
+    d = "r.example.com"
+    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+    img = {
+        "image_id": "img_r", "bytes": encode_image(px, "png"), "w": 8, "h": 8,
+        "fmt": "png", "caption": "cap img_r", "phash": phash64(px),
+    }
+
+    def page(url, tier, status=200, outlinks=(), image_id=None, redirect_to=None):
+        return {
+            "url": url, "domain": d, "tier": tier, "status_code": status,
+            "flaky_until": 0, "next_url": None, "total_items": None,
+            "outlinks": list(outlinks), "image_id": image_id, "latency_ms": 5,
+            "category": None, "body": None, "redirect_to": redirect_to,
+        }
+
+    pages = pd.DataFrame([
+        page(f"https://{d}/cat/0", 0, outlinks=[
+            f"https://{d}/p/r1", f"https://{d}/p/loop", f"https://{d}/p/ok",
+        ]),
+        page(f"https://{d}/p/ok", 1, image_id="img_r"),
+        page(f"https://{d}/p/r1", 1, status=301, redirect_to=f"https://{d}/p/r2"),
+        page(f"https://{d}/p/r2", 1, status=301, redirect_to=f"https://{d}/p/ok"),
+        page(f"https://{d}/p/loop", 1, status=301, redirect_to=f"https://{d}/p/loop"),
+    ])
+    world = World(
+        seeds=pd.DataFrame([{"url": f"https://{d}/cat/0", "tier": 0, "seed_rank": 0}]),
+        pages=pages,
+        image_caption=pd.DataFrame([img]),
+        robots=pd.DataFrame([{
+            "domain": d, "disallow_prefixes": [], "crawl_delay_ms": 0,
+            "max_per_round": 16,
+        }]),
+        spec=WorldSpec(),
+    )
+    tmp = tmp_path_factory.mktemp("redir_http")
+    paths = write_world(world, str(tmp))
+
+    s_syn = SnapshotParquetStore(str(tmp / "syn"))
+    drv = CrawlDriver(
+        spark, s_syn,
+        spark.read.parquet(paths["pages"]),
+        spark.read.parquet(paths["image_caption"]),
+        load_robots(spark, paths["robots"]),
+        CrawlConfig(chunk_size=CHUNK, inline_retries=True, max_redirect_times=3),
+    )
+    drv.seed(spark.read.parquet(paths["seeds"]))
+    m_syn = drv.run()
+
+    srv = WorldHTTPServer(pages)
+    base = srv.start()
+    s_http = SnapshotParquetStore(str(tmp / "http"))
+    drv2 = CrawlDriver(
+        spark, s_http,
+        None,  # must never peek at the table
+        spark.read.parquet(paths["image_caption"]),
+        load_robots(spark, paths["robots"]),
+        CrawlConfig(chunk_size=CHUNK, inline_retries=True),
+        fetch_fn=lambda claimed, rnd: fetch_http(
+            claimed, base_url=base, timeout_s=10, max_redirects=3
+        ),
+    )
+    drv2.seed(spark.read.parquet(paths["seeds"]))
+    m_http = drv2.run()
+    srv.stop()
+
+    assert m_http["counters"] == m_syn["counters"]
+    fa = {r["url"]: (r["status"], r["attempt"]) for r in s_syn.read_frontier(spark).collect()}
+    fb = {r["url"]: (r["status"], r["attempt"]) for r in s_http.read_frontier(spark).collect()}
+    assert fa == fb
+    assert fa[f"https://{d}/p/r1"][0] == SUCCESS
+    assert fa[f"https://{d}/p/loop"][0] == ERROR
+    ra = sorted(r["url"] for r in s_syn.read_results(spark).select("url").collect())
+    rb = sorted(r["url"] for r in s_http.read_results(spark).select("url").collect())
+    assert ra == rb and f"https://{d}/p/r1" in ra
