@@ -108,7 +108,10 @@ def dhash64(pixels: np.ndarray) -> int:
     blocks = np.empty((8, 9), dtype=np.float64)
     for i in range(8):
         for j in range(9):
-            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+            cell = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
+            # images narrower than the 9-col grid yield empty cells;
+            # 0.0 keeps the hash defined (and warning-free) there
+            blocks[i, j] = cell.mean() if cell.size else 0.0
     bits = (blocks[:, 1:] > blocks[:, :-1]).flatten()
     val = 0
     for b in bits:
