@@ -125,6 +125,14 @@ class CrawlConfig:
     # claim scan then touches only the live slice. Provably invisible:
     # skipped buckets contain no claimable row (equivalence-tested).
     claim_bucket_pruning: bool = True
+    # record the discovered link graph: one append-only
+    # (src_url_hash, dst_url_hash, round) table per round (store.
+    # read_link_edges), distinct per round, 17-byte rows — the input
+    # of jobs/rank_job.py's PageRank/HITS frontier re-prioritization.
+    # Edges to already-seen URLs are recorded too (later backlinks add
+    # rank mass); only the frontier INSERT dedups. Off by default
+    # (parity fixtures carry no edge table).
+    record_link_edges: bool = False
     # redirect following (fetchers/synthetic.follow_redirects):
     # Scrapy's RedirectMiddleware semantic — 3xx chains resolve to
     # their landing page inside the fetch, bounded by this many hops;
@@ -598,6 +606,16 @@ class CrawlDriver:
             .filter(F.col("url").isNotNull())
             .persist()
         )
+        link_edges = None
+        if self.cfg.record_link_edges:
+            link_edges = (
+                children_raw.select(
+                    url_hash_col(F.col("parent_url")).alias("src_url_hash"),
+                    url_hash_col(F.col("url")).alias("dst_url_hash"),
+                )
+                .distinct()
+                .withColumn("round", F.lit(round_no))
+            )
         # within-batch first-discovery-wins (D2)
         w = Window.partitionBy("url").orderBy("discovered_seq")
         children = (
@@ -885,6 +903,7 @@ class CrawlDriver:
             frontier_inserts=inserts if n_inserted else None,
             new_results=items if n_items else None,
             new_crawl_order=crawl_order,
+            new_link_edges=link_edges,
             new_history=history_batch if n_products else None,
             products_upsert=products_batch if n_products else None,
             seen_delta=(seen.delta_df(inserts) if (seen is not None and n_inserted) else None),

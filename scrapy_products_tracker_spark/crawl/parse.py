@@ -68,6 +68,7 @@ def discover_children(ok_tier0: DataFrame, round_no: int, pagination_size: int =
 
     # F4: outlinks -> tier-1 detail URLs, position = index on page
     details = base.select(
+        F.col("url").alias("parent_url"),
         F.posexplode("outlinks").alias("position", "child_url"),
         F.lit(1).alias("tier"),
         (F.col("depth") + 1).alias("depth"),
@@ -79,6 +80,7 @@ def discover_children(ok_tier0: DataFrame, round_no: int, pagination_size: int =
 
     # F2: sequential next page, yielded after the products
     seq_pages = base.filter(F.col("next_url").isNotNull()).select(
+        F.col("url").alias("parent_url"),
         n_out.alias("position"),
         F.col("next_url").alias("child_url"),
         F.lit(0).alias("tier"),
@@ -100,6 +102,7 @@ def discover_children(ok_tier0: DataFrame, round_no: int, pagination_size: int =
             F.explode(F.sequence(F.lit(2), pages_needed)).alias("_page"),
         )
         .select(
+            F.col("url").alias("parent_url"),
             (F.col("_n_out") + F.col("_page") - 2).alias("position"),
             F.concat(F.col("url"), F.lit("?page="), F.col("_page")).alias("child_url"),
             F.lit(0).alias("tier"),
@@ -111,6 +114,10 @@ def discover_children(ok_tier0: DataFrame, round_no: int, pagination_size: int =
 
     children = details.unionByName(seq_pages).unionByName(fan_pages)
     return children.select(
+        # discovery edge source: feeds the recorded link graph
+        # (CrawlConfig.record_link_edges) and nothing else — every
+        # other consumer selects explicit columns past it
+        "parent_url",
         F.col("child_url").alias("url"),
         "tier",
         "depth",

@@ -171,6 +171,12 @@ class SnapshotParquetStore:
     def read_history(self, spark, version=None):
         return self._read_appendlist(spark, "history", version)
 
+    def read_link_edges(self, spark, version=None):
+        """Append-only (src_url_hash, dst_url_hash, round) discovered
+        link graph — recorded when CrawlConfig(record_link_edges=True);
+        the input of jobs/rank_job.py's importance re-prioritization."""
+        return self._read_appendlist(spark, "link_edges", version)
+
     def read_products(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         m = self.read_manifest(version)
         if m is None or not m.get("products"):
@@ -410,6 +416,7 @@ class SnapshotParquetStore:
         new_results: DataFrame | None = None,
         new_crawl_order: DataFrame | None = None,
         new_history: DataFrame | None = None,
+        new_link_edges: DataFrame | None = None,
         products_upsert: DataFrame | None = None,
         products_set: DataFrame | None = None,
         seen_build: tuple[str, dict, DataFrame] | None = None,
@@ -456,6 +463,7 @@ class SnapshotParquetStore:
         results = list(prev.get("results", [])) if prev else []
         order = list(prev.get("crawl_order", [])) if prev else []
         history = list(prev.get("history", [])) if prev else []
+        link_edges = list(prev.get("link_edges", [])) if prev else []
         jobs = []
         if new_results is not None:
             rdir = f"data/results/v{version}"
@@ -469,6 +477,10 @@ class SnapshotParquetStore:
             hdir = f"data/history/v{version}"
             history.append(hdir)
             jobs.append((new_history, hdir))
+        if new_link_edges is not None:
+            edir = f"data/link_edges/v{version}"
+            link_edges.append(edir)
+            jobs.append((new_link_edges, edir))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -539,6 +551,7 @@ class SnapshotParquetStore:
             "results": results,
             "crawl_order": order,
             "history": history,
+            "link_edges": link_edges,
             "products": products_entry,
             "seen": seen_entry,
             "meta": merged_meta,
@@ -711,6 +724,7 @@ class SnapshotParquetStore:
             live.update(m.get("results", []))
             live.update(m.get("crawl_order", []))
             live.update(m.get("history", []))
+            live.update(m.get("link_edges", []))
             if m.get("products"):
                 live.update(m["products"]["buckets"].values())
             if m.get("seen"):
@@ -731,7 +745,7 @@ class SnapshotParquetStore:
                 return
             shutil.rmtree(child, ignore_errors=True) if child.is_dir() else child.unlink()
 
-        for sub in ("frontier", "results", "crawl_order", "history", "products", "seen", "bloom", "cuckoo"):
+        for sub in ("frontier", "results", "crawl_order", "history", "link_edges", "products", "seen", "bloom", "cuckoo"):
             d = self.root / "data" / sub
             if not d.exists():
                 continue
