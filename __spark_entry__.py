@@ -2508,6 +2508,33 @@ def q_cdx_page_index(spark, sf):
     return cdx_index(spark.read.parquet(paths["pages"])).orderBy("urlkey", "url")
 
 
+def q_epoch_repeat(spark, sf):
+    """Fractional-epoch upsampling (functions/sampling.epoch_repeat):
+    LLaMA-style recipe {en: 2.45x, fr: 1.0x, de: 0.7x, es: 0.3x} in
+    milli-epochs; whole copies via row-local explode, the fractional
+    tail via the exact md5 < floor(frac*2^128/1000) hex threshold —
+    map-only, allowlist semantics (zh dropped). Aggregated per (lang,
+    epoch) for a compact oracle surface."""
+    from scrapy_products_tracker_spark.functions.sampling import epoch_repeat
+
+    d = _t(spark, sf, "documents")
+    out = epoch_repeat(
+        d.select("doc_id", "lang"),
+        "lang",
+        "doc_id",
+        {"en": 2450, "fr": 1000, "de": 700, "es": 300},
+    )
+    return (
+        out.withColumn("epoch", F.col("epoch").cast("long"))
+        .groupBy("lang", "epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("lang", "epoch")
+    )
+
+
 def q_mixture_sample(spark, sf):
     """Explicit-mixture sampling (functions/sampling.mixture_sample):
     Pile/DoReMi-style curated per-language weights {en:500, fr:200,
@@ -2757,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_border_stats": q_image_border_stats,
         "redirect_resolution": q_redirect_resolution,
         "dhash_image_neardup": q_dhash_image_neardup,
+        "epoch_repeat_agg": q_epoch_repeat,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

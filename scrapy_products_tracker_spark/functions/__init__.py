@@ -1,4 +1,5 @@
 from .sampling import (
+    epoch_repeat,
     mixture_sample,
     shuffle_rank,
     temperature_sample,
@@ -27,6 +28,7 @@ __all__ = [
     "hll_distinct",
     "hll_registers",
     "chunk_windows",
+    "epoch_repeat",
     "mixture_sample",
     "perplexity_buckets",
     "pii_counts",

@@ -225,3 +225,59 @@ def mixture_sample(
         "sample_rank", F.row_number().over(w).cast("long")
     )
     return ranked.filter(F.col("sample_rank") <= F.col("group_quota")).drop("_gkey")
+
+
+def epoch_repeat(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    repeats_milli: dict[str, int],
+    salt: str = "ep1",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the LLaMA-recipe idiom where a
+    training mix prescribes REPEATS per source ("2.45 epochs of
+    Wikipedia, 0.64 of Books"), not row quotas. ``repeats_milli`` maps
+    group -> milli-epochs (2450 = 2.45x); every row of a group is
+    emitted ``div(r, 1000)`` times (``epoch`` = 1..whole), and the
+    fractional tail ``(r mod 1000)/1000`` is realized by ONE extra copy
+    of exactly the rows whose keyed md5 draw falls under the fraction:
+    ``md5(salt || id) < floor(frac * 2^128 / 1000)`` compared as
+    fixed-width lowercase hex — both engines compute the identical
+    digest string, so the picked set is bit-exact, reproducible, and
+    partitioning-independent (the same md5-as-randomness contract as
+    the samplers above). Groups absent from the recipe are dropped (a
+    mixture is an allowlist).
+
+    Output: input columns + ``epoch`` (1-based copy index). Exact
+    expected count per group: ``n_g * whole + |{md5 < thr}|``.
+
+    Plan shape: the recipe is a broadcast literal table; whole-copy
+    fan-out is a row-local ``explode(sequence)`` (no shuffle), the
+    fractional pick a row-local string compare — the whole operator is
+    map-only, which is what lets it run over a 10^10-row corpus as a
+    pure pass-through stage of the training-export funnel."""
+    if not repeats_milli or any(int(r) < 0 for r in repeats_milli.values()):
+        raise ValueError("repeats_milli must be non-empty and non-negative")
+    rows = []
+    for g, r in sorted(repeats_milli.items()):
+        whole, frac = int(r) // 1000, int(r) % 1000
+        thr = f"{(frac << 128) // 1000:032x}"
+        rows.append((g, whole, thr))
+    spark = df.sparkSession
+    spec = spark.createDataFrame(rows, "_gkey string, _whole int, _thr string")
+    keyed = df.withColumn("_gkey", _null_safe_key(group_col)).join(
+        F.broadcast(spec), "_gkey"
+    )
+    base_cols = df.columns
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    whole_copies = (
+        keyed.filter(F.col("_whole") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_whole"))))
+        .select(*base_cols, "epoch")
+    )
+    extra = (
+        keyed.filter(draw < F.col("_thr"))
+        .withColumn("epoch", F.col("_whole") + 1)
+        .select(*base_cols, "epoch")
+    )
+    return whole_copies.unionByName(extra)

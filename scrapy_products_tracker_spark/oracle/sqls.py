@@ -129,6 +129,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
             FROM claimed
         """,
+        # fractional-epoch upsampling: whole copies via generate_series,
+        # fractional tail via the exact md5 < floor(frac*2^128/1000)
+        # hex-threshold compare (thresholds precomputed as literals)
+        "epoch_repeat_agg": """
+            WITH spec(lang, whole, thr) AS (VALUES
+              ('de', 0, 'b3333333333333333333333333333333'),
+              ('en', 2, '73333333333333333333333333333333'),
+              ('es', 0, '4ccccccccccccccccccccccccccccccc'),
+              ('fr', 1, '00000000000000000000000000000000')),
+            k AS (SELECT d.doc_id, d.lang, s.whole, s.thr
+                  FROM documents d JOIN spec s USING (lang)),
+            whole_copies AS (
+              SELECT doc_id, lang, e AS epoch
+              FROM k, unnest(generate_series(1, whole)) AS t(e)
+              WHERE whole >= 1),
+            extra AS (
+              SELECT doc_id, lang, whole + 1 AS epoch
+              FROM k WHERE md5('ep1' || CAST(doc_id AS VARCHAR)) < thr),
+            u AS (SELECT * FROM whole_copies UNION ALL SELECT * FROM extra)
+            SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM u GROUP BY lang, epoch ORDER BY lang, epoch
+        """,
         # bounded redirect chains: 3 unrolled left joins + final
         # exceeded probe — the exact twin of follow_redirects(cap=3)
         "redirect_resolution": """

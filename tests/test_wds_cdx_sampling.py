@@ -375,3 +375,34 @@ def test_cdx_revisit_records(spark):
     # archive footprint == one copy per distinct digest
     total = sum(v["stored_length"] for v in got.values())
     assert total == len("same") + len("changed")
+
+
+def test_epoch_repeat_exact_counts(spark):
+    """Fractional-epoch upsampling: whole copies exact, fractional tail
+    deterministic and group-proportional; allowlist semantics."""
+    import hashlib
+
+    from scrapy_products_tracker_spark.functions import epoch_repeat
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = epoch_repeat(df, "src", "doc_id", {"a": 2500, "b": 500}).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r["src"], r["epoch"]), set()).add(r["doc_id"])
+    # whole copies: every 'a' row in epochs 1 and 2
+    a_ids = {i for i in range(200) if i % 2 == 0}
+    assert got[("a", 1)] == a_ids and got[("a", 2)] == a_ids
+
+    # fractional picks equal the md5 threshold definition exactly
+    def picked(ids, frac):
+        thr = format((frac << 128) // 1000, "032x")
+        return {i for i in ids if hashlib.md5(f"ep1{i}".encode()).hexdigest() < thr}
+
+    assert got[("a", 3)] == picked(a_ids, 500)
+    # b (0.5 epochs): no whole copies — its ONLY rows are the
+    # fractional pick at epoch index 1 (= whole 0 + 1)
+    b_ids = {i for i in range(200) if i % 2 == 1}
+    b_epochs = {e for (s, e) in got if s == "b"}
+    assert b_epochs == {1}
+    assert got[("b", 1)] == picked(b_ids, 500)
