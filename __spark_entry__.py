@@ -2610,6 +2610,16 @@ def q_hard_negatives(spark, sf):
     )
 
 
+def q_retrieval_recall(spark, sf):
+    """Image->caption retrieval recall@{1,5,10} over in-batch candidate
+    sets (functions/similarity.retrieval_recall_at_k) — the CLIP-eval
+    number, with rank = 1 + count of strictly-better candidates on the
+    6-dp cosine grid (tie by pair id); integer milli recall. Oracle
+    mirrors the count-based rank relationally."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.retrieval_recall_at_k(e, ks=(1, 5, 10), batch_size=16).orderBy("k")
+
+
 def q_curation_pipeline(spark, sf):
     """The full curation funnel in ONE lazy plan (imaging/dataset.
     curate): LAION row filters -> exact-bytes dedup (min-id per md5
@@ -2785,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": q_redirect_resolution,
         "dhash_image_neardup": q_dhash_image_neardup,
         "epoch_repeat_agg": q_epoch_repeat,
+        "retrieval_recall_at_k": q_retrieval_recall,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

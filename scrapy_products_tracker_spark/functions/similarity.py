@@ -674,6 +674,84 @@ def hard_negative_mine(
     )
 
 
+def retrieval_recall_at_k(
+    emb: DataFrame,
+    ks: tuple = (1, 5, 10),
+    batch_size: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Image→caption retrieval recall@k over the paired layout (see
+    :func:`paired_alignment`) — THE standard evaluation of a
+    CLIP-style model and of the curation pipeline feeding it (LAION/
+    DataComp report exactly this number): within each deterministic
+    batch (``pair_id div batch_size`` — the in-batch candidate set, as
+    in training), rank ALL captions of the batch against each image
+    anchor by cosine and ask whether the TRUE caption lands in the
+    top k. Returns one row per k: ``(k, n_anchors, n_hits,
+    recall_milli)`` with recall in integer milli units (floor), so the
+    result is engine-exact.
+
+    Rank definition: the true caption's rank = 1 + count of OTHER
+    captions with strictly higher rounded cosine, or equal cosine and
+    lower pair id (the same 6-dp-then-tiebreak total order the miner
+    uses) — a COUNT, not a window, so the plan is one equi-join on
+    ``batch_id`` + one groupBy per anchor; no per-batch sort.
+
+    Scale shape: work is N × batch_size rows of narrow doubles —
+    linear in corpus size, embarrassingly parallel, same contract as
+    :func:`hard_negative_mine`."""
+    if batch_size < 2:
+        raise ValueError("batch_size >= 2 required")
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive")
+    half = F.expr(f"`{id_col}` div 2").cast("long").alias("pair_id")
+    batch = F.expr(f"(`{id_col}` div 2) div {int(batch_size)}").cast("long")
+    img = emb.filter(F.col(id_col) % 2 == 0).select(
+        half, batch.alias("batch_id"),
+        F.col(vec_col).cast("array<double>").alias("_iv"),
+    )
+    txt = emb.filter(F.col(id_col) % 2 == 1).select(
+        half.alias("cand_pair_id"), batch.alias("batch_id"),
+        F.col(vec_col).cast("array<double>").alias("_tv"),
+    )
+    scored = img.join(txt, "batch_id").select(
+        "pair_id",
+        "cand_pair_id",
+        F.round(cosine_sim(F.col("_iv"), F.col("_tv")), 6).alias("cos"),
+    )
+    true_cos = scored.filter(F.col("pair_id") == F.col("cand_pair_id")).select(
+        "pair_id", F.col("cos").alias("_true_cos")
+    )
+    ranks = (
+        scored.join(true_cos, "pair_id")
+        .groupBy("pair_id")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    (
+                        (F.col("cos") > F.col("_true_cos"))
+                        | (
+                            (F.col("cos") == F.col("_true_cos"))
+                            & (F.col("cand_pair_id") < F.col("pair_id"))
+                        )
+                    ).cast("long")
+                )
+            ).alias("_rank")
+        )
+    )
+    n = ranks.count()
+    rows = []
+    for k in ks:
+        hits = ranks.filter(F.col("_rank") <= k).count()
+        rows.append((k, n, hits, hits * 1000 // max(n, 1)))
+    return emb.sparkSession.createDataFrame(
+        rows, "k int, n_anchors long, n_hits long, recall_milli long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — IVF's standard companion at 10^10-vector
 # scale (Jégou et al. 2011, "Product Quantization for Nearest Neighbor

@@ -1782,6 +1782,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id > 0
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        # retrieval recall@k: count-based rank on the 6-dp cosine grid
+        "retrieval_recall_at_k": """
+            WITH img AS (SELECT vec_id // 2 AS pair_id,
+                                (vec_id // 2) // 16 AS batch_id,
+                                CAST(embedding AS DOUBLE[]) AS iv
+                         FROM embeddings WHERE vec_id % 2 = 0),
+            txt AS (SELECT vec_id // 2 AS cand_pair_id,
+                           (vec_id // 2) // 16 AS batch_id,
+                           CAST(embedding AS DOUBLE[]) AS tv
+                    FROM embeddings WHERE vec_id % 2 = 1),
+            sc AS (SELECT pair_id, cand_pair_id,
+                          round(list_cosine_similarity(iv, tv), 6) AS cos
+                   FROM img JOIN txt USING (batch_id)),
+            tc AS (SELECT pair_id, cos AS true_cos FROM sc
+                   WHERE pair_id = cand_pair_id),
+            rk AS (SELECT sc.pair_id,
+                          1 + SUM(CASE WHEN sc.cos > tc.true_cos
+                                        OR (sc.cos = tc.true_cos
+                                            AND sc.cand_pair_id < sc.pair_id)
+                                  THEN 1 ELSE 0 END) AS r
+                   FROM sc JOIN tc USING (pair_id) GROUP BY sc.pair_id)
+            SELECT CAST(k AS INT) AS k,
+                   CAST((SELECT COUNT(*) FROM rk) AS BIGINT) AS n_anchors,
+                   CAST(SUM(CASE WHEN r <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   CAST(SUM(CASE WHEN r <= k THEN 1 ELSE 0 END) * 1000
+                        // (SELECT COUNT(*) FROM rk) AS BIGINT) AS recall_milli
+            FROM rk, unnest([1, 5, 10]) AS t(k)
+            GROUP BY k ORDER BY k
+        """,
         # in-batch hard negatives: rank rounded cosines (both engines
         # rank the same 6-dp grid; neg_pair_id breaks grid ties)
         "hard_negative_topk": """

@@ -222,3 +222,47 @@ def test_hard_negative_mine_matches_pure_python(spark):
         assert q // bs == p // bs and q != p
     assert all(len(v) == k for v in per_anchor.values())
     assert len(per_anchor) == n_pairs
+
+
+def test_retrieval_recall_pure_python(spark):
+    """recall@k vs an independent pure-Python evaluator: same batching,
+    count-based rank on the rounded grid, milli floor."""
+    import math
+
+    rnd = random.Random(11)
+    n_pairs, dim, bs = 20, 5, 8
+    vecs = {}
+    rows = []
+    for p in range(n_pairs):
+        for par in (0, 1):
+            v = [rnd.uniform(-1, 1) for _ in range(dim)]
+            vecs[2 * p + par] = v
+            rows.append((2 * p + par, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["k"]: (r["n_anchors"], r["n_hits"], r["recall_milli"])
+        for r in SIM.retrieval_recall_at_k(df, ks=(1, 3), batch_size=bs).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    ranks = {}
+    for p in range(n_pairs):
+        batch = p // bs
+        tc = cos(vecs[2 * p], vecs[2 * p + 1])
+        better = sum(
+            1
+            for q in range(n_pairs)
+            if q // bs == batch
+            and q != p
+            and (
+                cos(vecs[2 * p], vecs[2 * q + 1]) > tc
+                or (cos(vecs[2 * p], vecs[2 * q + 1]) == tc and q < p)
+            )
+        )
+        ranks[p] = 1 + better
+    for k in (1, 3):
+        hits = sum(1 for r in ranks.values() if r <= k)
+        assert got[k] == (n_pairs, hits, hits * 1000 // n_pairs)
