@@ -2508,6 +2508,26 @@ def q_cdx_page_index(spark, sf):
     return cdx_index(spark.read.parquet(paths["pages"])).orderBy("urlkey", "url")
 
 
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC canonical composition (functions/text.nfc_stats):
+    planted combining sequence (e + U+0301) on doc_id%3==0, the
+    precomposed é on %3==1, untouched otherwise; per-doc changed flag,
+    code-point lengths, md5 fingerprint of the normalized text. Oracle
+    = DuckDB's INDEPENDENT nfc_normalize — two implementations of the
+    Unicode spec cross-checked."""
+    d = _t(spark, sf, "documents")
+    suff = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("e\u0301"))   # decomposed
+        .when(F.col("doc_id") % 3 == 1, F.lit("\u00e9"))     # precomposed
+        .otherwise(F.lit(""))
+    )
+    planted = d.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), suff).alias("text"),
+    )
+    return TX.nfc_stats(planted).orderBy("doc_id")
+
+
 def q_epoch_repeat(spark, sf):
     """Fractional-epoch upsampling (functions/sampling.epoch_repeat):
     LLaMA-style recipe {en: 2.45x, fr: 1.0x, de: 0.7x, es: 0.3x} in
@@ -2796,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_image_neardup": q_dhash_image_neardup,
         "epoch_repeat_agg": q_epoch_repeat,
         "retrieval_recall_at_k": q_retrieval_recall,
+        "nfc_normalize_stats": q_nfc_normalize,
         "registrable_domain_rollup": q_registrable_rollup,
         "sitemap_ingest_candidates": q_sitemap_ingest,
         "url_template_stats": q_url_template_stats,

@@ -9,6 +9,7 @@ so each op has an exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1028,3 +1029,45 @@ def compression_ratio_stats(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    the canonical-composition pass every multilingual training corpus
+    runs before tokenization/dedup (combining sequences like
+    ``e + U+0301`` and precomposed ``é`` must fingerprint identically,
+    or the exact-dedup pass silently treats byte-different renderings
+    of the same text as distinct documents).
+
+    Python's ``unicodedata.normalize("NFC", ...)`` implements the
+    Unicode standard's algorithm; the oracle checks it against
+    DuckDB's INDEPENDENT ``nfc_normalize`` implementation — two
+    codebases, one spec. NULL in -> NULL out. The UDF is the
+    vectorized slow path by design (JVM Spark has no built-in NFC);
+    at 10^10 docs it is one map-only Arrow stage, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(text)
+
+
+def nfc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc NFC audit: ``(id, changed, len_before, len_after, fp)``
+    with fp = md5 of the normalized text — the compact oracle surface
+    for the normalization pass (lengths in code points, which both
+    engines' ``length`` counts)."""
+    norm = nfc_normalize_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        (F.col(text_col) != norm).cast("int").alias("changed"),
+        F.length(text_col).cast("long").alias("len_before"),
+        F.length(norm).cast("long").alias("len_after"),
+        F.md5(norm.cast("binary")).alias("fp"),
+    )

@@ -129,6 +129,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
             FROM claimed
         """,
+        # NFC normalization: DuckDB's nfc_normalize is an INDEPENDENT
+        # implementation of the same Unicode algorithm Python's
+        # unicodedata provides — the oracle cross-checks the two
+        "nfc_normalize_stats": """
+            WITH planted AS (
+              SELECT doc_id, COALESCE(text, '') ||
+                CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769)
+                     WHEN doc_id % 3 = 1 THEN chr(233)
+                     ELSE '' END AS text
+              FROM documents),
+            n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM planted)
+            SELECT doc_id, CAST(text <> norm AS INT) AS changed,
+                   CAST(length(text) AS BIGINT) AS len_before,
+                   CAST(length(norm) AS BIGINT) AS len_after,
+                   md5(norm) AS fp
+            FROM n ORDER BY doc_id
+        """,
         # fractional-epoch upsampling: whole copies via generate_series,
         # fractional tail via the exact md5 < floor(frac*2^128/1000)
         # hex-threshold compare (thresholds precomputed as literals)

@@ -197,3 +197,23 @@ def test_curate_corpus_zratio_gate_drops_template_spam(spark):
         ).collect()
     )
     assert kept == [1]
+
+
+def test_nfc_normalize_combining_sequences(spark):
+    """NFC: combining sequences compose, precomposed text untouched,
+    NULL passes through; fingerprints converge for equal renderings."""
+    from scrapy_products_tracker_spark.functions.text import nfc_stats
+
+    rows = [
+        (1, "café"),   # decomposed -> café
+        (2, "café"),    # precomposed
+        (3, "plain"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_stats(df).collect()}
+    assert got[1]["changed"] == 1 and got[2]["changed"] == 0
+    assert got[1]["len_before"] == 5 and got[1]["len_after"] == 4
+    assert got[1]["fp"] == got[2]["fp"]  # same text after normalization
+    assert got[3]["changed"] == 0 and got[3]["fp"] is not None
+    assert got[4]["changed"] is None and got[4]["fp"] is None
