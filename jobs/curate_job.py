@@ -12,7 +12,7 @@ or text curation pipeline over parquet in / parquet out.
         [--threshold 0.8] [--transitive] [--balance-col source] \
         [--sample-target N] [--seq-len 2048] [--range-col crawl_bucket] \
         [--classifier-target-lang en [--classifier-margin-unats M]] \
-        [--scrub-pii] [--dedup-lines] [--min-zratio-milli R]
+        [--nfc] [--scrub-pii] [--dedup-lines] [--min-zratio-milli R]
 
 ``--mode image`` expects the north-rule input table
 ``(image_id, bytes, w, h, fmt, caption, phash)`` and runs
@@ -54,6 +54,7 @@ def main(argv=None):
     )
     ap.add_argument("--classifier-margin-unats", type=int, default=0)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--nfc", action="store_true")
     ap.add_argument("--dedup-lines", action="store_true")
     ap.add_argument("--min-zratio-milli", type=int, default=None)
     ap.add_argument("--scrub-metadata", action="store_true")
@@ -108,6 +109,7 @@ def main(argv=None):
             ),
             classifier_margin_unats=args.classifier_margin_unats,
             scrub_pii=args.scrub_pii,
+            nfc=args.nfc,
             dedup_lines=args.dedup_lines,
             min_zratio_milli=args.min_zratio_milli,
             ppl_drop_tail=args.ppl_drop_tail,

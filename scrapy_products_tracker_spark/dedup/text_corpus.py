@@ -180,6 +180,7 @@ def curate_corpus(
     classifier_margin_unats: int = 0,
     classifier_buckets: int = 512,
     scrub_pii: bool = False,
+    nfc: bool = False,
     dedup_lines: bool = False,
     min_zratio_milli: int | None = None,
     ppl_drop_tail: bool = False,
@@ -190,6 +191,10 @@ def curate_corpus(
     runs — the documents-table twin of ``imaging/dataset.curate`` —
     composed from this package's tested operators in one lazy plan:
 
+    0a. **NFC normalize** (when ``nfc``) — Unicode canonical
+       composition (:func:`~..functions.text.nfc_normalize_col`)
+       BEFORE anything fingerprints the text, so byte-different
+       renderings of identical text dedup together;
     0. **scrub** (when ``scrub_pii``) — email/IPv4/phone redaction
        (:func:`~..functions.text.pii_scrub`) applied to ``text_col``
        before anything reads it, so quality scores, dedup
@@ -245,6 +250,12 @@ def curate_corpus(
     the id-joins reuses AQE's id partitioning."""
     from ..functions.text import lang_guess, quality_score, token_count
 
+    if nfc:
+        # 0a. canonical composition first — the scrub regexes and all
+        # fingerprints downstream must see one rendering per text
+        from ..functions.text import nfc_normalize_col
+
+        df = df.withColumn(text_col, nfc_normalize_col(F.col(text_col)))
     if scrub_pii:
         # 0. redaction — every downstream stage (quality, dedup keys,
         # packing) sees the scrubbed bytes, so near-dup pairs that

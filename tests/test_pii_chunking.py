@@ -217,3 +217,21 @@ def test_nfc_normalize_combining_sequences(spark):
     assert got[1]["fp"] == got[2]["fp"]  # same text after normalization
     assert got[3]["changed"] == 0 and got[3]["fp"] is not None
     assert got[4]["changed"] is None and got[4]["fp"] is None
+
+
+def test_curate_nfc_gate_collapses_renderings(spark):
+    """curate_corpus(nfc=True): decomposed and precomposed renderings
+    of the same doc become exact duplicates and dedup to one survivor;
+    off, both survive (byte-different fingerprints)."""
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+
+    body = "the quick brown fox jumps over the lazy dog caf"
+    rows = [
+        (1, body + "é and more shared filler words here to pass"),
+        (2, body + "é and more shared filler words here to pass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_off = curate_corpus(df, min_tokens=5, min_quality=0.0, threshold=0.99)
+    kept_on = curate_corpus(df, min_tokens=5, min_quality=0.0, threshold=0.99, nfc=True)
+    assert {r["doc_id"] for r in kept_off.select("doc_id").collect()} == {1, 2}
+    assert {r["doc_id"] for r in kept_on.select("doc_id").collect()} == {1}
