@@ -70,3 +70,40 @@ def test_robots_parser_never_raises_and_projection_consistent(body):
     assert regexes == [r["rx"] for r in dis if r["rx"] is not None]
     for r in rules:
         assert r["spec"] == len(r["pat"]) > 0
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 15), st.integers(0, 15), min_size=0, max_size=12
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=25, deadline=None)
+def test_fuzz_follow_redirects_matches_python_walker(redmap, cap):
+    """Random redirect maps (chains, trees, cycles, self-loops) over a
+    16-node url space: the bounded-join kernel must equal a pure-Python
+    hop walker for every node — final url, hop count, exceeded flag."""
+    from scrapy_products_tracker_spark.fetchers.synthetic import follow_redirects
+    from scrapy_products_tracker_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    u = lambda i: f"https://f.example.com/u/{i}"
+    claimed = spark.createDataFrame([(u(i),) for i in range(16)], "url string")
+    reds = spark.createDataFrame(
+        [(u(a), u(b)) for a, b in sorted(redmap.items())] or [("_none_", "_none_")],
+        "url string, redirect_to string",
+    )
+    if not redmap:
+        reds = reds.limit(0)
+    got = {
+        r["url"]: (r["final_url"], r["n_redirects"], r["redirect_exceeded"])
+        for r in follow_redirects(claimed, reds, max_hops=cap).collect()
+    }
+
+    for i in range(16):
+        cur, hops = i, 0
+        while hops < cap and cur in redmap:
+            cur = redmap[cur]
+            hops += 1
+        exceeded = 1 if cur in redmap else 0
+        assert got[u(i)] == (u(cur), hops, exceeded), (i, redmap, cap)
