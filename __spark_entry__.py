@@ -1115,6 +1115,28 @@ def q_hits_topk(spark, sf):
     return r.orderBy(F.desc("auth_units"), F.desc("hub_units"), "node").limit(100)
 
 
+def q_opic_topk(spark, sf):
+    """OPIC online importance (Abiteboul et al. WWW'03) over the same
+    deterministic link graph as the PageRank/HITS queries: 2
+    synchronous cash-flow rounds in int64 fixed point (bank cash into
+    history, redistribute cash div outdeg along out-edges), importance
+    = hist + cash (functions/graph.py:opic_units). Top-100 by
+    importance. The oracle unrolls both rounds relationally."""
+    from scrapy_products_tracker_spark.functions.graph import opic_units
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("node"))
+    n = d.count()
+    edges = d.select(
+        F.col("node").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("_j"),
+    ).select(
+        "src",
+        ((F.col("src") * 31 + F.col("_j") * 7919) % F.lit(int(n))).alias("dst"),
+    )
+    r = opic_units(edges, nodes=d, iters=2)
+    return r.orderBy(F.desc("opic_units"), "node").limit(100)
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring: self-trained add-1/2 bigram model
     (top-64 vocab + <unk>, <s>-prefixed streams); per-doc NLL in exact
@@ -2808,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_priority_boost": q_focused_boost,
         "frontier_pagerank_topk": q_frontier_pagerank,
         "hits_hub_auth_topk": q_hits_topk,
+        "opic_importance_topk": q_opic_topk,
         "hard_negative_topk": q_hard_negatives,
         "image_patch_stats": q_image_patch_stats,
         "frontier_aging_rank": q_frontier_aging_rank,

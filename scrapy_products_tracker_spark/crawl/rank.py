@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-METHODS = ("pagerank", "hits_hub", "hits_auth")
+METHODS = ("pagerank", "hits_hub", "hits_auth", "opic")
 
 
 def reprioritize_frontier(
@@ -59,6 +59,12 @@ def reprioritize_frontier(
 
         ranks = pagerank_units(e, iters=iters).select(
             "node", F.col("rank_units").alias("_rank")
+        )
+    elif method == "opic":
+        from ..functions.graph import opic_units
+
+        ranks = opic_units(e, iters=iters).select(
+            "node", F.col("opic_units").alias("_rank")
         )
     else:
         from ..functions.graph import hits_units

@@ -1151,6 +1151,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, r AS rank_units FROM r3
             ORDER BY rank_units DESC, node LIMIT 100
         """,
+        # OPIC (Abiteboul et al. WWW'03), 2 synchronous cash rounds
+        # unrolled; int64 fixed point, cash // outdeg per edge, hist
+        # accumulates banked cash — the exact twin of graph.opic_units.
+        "opic_importance_topk": r"""
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+            nn AS (SELECT count(*) AS n FROM d),
+            e AS (SELECT node AS src, (node * 31 + j * 7919) % nn.n AS dst
+                  FROM d, nn, unnest([1, 2, 3]) AS t(j)),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            c0 AS (SELECT node, CAST(1000000 AS BIGINT) AS cash FROM d),
+            c1 AS (SELECT d.node, CAST(COALESCE(f.fin, 0) AS BIGINT) AS cash
+                   FROM d LEFT JOIN (
+                     SELECT e.dst AS node, SUM(c0.cash // deg.deg) AS fin
+                     FROM e JOIN c0 ON e.src = c0.node JOIN deg ON e.src = deg.src
+                     GROUP BY e.dst) f USING (node)),
+            c2 AS (SELECT d.node, CAST(COALESCE(f.fin, 0) AS BIGINT) AS cash
+                   FROM d LEFT JOIN (
+                     SELECT e.dst AS node, SUM(c1.cash // deg.deg) AS fin
+                     FROM e JOIN c1 ON e.src = c1.node JOIN deg ON e.src = deg.src
+                     GROUP BY e.dst) f USING (node)),
+            h2 AS (SELECT c1.node, CAST(1000000 + c1.cash AS BIGINT) AS hist
+                   FROM c1)
+            SELECT d.node, c2.cash AS cash_units, h2.hist AS hist_units,
+                   c2.cash + h2.hist AS opic_units
+            FROM d JOIN c2 USING (node) JOIN h2 USING (node)
+            ORDER BY opic_units DESC, node LIMIT 100
+        """,
         # HITS (Kleinberg'99), 2 iterations unrolled; int fixed-point,
         # per-half-step renorm divisor = GREATEST(1, MAX(raw) // unit)
         # as a scalar subquery — the exact twin of graph.hits_units.

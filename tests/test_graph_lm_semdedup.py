@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from scrapy_products_tracker_spark.dedup import semdedup
 from scrapy_products_tracker_spark.functions.graph import (
     hits_units,
+    opic_units,
     pagerank_priority,
     pagerank_units,
 )
@@ -60,6 +61,57 @@ def test_pagerank_zero_iters_is_uniform(spark):
     e = spark.createDataFrame(EDGES, "src long, dst long")
     ranks = pagerank_units(e, iters=0).collect()
     assert {r["rank_units"] for r in ranks} == {1_000_000}
+
+
+# --- independent oracle: synchronous OPIC cash flow -----------------------
+
+
+def py_opic(edges, nodes, iters=3, unit=1_000_000):
+    deg = Counter(s for s, _ in edges)
+    cash = {n: unit for n in nodes}
+    hist = {n: 0 for n in nodes}
+    for _ in range(iters):
+        nxt = {n: 0 for n in nodes}
+        for s, d in edges:
+            nxt[d] += cash[s] // deg[s]
+        for n in nodes:
+            hist[n] += cash[n]
+        cash = nxt
+    return {n: (cash[n], hist[n], cash[n] + hist[n]) for n in nodes}
+
+
+def test_opic_matches_pure_python(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in NODES], "node long")
+    got = {
+        r["node"]: (r["cash_units"], r["hist_units"], r["opic_units"])
+        for r in opic_units(e, nodes=n, iters=3).collect()
+    }
+    assert got == py_opic(EDGES, NODES, iters=3)
+
+
+def test_opic_deterministic_across_partitionings(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    a = opic_units(e.repartition(7), iters=2).collect()
+    b = opic_units(e.coalesce(1), iters=2).collect()
+    assert sorted((r["node"], r["opic_units"]) for r in a) == sorted(
+        (r["node"], r["opic_units"]) for r in b
+    )
+
+
+def test_opic_zero_iters_and_dangling(spark):
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in NODES], "node long")
+    r0 = {r["node"]: r for r in opic_units(e, nodes=n, iters=0).collect()}
+    assert all(
+        (v["cash_units"], v["hist_units"], v["opic_units"]) == (1_000_000, 0, 1_000_000)
+        for v in r0.values()
+    )
+    # node 5 has no edges at all: its cash banks once, then drains —
+    # opic stays exactly unit (history keeps the record).
+    r2 = {r["node"]: r for r in opic_units(e, nodes=n, iters=2).collect()}
+    assert r2[5]["cash_units"] == 0
+    assert r2[5]["opic_units"] == 1_000_000
 
 
 def py_hits(edges, nodes, iters=2, unit=1_000_000):
