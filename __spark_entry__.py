@@ -1780,6 +1780,44 @@ def q_dhash_image_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_patch_overlap_pairs(spark, sf):
+    """Local-edit-resistant near-dup via patch-hash overlap
+    (imaging/patches.py): payload bytes → resize_images(64,64) →
+    patch_hash_table(grid=4) through real Arrow decode kernels, one
+    planted overlay variant per image (patch (0,0)'s hash XOR-flipped
+    at an xxhash64-pinned bit — the ~v pair shares 15/16 patches, a
+    localized edit global phash would smear over the whole hash),
+    then patch_overlap_pairs: distinct (image,hash), background
+    frequency cap, hash-keyed equi-join, shared-count >= 12. Oracle:
+    ground-truth pixel replay of resize+patch-hash + the same
+    relational pair logic."""
+    from scrapy_products_tracker_spark.imaging.media import resize_images
+    from scrapy_products_tracker_spark.imaging.patches import (
+        patch_hash_table,
+        patch_overlap_pairs,
+    )
+
+    _, paths = _crawl_store(spark)
+    img = spark.read.parquet(paths["image_caption"]).select("image_id", "bytes")
+    base = patch_hash_table(resize_images(img, 64, 64), grid=4)
+    flip = F.expr("shiftleft(1L, cast(pmod(xxhash64(concat(image_id, 'p')), 64) as int))")
+    variant = base.select(
+        F.concat(F.col("image_id"), F.lit("~v")).alias("image_id"),
+        "patch_row",
+        "patch_col",
+        F.when(
+            (F.col("patch_row") == 0) & (F.col("patch_col") == 0),
+            F.col("patch_hash").bitwiseXOR(flip),
+        )
+        .otherwise(F.col("patch_hash"))
+        .alias("patch_hash"),
+    )
+    pairs = patch_overlap_pairs(
+        base.unionByName(variant), min_shared=12, max_images_per_hash=64
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 def q_image_dedup_survivors(spark, sf):
     """Composed image-dedup cascade (imaging/neardup.image_dedup_survivors):
     exact byte-identity dedup (md5(bytes) group, lowest-id keeper) then
@@ -2837,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_border_stats": q_image_border_stats,
         "redirect_resolution": q_redirect_resolution,
         "dhash_image_neardup": q_dhash_image_neardup,
+        "image_patch_overlap_pairs": q_patch_overlap_pairs,
         "epoch_repeat_agg": q_epoch_repeat,
         "retrieval_recall_at_k": q_retrieval_recall,
         "nfc_normalize_stats": q_nfc_normalize,

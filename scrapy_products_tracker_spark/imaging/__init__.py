@@ -16,6 +16,7 @@ from .metadata import (
     strip_jpeg_metadata,
     strip_png_metadata,
 )
+from .patches import patch_hash_table, patch_hashes, patch_overlap_pairs
 from .quality import image_quality_stats, quality_metrics
 from .media import (
     audio_stats,

@@ -302,6 +302,53 @@ def build_dhash_inputs() -> str:
     )
 
 
+def build_patch_hash_inputs() -> str:
+    """(image_id, patch_row, patch_col, patch_hash) fixture for the
+    patch-overlap near-dup oracle: ground-truth source pixels (+ jpeg
+    surrogate quantization) resized to 64x64 nearest-neighbor, 4x4
+    integer-lattice patches hashed with codec.phash64 — the exact
+    numeric twin of resize_images → patch_hash_table. Per image one
+    planted overlay variant (``~v``): identical patch hashes except
+    patch (0,0), whose hash is XOR-flipped at an xxhash64-pinned bit
+    ('p' salt) — a localized edit that global phash would smear across
+    the whole hash."""
+    import pyarrow as pa
+
+    from ..imaging.codec import phash64
+    from ..imaging.media import resize_nearest
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt
+        if fmt == "jpeg":
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        rp = resize_nearest(pixels, 64, 64)
+        flip = 1 << (xxhash64_str(image_id + "p") % 64)
+        for i in range(4):
+            for j in range(4):
+                ph = phash64(rp[i * 16 : (i + 1) * 16, j * 16 : (j + 1) * 16])
+                rows.append((image_id, i, j, ph))
+                vh = _signed64((ph & _MASK64) ^ flip) if (i, j) == (0, 0) else ph
+                rows.append((image_id + "~v", i, j, vh))
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("patch_row", pa.int32()),
+            ("patch_col", pa.int32()),
+            ("patch_hash", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["image_id", "patch_row", "patch_col", "patch_hash"]),
+        "patch_hash_inputs.parquet",
+        schema,
+    )
+
+
 def build_image_dedup_inputs() -> str:
     """(image_id, fp, phash) table for the composed image-dedup oracle:
     per T1 payload image, the original row, an exact byte duplicate

@@ -66,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     )
     p_ph = OB.build_phash_pairs_inputs()
     p_dh = OB.build_dhash_inputs()
+    p_pov = OB.build_patch_hash_inputs()
     p_imgdd = OB.build_image_dedup_inputs()
     p_hdr = OB.build_header_audit_inputs()
     p_pha = OB.build_phash_audit_expected()
@@ -485,6 +486,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
             FROM t a JOIN t b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+            ORDER BY id_a, id_b
+        """,
+        # patch-overlap near-dup (imaging/patches.py): distinct
+        # (image, hash), background-frequency cap, hash-keyed self-join,
+        # pair-keyed shared count — the relational replay of
+        # patch_overlap_pairs over the pinned patch-hash fixture.
+        "image_patch_overlap_pairs": f"""
+            WITH t AS (SELECT DISTINCT image_id, patch_hash
+                       FROM read_parquet('{p_pov}')
+                       WHERE patch_hash IS NOT NULL),
+            rare AS (SELECT patch_hash FROM t
+                     GROUP BY patch_hash HAVING count(*) <= 64),
+            tr AS (SELECT image_id, patch_hash FROM t JOIN rare USING (patch_hash))
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   count(*) AS shared_patches
+            FROM tr a JOIN tr b USING (patch_hash)
+            WHERE a.image_id < b.image_id
+            GROUP BY a.image_id, b.image_id
+            HAVING count(*) >= 12
             ORDER BY id_a, id_b
         """,
         "phash_image_neardup": f"""

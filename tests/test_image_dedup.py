@@ -179,3 +179,109 @@ def test_image_dedup_against_corpus_null_phash_survives_perceptual(spark):
         for r in image_dedup_against_corpus(new, corpus, threshold=7).collect()
     )
     assert got == ["n1"]  # n2 killed by exact bytes; n1 immune to phash pass
+
+
+# --- patch-hash overlap (imaging/patches.py) ------------------------------
+
+
+def _png_payload(px):
+    from scrapy_products_tracker_spark.imaging.codec import encode_image
+
+    return bytearray(encode_image(px, "png"))
+
+
+def _noise_px(seed, h=64, w=64):
+    import numpy as np
+
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype("uint8")
+
+
+def test_patch_overlap_detects_local_edit(spark):
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging import (
+        patch_hash_table,
+        patch_overlap_pairs,
+    )
+
+    a = _noise_px(1)
+    b = a.copy()
+    b[32:48, 32:48] = 0  # overlay exactly patch (2,2) of the 4x4 grid
+    c = _noise_px(2)
+    df = spark.createDataFrame(
+        [("a", _png_payload(a)), ("b", _png_payload(b)), ("c", _png_payload(c))],
+        "image_id string, bytes binary",
+    )
+    ph = patch_hash_table(df, grid=4)
+    assert ph.count() == 48  # 16 rows per image, all reported
+    pairs = {
+        (r.id_a, r.id_b): r.shared_patches
+        for r in patch_overlap_pairs(ph, min_shared=12).collect()
+    }
+    assert pairs == {("a", "b"): 15}  # the edited patch is the only miss
+
+    # global phash smears the same edit across the whole hash: the pair
+    # is far in whole-image Hamming space (> banded threshold 7)
+    from scrapy_products_tracker_spark.imaging.codec import phash64
+
+    assert bin(phash64(a) ^ phash64(b)).count("1") > 7
+
+
+def test_patch_overlap_background_frequency_cap(spark):
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging import (
+        patch_hash_table,
+        patch_overlap_pairs,
+    )
+
+    flat = np.full((64, 64, 3), 255, dtype="uint8")
+    rows = [(f"w{i}", _png_payload(flat)) for i in range(5)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    ph = patch_hash_table(df, grid=4)
+    # every patch of every image hashes identically -> 1 distinct
+    # (image, hash) row each; the hash appears in 5 images
+    assert patch_overlap_pairs(ph, min_shared=1, max_images_per_hash=4).count() == 0
+    got = patch_overlap_pairs(ph, min_shared=1, max_images_per_hash=10).collect()
+    assert len(got) == 10 and all(r.shared_patches == 1 for r in got)
+
+
+def test_patch_table_audit_semantics(spark):
+    from scrapy_products_tracker_spark.imaging import patch_hash_table
+
+    small = _noise_px(3, h=6, w=6)  # patches < 8px -> NULL hashes
+    df = spark.createDataFrame(
+        [("junk", bytearray(b"not an image")), ("tiny", _png_payload(small))],
+        "image_id string, bytes binary",
+    )
+    out = patch_hash_table(df, grid=4).collect()
+    assert len(out) == 32  # both rows reported, never dropped
+    assert all(r.patch_hash is None for r in out)
+
+
+def test_patch_overlap_rejects_bad_params_and_plan(spark):
+    import pytest as _pytest
+
+    from scrapy_products_tracker_spark.imaging import (
+        patch_hash_table,
+        patch_overlap_pairs,
+    )
+
+    with _pytest.raises(ValueError):
+        patch_overlap_pairs(None, min_shared=0)
+    with _pytest.raises(ValueError):
+        patch_overlap_pairs(None, max_images_per_hash=1)
+    with _pytest.raises(ValueError):
+        patch_hash_table(None, grid=0)
+    df = spark.createDataFrame(
+        [("a", 1, 1, 5), ("b", 1, 2, 5)],
+        "image_id string, patch_row int, patch_col int, patch_hash long",
+    )
+    plan = (
+        patch_overlap_pairs(df, min_shared=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
