@@ -782,6 +782,41 @@ def q_bpe_segment(spark, sf):
     ).orderBy("id")
 
 
+def q_wordpiece_train(spark, sf):
+    """Distributed WordPiece training (functions/wordpiece.py): same
+    merge loop as BPE but likelihood-scored — score_femto = pair_count
+    * 10^15 div (count(l)*count(r)) in DECIMAL(38,0) fixed point, one
+    extra piece-count aggregate per round. Oracle: an INDEPENDENT
+    pure-Python trainer (builders._py_wordpiece_train) — identical
+    merge table, scores included."""
+    from scrapy_products_tracker_spark.functions.wordpiece import wordpiece_train
+
+    return wordpiece_train(_t(spark, sf, "documents"), n_merges=15).orderBy("rank")
+
+
+def q_wordpiece_segment(spark, sf):
+    """Train-then-tokenize: 10 engine-trained WordPiece merges ->
+    final vocab (alphabet + merged pieces) -> BERT greedy
+    longest-match-first segmentation (whole-word [UNK] on miss) via
+    the Arrow kernel; compared on (n_wp_tokens, md5 fingerprint)
+    against a fully independent Python train+vocab+segment."""
+    from scrapy_products_tracker_spark.functions.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = wordpiece_train(d, n_merges=10)
+    vocab = wordpiece_vocab(d, merges)
+    seg = wordpiece_segment(d, vocab)
+    return seg.select(
+        "id",
+        "n_wp_tokens",
+        F.md5(F.concat_ws("\x1f", "tokens")).alias("toks_fp"),
+    ).orderBy("id")
+
+
 def q_gopher_repetition(spark, sf):
     """Within-doc repetition filters (Gopher/MassiveText repo rules):
     duplicate bigram/trigram fractions + top-bigram share per document,
@@ -2897,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment_tokens": q_unigram_segment,
         "latency_percentiles": q_latency_percentiles,
         "bpe_train_merges": q_bpe_train,
+        "wordpiece_train_merges": q_wordpiece_train,
+        "wordpiece_segment_tokens": q_wordpiece_segment,
         "bpe_segment_tokens": q_bpe_segment,
         "bpe_token_stats": q_bpe_token_stats,
         "token_count_stats": q_token_count_stats,

@@ -11,6 +11,9 @@ training sequences:
         --input documents.parquet --output toks/ \
         --vocab-size 8000 [--n-iters 2] [--max-piece-len 4]
 
+    spark-submit ... jobs/tokenize_job.py --family wordpiece \
+        --input documents.parquet --output toks/ --n-merges 200
+
 Trains the chosen tokenizer family over the input corpus
 (``functions/bpe.py`` merge rounds or ``functions/unigram.py`` EM),
 writes the learned model table (``<output>/model/`` — the merge table
@@ -28,7 +31,7 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--family", choices=("bpe", "unigram"), required=True)
+    ap.add_argument("--family", choices=("bpe", "unigram", "wordpiece"), required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--id-col", default="doc_id")
@@ -57,6 +60,22 @@ def main(argv=None):
         toks = bpe_segment(docs, merges, id_col=args.id_col, text_col=args.text_col)
         toks = toks.withColumnRenamed("n_bpe_tokens", "n_tokens")
         model_rows = len(merges)
+    elif args.family == "wordpiece":
+        from scrapy_products_tracker_spark.functions.wordpiece import (
+            wordpiece_segment,
+            wordpiece_train,
+            wordpiece_vocab,
+        )
+
+        model = wordpiece_train(docs, n_merges=args.n_merges,
+                                text_col=args.text_col,
+                                min_pair_count=args.min_count)
+        model.write.mode("overwrite").parquet(args.output + "/model")
+        vocab = wordpiece_vocab(docs, model, text_col=args.text_col)
+        toks = wordpiece_segment(docs, vocab, id_col=args.id_col,
+                                 text_col=args.text_col)
+        toks = toks.withColumnRenamed("n_wp_tokens", "n_tokens")
+        model_rows = model.count()
     else:
         from scrapy_products_tracker_spark.functions.unigram import (
             unigram_segment,

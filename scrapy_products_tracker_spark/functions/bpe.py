@@ -73,11 +73,13 @@ def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     return words.groupBy("word").agg(F.count("*").alias("count"))
 
 
-def _merge_fold(pieces_col, left: str, right: str):
+def _merge_fold(pieces_col, left: str, right: str, merged: str | None = None):
     """Left-to-right non-overlapping rewrite of adjacent (left, right)
     piece pairs into one merged piece — the BPE merge application as a
-    row-local fold (no Python, no shuffle)."""
-    merged = left + right
+    row-local fold (no Python, no shuffle). ``merged`` defaults to the
+    BPE concatenation; WordPiece passes its ##-stripped join."""
+    if merged is None:
+        merged = left + right
     return F.aggregate(
         pieces_col,
         F.array().cast("array<string>"),

@@ -1337,6 +1337,145 @@ def build_bpe_merges(sf_dir: str = CORRECTNESS_SF, n_merges: int = 20, min_pair_
     return _write(pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count"]), "bpe_merges.parquet", schema)
 
 
+def _py_wordpiece_train(docs, n_merges: int, min_pair_count: int = 2):
+    """Independent pure-Python WordPiece trainer (Schuster & Nakajima
+    '12 likelihood-scored merges, dict-based, no Spark): score_femto =
+    pair_count * 10^15 // (count(l) * count(r)) in exact Python ints,
+    argmax tie-break (score desc, count desc, left, right). Returns
+    (merge_rows, word_hist). The engine's functions/wordpiece.
+    wordpiece_train must learn the identical table."""
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for t in docs["text"]:
+        if t is None or not str(t).strip():
+            continue
+        hist.update(str(t).split())
+    pieces = {w: tuple([w[0]] + ["##" + c for c in w[1:]]) for w in hist}
+    rows = []
+    for rank in range(n_merges):
+        pair_counts: Counter = Counter()
+        piece_counts: Counter = Counter()
+        for w, ps in pieces.items():
+            c = hist[w]
+            for p in ps:
+                piece_counts[p] += c
+            for i in range(len(ps) - 1):
+                pair_counts[(ps[i], ps[i + 1])] += c
+        if not pair_counts:
+            break
+        scored = [
+            (cnt * 10**15 // (piece_counts[l] * piece_counts[r]), cnt, l, r)
+            for (l, r), cnt in pair_counts.items()
+        ]
+        sc, cnt, left, right = min(scored, key=lambda x: (-x[0], -x[1], x[2], x[3]))
+        if cnt < min_pair_count:
+            break
+        rows.append(
+            {"rank": rank, "left": left, "right": right, "pair_count": cnt,
+             "score_femto": sc}
+        )
+        merged = left + (right[2:] if right.startswith("##") else right)
+        new_pieces = {}
+        for w, ps in pieces.items():
+            if len(ps) < 2:
+                new_pieces[w] = ps
+                continue
+            out, i = [], 0
+            while i < len(ps):
+                if i + 1 < len(ps) and ps[i] == left and ps[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(ps[i])
+                    i += 1
+            new_pieces[w] = tuple(out)
+        pieces = new_pieces
+    return rows, hist
+
+
+def build_wordpiece_merges(
+    sf_dir: str = CORRECTNESS_SF, n_merges: int = 15, min_pair_count: int = 2
+) -> str:
+    """WordPiece merge-table fixture from the independent trainer."""
+    import pyarrow as pa
+
+    rows, _ = _py_wordpiece_train(_documents(sf_dir), n_merges, min_pair_count)
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("left", pa.string()),
+            ("right", pa.string()),
+            ("pair_count", pa.int64()),
+            ("score_femto", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["rank", "left", "right", "pair_count", "score_femto"]),
+        "wordpiece_merges.parquet",
+        schema,
+    )
+
+
+def build_wordpiece_segments(sf_dir: str = CORRECTNESS_SF, n_merges: int = 10) -> str:
+    """Independent WordPiece SEGMENTATION fixture: train n_merges with
+    the independent trainer, build the final vocab (corpus alphabet in
+    first/## forms + merged pieces), then BERT greedy longest-match-
+    first per word (whole-word [UNK] on any miss); emit
+    (id, n_wp_tokens, toks_fp)."""
+    import hashlib
+    import pyarrow as pa
+
+    docs = _documents(sf_dir)
+    rows_m, hist = _py_wordpiece_train(docs, n_merges)
+    vocab = set()
+    for w in hist:
+        vocab.add(w[0])
+        vocab.update("##" + c for c in w[1:])
+    for r in rows_m:
+        vocab.add(
+            r["left"]
+            + (r["right"][2:] if r["right"].startswith("##") else r["right"])
+        )
+
+    def seg_word(word: str) -> list[str]:
+        out: list[str] = []
+        i, first = 0, True
+        while i < len(word):
+            for j in range(len(word), i, -1):
+                cand = word[i:j] if first else "##" + word[i:j]
+                if cand in vocab:
+                    out.append(cand)
+                    i = j
+                    first = False
+                    break
+            else:
+                return ["[UNK]"]
+        return out
+
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks: list[str] = []
+        if t is not None and str(t).strip():
+            for w in str(t).split():
+                toks.extend(seg_word(w))
+        rows.append(
+            {
+                "id": int(did),
+                "n_wp_tokens": len(toks),
+                "toks_fp": hashlib.md5("\x1f".join(toks).encode()).hexdigest(),
+            }
+        )
+    schema = pa.schema(
+        [("id", pa.int64()), ("n_wp_tokens", pa.int64()), ("toks_fp", pa.string())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["id", "n_wp_tokens", "toks_fp"]),
+        "wordpiece_segments.parquet",
+        schema,
+    )
+
+
 def build_bpe_segments(sf_dir: str = CORRECTNESS_SF, n_merges: int = 10) -> str:
     """Independent pure-Python BPE SEGMENTATION: train n_merges merges
     (same independent trainer as build_bpe_merges) and tokenize every

@@ -103,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
     p_inc = OB.build_incremental_image_inputs()
     p_bpe = OB.build_bpe_merges()
     p_bseg = OB.build_bpe_segments()
+    p_wpm = OB.build_wordpiece_merges()
+    p_wpseg = OB.build_wordpiece_segments()
     p_uvoc = OB.build_unigram_vocab()
     p_useg = OB.build_unigram_segments()
     p_zr = OB.build_compression_ratios()
@@ -1007,6 +1009,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_tokens": f"""
             SELECT id, n_bpe_tokens, toks_fp
             FROM read_parquet('{p_bseg}') ORDER BY id
+        """,
+        "wordpiece_train_merges": f"""
+            SELECT rank, "left", "right", pair_count, score_femto
+            FROM read_parquet('{p_wpm}') ORDER BY rank
+        """,
+        "wordpiece_segment_tokens": f"""
+            SELECT id, n_wp_tokens, toks_fp
+            FROM read_parquet('{p_wpseg}') ORDER BY id
         """,
         "compression_ratio_stats": f"""
             SELECT id, raw_len, zlib_len, ratio_milli FROM read_parquet('{p_zr}')

@@ -73,3 +73,62 @@ def test_bpe_segment_matches_training_pieces(spark):
     for i in n_full:
         assert n_full[i] <= n_half[i] <= n_none[i]
     assert any(n_full[i] < n_none[i] for i in n_full)
+
+
+# --- WordPiece (functions/wordpiece.py) -----------------------------------
+
+
+def test_wordpiece_likelihood_beats_raw_count(spark):
+    from scrapy_products_tracker_spark.functions.wordpiece import wordpiece_train
+
+    # (a,##b) count 3 but score 3e15/(3*3); (x,##z) count 2, score
+    # 2e15/(2*2) — likelihood picks the rarer-but-exclusive pair first
+    # (raw-count BPE would do the opposite), then (a,##b), then stops.
+    df = spark.createDataFrame([(1, "ab ab ab xz xz")], "doc_id long, text string")
+    got = [tuple(r) for r in wordpiece_train(df, n_merges=5).orderBy("rank").collect()]
+    assert got == [
+        (0, "x", "##z", 2, 500_000_000_000_000),
+        (1, "a", "##b", 3, 333_333_333_333_333),
+    ]
+
+
+def test_wordpiece_merged_name_strips_continuation(spark):
+    from scrapy_products_tracker_spark.functions.wordpiece import (
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    df = spark.createDataFrame([(1, "abc abc")], "doc_id long, text string")
+    m = wordpiece_train(df, n_merges=2)
+    rows = [tuple(r)[:3] for r in m.orderBy("rank").collect()]
+    # round 0 ties (a,##b) vs (##b,##c) on score+count -> lexicographic
+    # '##b' < 'a'; merged name '##bc' keeps the continuation prefix
+    assert rows == [(0, "##b", "##c"), (1, "a", "##bc")]
+    assert wordpiece_vocab(df, m) == ["##b", "##bc", "##c", "a", "abc"]
+
+
+def test_wordpiece_segment_greedy_and_unk(spark):
+    from scrapy_products_tracker_spark.functions.wordpiece import wordpiece_segment
+
+    vocab = ["a", "ab", "##b", "##bc", "##c", "x", "##z", "xz"]
+    df = spark.createDataFrame(
+        [(1, "abc ab xz abxz q"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.tokens, r.n_wp_tokens) for r in wordpiece_segment(df, vocab).collect()}
+    # 'abc' -> greedy longest 'ab' + '##c' (not 'a'+'##bc');
+    # 'abxz' -> 'ab' then no '##x...' piece -> whole word [UNK]
+    assert got[1] == (["ab", "##c", "ab", "xz", "[UNK]", "[UNK]"], 6)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+
+
+def test_wordpiece_early_stop_and_guards(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.functions.wordpiece import wordpiece_train
+
+    df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    assert wordpiece_train(df, n_merges=3).count() == 0  # all pairs count 1 < 2
+    with pytest.raises(ValueError):
+        wordpiece_train(df, n_merges=0)
