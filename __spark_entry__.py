@@ -2327,6 +2327,28 @@ def q_adaptive_budgets(spark, sf):
     )
 
 
+def q_image_color(spark, sf):
+    """Color/saturation curation metrics (imaging/quality.
+    image_color_stats): Hasler-Süsstrunk colorfulness, exact-neutral
+    gray fraction, mean channel spread — integer milli-units through
+    the Arrow decode kernel. Planted junk payloads (digits % 8 == 0,
+    prepend) come back NULL (X6 audit). Oracle: independently coded
+    formulas over ground-truth pixels (builders.build_color_expected)."""
+    from scrapy_products_tracker_spark.imaging.quality import image_color_stats
+
+    _, paths = _crawl_store(spark)
+    base = spark.read.parquet(paths["image_caption"]).select("image_id", "fmt", "bytes")
+    d = F.regexp_extract("image_id", r"([0-9]+)", 1).cast("int") % 8
+    planted = base.select(
+        "image_id",
+        "fmt",
+        F.when(d == 0, F.concat(F.lit(b"CC"), F.col("bytes")))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+    )
+    return image_color_stats(planted).orderBy("image_id")
+
+
 def q_image_quality(spark, sf):
     """Decode-based image quality scoring (imaging/quality.
     image_quality_stats): per-row brightness / contrast / sharpness /
@@ -2890,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_integrity": q_image_header_integrity,
         "phash_payload_audit": q_phash_audit,
         "image_quality_scores": q_image_quality,
+        "image_color_scores": q_image_color,
         "laion_filter_flags": q_laion_filter,
         "aspect_bucket_assign": q_aspect_buckets,
         "caption_frequency_survivors": q_caption_frequency,

@@ -39,7 +39,14 @@ from pyspark.sql import types as T
 
 from .codec import decode_image
 
-__all__ = ["IMAGE_QUALITY_SCHEMA", "image_quality_stats", "quality_metrics"]
+__all__ = [
+    "IMAGE_COLOR_SCHEMA",
+    "IMAGE_QUALITY_SCHEMA",
+    "color_metrics",
+    "image_color_stats",
+    "image_quality_stats",
+    "quality_metrics",
+]
 
 IMAGE_QUALITY_SCHEMA = T.StructType(
     [
@@ -102,6 +109,84 @@ def image_quality_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("image_id", "fmt", "bytes").mapInPandas(_kernel, IMAGE_QUALITY_SCHEMA)
+
+
+IMAGE_COLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("colorfulness_milli", T.LongType()),
+        T.StructField("gray_frac_milli", T.LongType()),
+        T.StructField("sat_mean_milli", T.LongType()),
+    ]
+)
+
+
+def color_metrics(pixels: np.ndarray) -> tuple[int, int, int]:
+    """(colorfulness, gray_frac, sat_mean) in integer milli-units.
+
+    - ``colorfulness`` — Hasler & Süsstrunk (SPIE'03) opponent-axis
+      metric: ``sqrt(σ_rg² + σ_yb²) + 0.3·sqrt(μ_rg² + μ_yb²)`` over
+      ``rg = R−G`` and ``yb = (R+G)/2 − B`` (the standard web-dataset
+      "is this a drawing/screenshot/washed-out scan" signal);
+    - ``gray_frac`` — fraction of exactly-neutral pixels (R==G==B):
+      1000 flags grayscale payloads stored as 3-channel;
+    - ``sat_mean`` — mean per-pixel channel spread max−min (a second,
+      threshold-free saturation signal).
+
+    Single-channel arrays are definitionally neutral: (0, 1000, 0).
+    Fixed numpy operation order so the oracle builder reproduces the
+    exact integers from ground-truth pixels."""
+    if pixels.ndim != 3 or pixels.shape[2] < 3:
+        return (0, 1000, 0)
+    r = pixels[:, :, 0].astype(np.float64)
+    g = pixels[:, :, 1].astype(np.float64)
+    b = pixels[:, :, 2].astype(np.float64)
+    rg = r - g
+    yb = (r + g) / 2.0 - b
+    colorfulness = float(
+        np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+    spread = pixels.max(axis=2).astype(np.int64) - pixels.min(axis=2).astype(np.int64)
+    gray_frac = float((spread == 0).mean())
+    sat_mean = float(spread.mean())
+    return (
+        int(round(colorfulness * 1000)),
+        int(round(gray_frac * 1000)),
+        int(round(sat_mean * 1000)),
+    )
+
+
+def image_color_stats(df: DataFrame) -> DataFrame:
+    """Per-row color/saturation metrics over (image_id, fmt, bytes) —
+    same Arrow decode kernel + audit semantics as
+    :func:`image_quality_stats` (junk/NULL payloads reported with NULL
+    metrics, never dropped)."""
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, data in zip(pdf["image_id"], pdf["fmt"], pdf["bytes"]):
+                metrics = (None, None, None)
+                if data is not None:
+                    try:
+                        metrics = color_metrics(decode_image(bytes(data)))
+                    except (ValueError, NotImplementedError, TypeError, struct.error):
+                        pass
+                out.append((mid, fmt, *metrics))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id",
+                    "fmt",
+                    "colorfulness_milli",
+                    "gray_frac_milli",
+                    "sat_mean_milli",
+                ],
+            )
+
+    return df.select("image_id", "fmt", "bytes").mapInPandas(_kernel, IMAGE_COLOR_SCHEMA)
 
 
 def image_channel_stats(df: DataFrame, fmt_col: str = "fmt", bytes_col: str = "bytes") -> DataFrame:

@@ -817,6 +817,79 @@ def build_dsir_token_buckets(sf_dir: str = CORRECTNESS_SF, n_buckets: int = 512)
     )
 
 
+def build_color_expected() -> str:
+    """Expected per-row color/saturation metrics (quality.
+    color_metrics) recomputed from ground-truth source pixels with
+    independently-written formulas: std as explicit
+    sqrt-of-mean-of-squares, channel spread via chained
+    np.maximum/np.minimum instead of axis reductions, gray fraction
+    as an integer count ratio. Planting mirrors q_image_color
+    (digits % 8 == 0 rows get junk-prepended bytes -> NULL metrics)."""
+    import pyarrow as pa
+
+    from ..synth.world import _rng_for, _source_pixels
+
+    world, _ = _sim_world()
+    spec = world.spec
+    rows = []
+    for image_id, fmt in zip(world.image_caption["image_id"], world.image_caption["fmt"]):
+        pixels, fmt2 = _source_pixels(_rng_for(spec.seed, "img", image_id), spec)
+        assert fmt2 == fmt, f"world fmt drift for {image_id}"
+        if _digits(image_id) % 8 == 0:
+            rows.append((image_id, fmt, None, None, None))
+            continue
+        if fmt == "jpeg":  # surrogate-lossy closed form, Q=6
+            pixels = np.minimum((pixels.astype(np.int32) // 6) * 6 + 3, 255).astype(np.uint8)
+        r = pixels[:, :, 0].astype(np.float64)
+        g = pixels[:, :, 1].astype(np.float64)
+        b = pixels[:, :, 2].astype(np.float64)
+        rg = r - g
+        yb = (r + g) / 2.0 - b
+
+        def _std(x):
+            return float(np.sqrt(np.mean(np.square(x - x.mean()))))
+
+        colorfulness = float(
+            np.sqrt(_std(rg) ** 2 + _std(yb) ** 2)
+            + 0.3 * np.sqrt(float(rg.mean()) ** 2 + float(yb.mean()) ** 2)
+        )
+        ri = pixels[:, :, 0].astype(np.int64)
+        gi = pixels[:, :, 1].astype(np.int64)
+        bi = pixels[:, :, 2].astype(np.int64)
+        spread = np.maximum(np.maximum(ri, gi), bi) - np.minimum(np.minimum(ri, gi), bi)
+        gray_frac = int((spread == 0).sum()) / spread.size
+        sat_mean = float(spread.mean())
+        rows.append(
+            (
+                image_id,
+                fmt,
+                int(round(colorfulness * 1000)),
+                int(round(gray_frac * 1000)),
+                int(round(sat_mean * 1000)),
+            )
+        )
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("colorfulness_milli", pa.int64()),
+            ("gray_frac_milli", pa.int64()),
+            ("sat_mean_milli", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(
+            rows,
+            columns=[
+                "image_id", "fmt", "colorfulness_milli", "gray_frac_milli",
+                "sat_mean_milli",
+            ],
+        ),
+        "color_expected.parquet",
+        schema,
+    )
+
+
 def build_quality_expected() -> str:
     """Expected per-row image quality metrics, recomputed from the
     generator's ground-truth source pixels (never the codec) with an

@@ -72,6 +72,7 @@ def oracle_sql() -> dict[str, str]:
     p_pha = OB.build_phash_audit_expected()
     p_dsir = OB.build_dsir_token_buckets()
     p_qual = OB.build_quality_expected()
+    p_color = OB.build_color_expected()
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
     p_hll = OB.build_hll_expected()
@@ -714,6 +715,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, fmt, brightness_milli, contrast_milli,
                    sharpness_milli, entropy_milli
             FROM read_parquet('{p_qual}') ORDER BY image_id
+        """,
+        "image_color_scores": f"""
+            SELECT image_id, fmt, colorfulness_milli, gray_frac_milli,
+                   sat_mean_milli
+            FROM read_parquet('{p_color}') ORDER BY image_id
         """,
         "pack_sequences_spans": f"""
             WITH t AS (

@@ -204,3 +204,47 @@ def test_image_channel_stats_reports_never_drops(spark):
     assert (g["ch0_mean_milli"], g["ch1_mean_milli"], g["ch2_mean_milli"]) == (
         10000, 20000, 30000,
     )
+
+
+# --- color/saturation metrics (imaging/quality.image_color_stats) ---------
+
+
+def test_color_metrics_closed_forms():
+    import math
+
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging.quality import color_metrics
+
+    gray = np.full((8, 8, 3), 128, dtype=np.uint8)
+    assert color_metrics(gray) == (0, 1000, 0)
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    # rg = 255 (const), yb = 127.5 (const): stds 0, colorfulness =
+    # 0.3 * sqrt(255^2 + 127.5^2); spread = 255 everywhere
+    want_c = round(0.3 * math.sqrt(255.0**2 + 127.5**2) * 1000)
+    assert color_metrics(red) == (want_c, 0, 255_000)
+
+    half = np.full((8, 8, 3), 7, dtype=np.uint8)
+    half[:, 4:, 0] = 9  # half the pixels neutral, half spread 2
+    c, gf, sm = color_metrics(half)
+    assert gf == 500 and sm == 1000
+
+    assert color_metrics(np.full((8, 8), 5, dtype=np.uint8)) == (0, 1000, 0)
+
+
+def test_image_color_stats_audit_semantics(spark):
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging.codec import encode_image
+    from scrapy_products_tracker_spark.imaging.quality import image_color_stats
+
+    ok = bytearray(encode_image(np.full((8, 8, 3), 128, dtype=np.uint8), "png"))
+    rows = [("ok", "png", ok), ("junk", "png", bytearray(b"nope")), ("null", "png", None)]
+    df = spark.createDataFrame(rows, "image_id string, fmt string, bytes binary")
+    got = {r.image_id: r for r in image_color_stats(df).collect()}
+    assert len(got) == 3  # every row reported
+    assert got["ok"].gray_frac_milli == 1000 and got["ok"].colorfulness_milli == 0
+    for k in ("junk", "null"):
+        assert got[k].colorfulness_milli is None and got[k].sat_mean_milli is None
