@@ -817,6 +817,16 @@ def q_wordpiece_segment(spark, sf):
     ).orderBy("id")
 
 
+def q_readability(spark, sf):
+    """Flesch Reading Ease + Flesch-Kincaid grade per doc in integer
+    milli-units (functions/text.readability_scores): exact word /
+    sentence-run / vowel-group counts, scores by integer div — zero
+    Python, zero Exchange. Pure-SQL oracle with the identical RE2
+    patterns and list fold."""
+    d = _t(spark, sf, "documents")
+    return TX.readability_scores(d).orderBy("doc_id")
+
+
 def q_gopher_repetition(spark, sf):
     """Within-doc repetition filters (Gopher/MassiveText repo rules):
     duplicate bigram/trigram fractions + top-bigram share per document,
@@ -2961,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "token_count_stats": q_token_count_stats,
         "quality_scores": q_quality_scores,
+        "readability_scores": q_readability,
         "lang_id_heuristic": q_lang_id_heuristic,
         "pii_scrub_stats": q_pii_scrub_stats,
         "chunk_windows_agg": q_chunk_windows,

@@ -896,6 +896,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY lang
         """,
+        # Flesch/FK readability: identical RE2 patterns + integer div
+        # (the exact twin of functions/text.readability_scores).
+        "readability_scores": r"""
+            WITH base AS (
+              SELECT doc_id,
+                CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN
+                  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                END AS n_words,
+                CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                END AS n_sentences,
+                CASE WHEN text IS NOT NULL AND trim(text) <> '' THEN
+                  CAST(list_sum(list_transform(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)
+                  )) AS BIGINT)
+                END AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   206835 - (1015 * n_words) // n_sentences
+                          - (84600 * n_syllables) // n_words AS flesch_milli,
+                   (390 * n_words) // n_sentences
+                     + (11800 * n_syllables) // n_words - 15590 AS fk_grade_milli
+            FROM base ORDER BY doc_id
+        """,
         "quality_scores": rf"""
             SELECT doc_id, round((len_ok + wl_ok + punct_ok + stop_ok) / 4.0, 6) AS quality FROM (
               SELECT doc_id,

@@ -272,3 +272,34 @@ def test_corpus_stats_rollup_exact(spark):
         got[("a", "en", 0)]["sum_quality_micro"] + got[("a", "fr", 0)]["sum_quality_micro"]
         == got[("a", None, 1)]["sum_quality_micro"]
     )
+
+
+# --- readability (functions/text.readability_scores) ----------------------
+
+
+def test_readability_hand_case(spark):
+    from scrapy_products_tracker_spark.functions.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, None), (3, "   "), (4, "xyz 42")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = got[1]
+    # 6 words, 2 sentence runs, 6 single-vowel-group words
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.flesch_milli == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    assert r1.fk_grade_milli == (390 * 6) // 2 + (11800 * 6) // 6 - 15590
+    for k in (2, 3):
+        assert got[k].n_words is None and got[k].flesch_milli is None
+    # vowel-less tokens floor at 1 syllable; no [.!?] -> 1 sentence
+    r4 = got[4]
+    assert (r4.n_words, r4.n_sentences, r4.n_syllables) == (2, 1, 2)
+
+
+def test_readability_zero_exchange_plan(spark):
+    from scrapy_products_tracker_spark.functions.text import readability_scores
+
+    df = spark.createDataFrame([(1, "a b.")], "doc_id long, text string")
+    plan = readability_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
