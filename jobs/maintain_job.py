@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--rebucket-factor", type=int, default=None)
     ap.add_argument("--rebuild-seen-scale", type=int, default=None)
     ap.add_argument("--expire-keep", type=int, default=None, help="GC, keep last N snapshots")
+    ap.add_argument(
+        "--compact-appendlogs", action="store_true",
+        help="rewrite multi-dir append logs (results/crawl_order/history/link_edges) as one dir each",
+    )
+    ap.add_argument("--compact-target-files", type=int, default=32)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +75,10 @@ def main(argv=None):
         out["n_buckets"] = store.frontier_n_buckets()
     if args.rebuild_seen_scale:
         out["rebuild_seen_version"] = store.rebuild_seen(spark, scale=args.rebuild_seen_scale)
+    if args.compact_appendlogs:
+        out["compact"] = store.compact_appendlogs(
+            spark, target_files=args.compact_target_files
+        )
     if args.expire_keep is not None:
         store.expire_snapshots(keep_last=args.expire_keep)
         out["expired_to_keep"] = args.expire_keep

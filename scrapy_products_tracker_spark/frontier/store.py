@@ -692,6 +692,83 @@ class SnapshotParquetStore:
             expected_version=prev["version"],
         )
 
+    APPEND_KEYS = ("results", "crawl_order", "history", "link_edges")
+
+    def compact_appendlogs(
+        self,
+        spark: SparkSession,
+        keys: tuple[str, ...] = APPEND_KEYS,
+        target_files: int = 32,
+        expected_version: int | None = None,
+    ) -> dict | None:
+        """Small-file compaction for the append-only logs (Iceberg
+        ``rewrite_data_files`` analog). Every crawl round appends one
+        ``data/<key>/v{n}`` directory per log; after 10^5 rounds a
+        ``read_results`` scan opens 10^5 directories of round-sized
+        files — the classic streaming small-file problem. This rewrites
+        each multi-dir log as ONE coalesced directory and commits a
+        snapshot whose manifest references only it; the superseded dirs
+        stay referenced by older manifests and are swept by
+        ``expire_snapshots`` once out of the retention window, so
+        time-travel within the window still works.
+
+        Row-set preserving by construction (one read → one write, no
+        transformation); ``coalesce`` keeps it shuffle-free. Returns a
+        summary dict, or None when nothing has more than one dir.
+        OCC-guarded like every maintenance commit (defaults to the
+        manifest read at entry)."""
+        prev = self.read_manifest()
+        if prev is None:
+            raise RuntimeError("no committed snapshot to compact")
+        unknown = set(keys) - set(self.APPEND_KEYS)
+        if unknown:
+            raise ValueError(f"unknown append logs: {sorted(unknown)}")
+        if target_files < 1:
+            raise ValueError("target_files must be >= 1")
+        todo = {k: prev.get(k) or [] for k in keys}
+        todo = {k: d for k, d in todo.items() if len(d) > 1}
+        if not todo:
+            return None
+        version = prev["version"] + 1
+        while True:
+            try:
+                with open(self._manifest_path(version), "x") as fh:
+                    fh.write('{"claimed": true}')
+                break
+            except FileExistsError:
+                version += 1
+        logs = {k: list(prev.get(k) or []) for k in self.APPEND_KEYS}
+        summary: dict = {}
+        for key, dirs in todo.items():
+            df = spark.read.parquet(*[str(self.root / p) for p in dirs])
+            out = f"data/{key}/v{version}"
+            df.coalesce(int(target_files)).write.mode("overwrite").parquet(
+                str(self.root / out)
+            )
+            logs[key] = [out]
+            summary[key] = {"dirs_before": len(dirs), "dirs_after": 1}
+        manifest = {
+            **prev,
+            "version": version,
+            "committed_at": time.time(),
+            **logs,
+            "meta": {**prev["meta"], "compacted": summary},
+        }
+        if expected_version is None:
+            expected_version = prev["version"]
+        if self.latest_version() != expected_version:
+            raise CommitConflictError(
+                f"base snapshot v{expected_version} is stale "
+                f"(LATEST is v{self.latest_version()}); re-read and retry"
+            )
+        mtmp = self.root / "snapshots" / f"v{version}.json.tmp"
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(mtmp, self._manifest_path(version))
+        tmp = self.root / "LATEST.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "LATEST")
+        return {"version": version, "compacted": summary}
+
     def rollback(self, version: int) -> None:
         """Time-travel the pointer back (seen-set state rolls back with
         it since shards are referenced per-manifest; the cuckoo variant

@@ -180,3 +180,52 @@ def test_explicit_bucket_mismatch_refused(spark, t1_paths, tmpdir_path):
         SnapshotParquetStore(tmpdir_path, n_frontier_buckets=64)
     # default adoption still works
     assert SnapshotParquetStore(tmpdir_path).n_frontier_buckets == 16
+
+
+def test_compact_appendlogs_mid_crawl_is_invisible(spark, t1_paths, tmpdir_path):
+    from scrapy_products_tracker_spark.frontier.store import CommitConflictError
+
+    seeds = spark.read.parquet(t1_paths["seeds"])
+    control = SnapshotParquetStore(tmpdir_path + "/cc")
+    d = _driver(spark, t1_paths, control)
+    d.seed(seeds)
+    d.run()
+    expected = _snapshot(spark, control)
+
+    store = SnapshotParquetStore(tmpdir_path + "/compact")
+    d = _driver(spark, t1_paths, store)
+    d.seed(seeds)
+    for _ in range(3):
+        assert d.run_round() is not None
+    before = {
+        k: sorted(r.asDict().items() for r in t.collect())
+        for k, t in (
+            ("results", store.read_results(spark)),
+            ("crawl_order", store.read_crawl_order(spark)),
+            ("history", store.read_history(spark)),
+        )
+        if t is not None
+    }
+    m = store.read_manifest()
+    assert len(m["results"]) > 1  # one dir per round so far
+    # stale OCC base refused (while there is still work to commit)
+    with pytest.raises(CommitConflictError):
+        store.compact_appendlogs(spark, expected_version=1)
+    out = store.compact_appendlogs(spark, target_files=2)
+    assert out is not None and out["compacted"]["results"]["dirs_before"] > 1
+    m2 = store.read_manifest()
+    assert len(m2["results"]) == 1 and len(m2["crawl_order"]) == 1
+    # row sets byte-identical after compaction
+    for k, want in before.items():
+        got = sorted(
+            r.asDict().items()
+            for r in getattr(store, f"read_{k}")(spark).collect()
+        )
+        assert got == want, k
+    # second compaction is a no-op (everything already single-dir)
+    assert store.compact_appendlogs(spark) is None
+    # resume and finish: crawl semantics untouched
+    d2 = _driver(spark, t1_paths, SnapshotParquetStore(tmpdir_path + "/compact"))
+    d2.run()
+    got = _snapshot(spark, SnapshotParquetStore(tmpdir_path + "/compact"))
+    assert got == expected
