@@ -817,6 +817,23 @@ def q_wordpiece_segment(spark, sf):
     ).orderBy("id")
 
 
+def q_apportion_budget(spark, sf):
+    """Largest-remainder (Hamilton) crawl-budget apportionment
+    (politeness/allocation.apportion_budget): 1000 fetch slots split
+    across 97 pseudo-domains proportional to their token mass —
+    integer base quotas + the top-leftover remainders get +1, quotas
+    sum to exactly 1000. The engine's two-phase remainder rank (no
+    single-partition Window) must equal the oracle's naive global
+    row_number."""
+    from scrapy_products_tracker_spark.politeness import apportion_budget
+
+    d = _t(spark, sf, "documents")
+    w = d.groupBy((F.col("doc_id") % 97).cast("long").alias("domain")).agg(
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("weight")
+    )
+    return apportion_budget(w, total=1000).orderBy("key")
+
+
 def q_readability(spark, sf):
     """Flesch Reading Ease + Flesch-Kincaid grade per doc in integer
     milli-units (functions/text.readability_scores): exact word /
@@ -2952,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_stats": q_url_template_stats,
         "template_cap_survivors": q_template_cap_survivors,
         "adaptive_budget_step": q_adaptive_budgets,
+        "apportion_budget_quotas": q_apportion_budget,
         "revisit_priority": q_revisit_priority,
         "price_change_events": q_price_change_events,
         "asof_price_join": q_asof_price_join,

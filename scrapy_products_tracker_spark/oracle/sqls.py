@@ -896,6 +896,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY lang
         """,
+        # Largest-remainder apportionment: naive global row_number twin
+        # of the engine's two-phase remainder rank.
+        "apportion_budget_quotas": f"""
+            WITH w AS (SELECT CAST(doc_id % 97 AS BIGINT) AS key,
+                              CAST(SUM({_NT}) AS BIGINT) AS weight
+                       FROM documents GROUP BY 1),
+            tot AS (SELECT SUM(weight) AS W FROM w WHERE weight > 0),
+            base AS (SELECT key, weight,
+                            (1000 * weight) // tot.W AS b,
+                            (1000 * weight) % tot.W AS rem
+                     FROM w, tot WHERE weight > 0),
+            lo AS (SELECT 1000 - SUM(b) AS L FROM base),
+            rk AS (SELECT key, weight, b,
+                          row_number() OVER (ORDER BY rem DESC, weight DESC,
+                                             key ASC) AS rk
+                   FROM base)
+            SELECT key, weight,
+                   CAST(b + CASE WHEN rk <= (SELECT L FROM lo) THEN 1 ELSE 0
+                            END AS BIGINT) AS quota
+            FROM rk
+            UNION ALL
+            SELECT key, weight, CAST(0 AS BIGINT) AS quota FROM w
+            WHERE weight IS NULL OR weight <= 0
+            ORDER BY key
+        """,
         # Flesch/FK readability: identical RE2 patterns + integer div
         # (the exact twin of functions/text.readability_scores).
         "readability_scores": r"""

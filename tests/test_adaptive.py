@@ -129,3 +129,57 @@ def test_driver_adaptive_wiring(spark, t1_world, t1_paths, tmpdir_path):
     # rounds re-claim only flaky/missing URLs, an all-failure signal)
     assert halved and grew
     assert all(b >= 1 for b in got.values())
+
+
+# --- largest-remainder budget apportionment (politeness/allocation.py) ----
+
+
+def test_apportion_exact_proportions(spark):
+    from scrapy_products_tracker_spark.politeness import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "domain string, weight long"
+    )
+    got = {r.key: r.quota for r in apportion_budget(w, total=10).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
+
+
+def test_apportion_remainder_tiebreak_and_exact_sum(spark):
+    from scrapy_products_tracker_spark.politeness import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "domain string, weight long"
+    )
+    got = {r.key: r.quota for r in apportion_budget(w, total=10).collect()}
+    # base 3 each, one leftover slot; remainders tie, weights tie ->
+    # key asc gives it to 'a'; quotas sum to exactly the total
+    assert got == {"a": 4, "b": 3, "c": 3}
+    w2 = spark.createDataFrame(
+        [(f"d{i:03d}", 7 + (i * 13) % 41) for i in range(157)],
+        "domain string, weight long",
+    )
+    rows = apportion_budget(w2, total=1000).collect()
+    assert sum(r.quota for r in rows) == 1000
+    # deterministic across partitionings
+    rows2 = apportion_budget(w2.repartition(13), total=1000).collect()
+    assert sorted((r.key, r.quota) for r in rows) == sorted(
+        (r.key, r.quota) for r in rows2
+    )
+
+
+def test_apportion_degenerate_weights(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.politeness import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 0), ("b", None), ("c", -4), ("d", 9)],
+        "domain string, weight long",
+    )
+    got = {r.key: r.quota for r in apportion_budget(w, total=5).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 5}  # non-positive sit out
+    allz = spark.createDataFrame([("a", 0)], "domain string, weight long")
+    assert [r.quota for r in apportion_budget(allz, total=5).collect()] == [0]
+    assert {r.quota for r in apportion_budget(w, total=0).collect()} == {0}
+    with pytest.raises(ValueError):
+        apportion_budget(w, total=-1)
