@@ -2849,6 +2849,22 @@ def q_latency_percentiles(spark, sf):
     return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
 
 
+def q_hll_overlap(spark, sf):
+    """Cross-corpus overlap audit by HLL sketch merge (functions/
+    sketches.hll_overlap): corpus A (doc_id % 3 != 0) vs corpus B
+    (doc_id % 2 != 0) on text — union = register-wise max (2 x 1024
+    register rows move, never the corpora), intersection by clamped
+    inclusion-exclusion, integer-milli Jaccard. Oracle: pure-Python
+    xxhash64 registers + identical staged arithmetic
+    (builders.build_hll_overlap_expected)."""
+    from scrapy_products_tracker_spark.functions.sketches import hll_overlap
+
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 3 != 0)
+    b = d.filter(F.col("doc_id") % 2 != 0)
+    return hll_overlap(a, b, "text")
+
+
 def q_hll_distinct_counts(spark, sf):
     """HyperLogLog distinct sketch (functions/sketches.py:hll_distinct
     — the bounded-state twin of the exact URL-seen accounting the
@@ -3012,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "corpus_curation_pipeline": q_curate_corpus,
         "hll_distinct_counts": q_hll_distinct_counts,
+        "hll_overlap_estimate": q_hll_overlap,
         "cms_heavyhitters": q_cms_heavyhitters,
         "simhash_neardup": q_simhash_neardup,
         "json_projection": q_json_projection,

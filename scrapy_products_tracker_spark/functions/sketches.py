@@ -46,6 +46,7 @@ __all__ = [
     "hll_registers",
     "hll_distinct",
     "hll_estimate_milli",
+    "hll_overlap",
     "CMS_D",
     "CMS_W",
     "cms_cells",
@@ -263,3 +264,76 @@ def cms_topk_estimates(
         est.cast("long").alias("cms_est"),
         (est - F.col("cnt")).cast("long").alias("overcount"),
     ).orderBy(F.col("exact_cnt").desc(), "token")
+
+
+def _sum_units_sql(nz_col: str, s_col: str, m: int) -> str:
+    return (
+        f"coalesce({s_col}, cast(0 as bigint))"
+        f" + cast({m} - {nz_col} as bigint)"
+        f" * shiftleft(cast(1 as bigint), {_HLL_UNIT_SHIFT})"
+    )
+
+
+def hll_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """One-row cross-corpus overlap audit from two mergeable HLL
+    sketches: ``(est_a_milli, est_b_milli, est_union_milli,
+    est_inter_milli, jaccard_milli)``.
+
+    The union sketch is the register-wise max of the two sides (the
+    defining property of HLL state — merging sketches IS the union
+    estimate); the intersection comes from inclusion-exclusion,
+    clamped at 0, and the Jaccard estimate is their integer-milli
+    ratio. This answers "how much did crawl B discover that crawl A
+    already has?" between two 10^10-row corpora while moving 2 x 2^p
+    register rows — the sketches never see each other's data.
+
+    Same determinism contract as :func:`hll_distinct` (staged int64,
+    raw-HLL, saturation clamp); inclusion-exclusion inherits raw-HLL
+    error so ``jaccard_milli`` is an audit signal, not a dedup
+    decision — the exact paths (seen-set anti-join,
+    dedup_against_corpus) stay authoritative."""
+    m = 1 << p
+    rg_a = hll_registers(df_a, [], F.col(value_col), p)
+    rg_b = hll_registers(df_b, [], F.col(value_col), p)
+    unit = F.expr(
+        f"shiftright(shiftleft(cast(1 as bigint), {_HLL_UNIT_SHIFT}), register)"
+    )
+    a_agg = rg_a.agg(
+        F.count("*").cast("int").alias("a_nz"), F.sum(unit).alias("a_s")
+    )
+    b_agg = rg_b.agg(
+        F.count("*").cast("int").alias("b_nz"), F.sum(unit).alias("b_s")
+    )
+    u_agg = (
+        rg_a.unionByName(rg_b)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .agg(F.count("*").cast("int").alias("u_nz"), F.sum(unit).alias("u_s"))
+    )
+    row = a_agg.crossJoin(b_agg).crossJoin(u_agg)
+    ests = row.select(
+        hll_estimate_milli(_sum_units_sql("a_nz", "a_s", m), m).alias("est_a_milli"),
+        hll_estimate_milli(_sum_units_sql("b_nz", "b_s", m), m).alias("est_b_milli"),
+        hll_estimate_milli(_sum_units_sql("u_nz", "u_s", m), m).alias(
+            "est_union_milli"
+        ),
+    )
+    return ests.select(
+        "est_a_milli",
+        "est_b_milli",
+        "est_union_milli",
+        F.expr(
+            "greatest(est_a_milli + est_b_milli - est_union_milli,"
+            " cast(0 as bigint))"
+        ).alias("est_inter_milli"),
+        F.expr(
+            "(greatest(est_a_milli + est_b_milli - est_union_milli,"
+            " cast(0 as bigint)) * 1000)"
+            " div greatest(est_union_milli, cast(1 as bigint))"
+        ).alias("jaccard_milli"),
+    )

@@ -2103,6 +2103,75 @@ def build_border_stats_expected() -> str:
     return _write(df, "border_stats.parquet", schema)
 
 
+def build_hll_overlap_expected(sf_dir: str = CORRECTNESS_SF) -> str:
+    """Independent HLL-merge overlap twin (sketches.hll_overlap):
+    corpus A = documents with doc_id % 3 != 0, corpus B = doc_id % 2
+    != 0 (overlapping by construction), value = text. Registers via
+    pure-Python xxhash64_str; union = register-wise max; estimates in
+    the identical staged int64 arithmetic; intersection by clamped
+    inclusion-exclusion; jaccard in integer milli."""
+    import pyarrow as pa
+
+    from ..functions.hashing import xxhash64_str
+
+    docs = _documents(sf_dir)
+    p, alpha_micro = 10, 720_541
+    m, w = 1 << p, 64 - p
+
+    def regs_of(rows):
+        M: dict = {}
+        for t in rows:
+            if t is None:
+                continue
+            hu = xxhash64_str(str(t)) & ((1 << 64) - 1)
+            b, suf = hu >> w, hu & ((1 << w) - 1)
+            r = w + 1 - suf.bit_length()
+            if r > M.get(b, 0):
+                M[b] = r
+        return M
+
+    a_rows = [t for d, t in zip(docs["doc_id"], docs["text"]) if int(d) % 3 != 0]
+    b_rows = [t for d, t in zip(docs["doc_id"], docs["text"]) if int(d) % 2 != 0]
+    Ma, Mb = regs_of(a_rows), regs_of(b_rows)
+    Mu = dict(Ma)
+    for b, r in Mb.items():
+        if r > Mu.get(b, 0):
+            Mu[b] = r
+
+    def est(M):
+        S = sum((1 << 50) >> r for r in M.values()) + (m - len(M)) * (1 << 50)
+        q = min((m * m << 30) // max(S >> 20, 1), 1 << 42)
+        return (q * alpha_micro) // 1000
+
+    ea, eb, eu = est(Ma), est(Mb), est(Mu)
+    ei = max(ea + eb - eu, 0)
+    jac = (ei * 1000) // max(eu, 1)
+    schema = pa.schema(
+        [
+            ("est_a_milli", pa.int64()),
+            ("est_b_milli", pa.int64()),
+            ("est_union_milli", pa.int64()),
+            ("est_inter_milli", pa.int64()),
+            ("jaccard_milli", pa.int64()),
+        ]
+    )
+    return _write(
+        pd.DataFrame(
+            [
+                {
+                    "est_a_milli": ea,
+                    "est_b_milli": eb,
+                    "est_union_milli": eu,
+                    "est_inter_milli": ei,
+                    "jaccard_milli": jac,
+                }
+            ]
+        ),
+        "hll_overlap_expected.parquet",
+        schema,
+    )
+
+
 def build_hll_expected(sf_dir: str = CORRECTNESS_SF) -> str:
     """Independent HyperLogLog twin (functions/sketches.py contract):
     xxhash64(l_orderkey) registers per l_returnflag, raw-HLL estimate

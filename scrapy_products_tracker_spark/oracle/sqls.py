@@ -76,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
     p_mmdd = OB.build_mm_dedup_inputs()
     p_smb = OB.build_sitemap_bodies()
     p_hll = OB.build_hll_expected()
+    p_hov = OB.build_hll_overlap_expected()
     p_cms = OB.build_cms_expected()
     _, _, p_robx = OB.build_robots_fixture()
     p_fru = OB.build_frontier_urls()
@@ -1076,6 +1077,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compression_ratio_stats": f"""
             SELECT id, raw_len, zlib_len, ratio_milli FROM read_parquet('{p_zr}')
+        """,
+        "hll_overlap_estimate": f"""
+            SELECT est_a_milli, est_b_milli, est_union_milli,
+                   est_inter_milli, jaccard_milli
+            FROM read_parquet('{p_hov}')
         """,
         "hll_distinct_counts": f"""
             SELECT l_returnflag, n_nonzero_registers, n_zero_registers,

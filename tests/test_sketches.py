@@ -147,3 +147,44 @@ def test_cms_grid_is_bounded_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # probe joins broadcast the grid
     rows = out.collect()
     assert rows[0]["token"] == "common" and rows[0]["exact_cnt"] == 500
+
+
+# --- HLL sketch-merge overlap (sketches.hll_overlap) ----------------------
+
+
+def test_hll_overlap_identical_corpora(spark):
+    from scrapy_products_tracker_spark.functions.sketches import hll_overlap
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(300)], "v string")
+    r = hll_overlap(df, df, "v").collect()[0]
+    # merging a sketch with itself is algebraically the same sketch:
+    # union == a == b exactly, so jaccard is exactly 1000
+    assert r.est_union_milli == r.est_a_milli == r.est_b_milli
+    assert r.est_inter_milli == r.est_a_milli
+    assert r.jaccard_milli == 1000
+
+
+def test_hll_overlap_subset_and_partition_invariance(spark):
+    from scrapy_products_tracker_spark.functions.sketches import hll_overlap
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(400)], "v string")
+    b = a.filter("cast(substring(v, 2) as int) < 100")  # b ⊂ a
+    r = hll_overlap(a, b, "v").collect()[0]
+    # union sketch of a superset IS a's sketch -> est_union == est_a,
+    # intersection estimate == est_b exactly (inclusion-exclusion)
+    assert r.est_union_milli == r.est_a_milli
+    assert r.est_inter_milli == r.est_b_milli
+    r2 = hll_overlap(a.repartition(7), b.coalesce(1), "v").collect()[0]
+    assert r.asDict() == r2.asDict()
+
+
+def test_hll_overlap_disjoint_is_low(spark):
+    from scrapy_products_tracker_spark.functions.sketches import hll_overlap
+
+    # past the small-range regime (n >= 2.5m) where the raw-HLL
+    # estimate is unbiased enough for inclusion-exclusion to be small
+    a = spark.createDataFrame([(f"a{i}",) for i in range(5000)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(5000)], "v string")
+    r = hll_overlap(a, b, "v").collect()[0]
+    assert r.est_union_milli >= max(r.est_a_milli, r.est_b_milli)
+    assert r.jaccard_milli < 150  # raw-HLL noise, not real overlap
