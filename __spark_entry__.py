@@ -1177,6 +1177,27 @@ def q_hits_topk(spark, sf):
     return r.orderBy(F.desc("auth_units"), F.desc("hub_units"), "node").limit(100)
 
 
+def q_alias_resolution(spark, sf):
+    """Frontier-wide redirect alias resolution by pointer jumping
+    (crawl/alias.resolve_aliases): deterministic chain edges i -> i+1
+    broken every 13 ids plus one planted 3-cycle; 6 doubling rounds
+    resolve every chain (length <= 13 << 64-hop bound) to its terminal
+    while the cycle reports canonical NULL / resolved 0. Oracle: a
+    recursive-CTE walk of the same successor map."""
+    from scrapy_products_tracker_spark.crawl.alias import resolve_aliases
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("long").alias("i"))
+    n = d.count()
+    chain = d.filter((F.col("i") % 13 != 12) & (F.col("i") + 1 < F.lit(int(n)))).select(
+        F.col("i").alias("src"), (F.col("i") + 1).alias("dst")
+    )
+    cyc = spark.createDataFrame(
+        [(n + j, n + ((j + 1) % 3)) for j in range(3)], "src long, dst long"
+    )
+    out = resolve_aliases(chain.unionByName(cyc))
+    return out.orderBy("src")
+
+
 def q_opic_topk(spark, sf):
     """OPIC online importance (Abiteboul et al. WWW'03) over the same
     deterministic link graph as the PageRank/HITS queries: 2
@@ -2975,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_aging_rank": q_frontier_aging_rank,
         "image_border_stats": q_image_border_stats,
         "redirect_resolution": q_redirect_resolution,
+        "alias_resolution_jump": q_alias_resolution,
         "dhash_image_neardup": q_dhash_image_neardup,
         "image_patch_overlap_pairs": q_patch_overlap_pairs,
         "epoch_repeat_agg": q_epoch_repeat,

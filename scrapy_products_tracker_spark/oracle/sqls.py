@@ -1243,6 +1243,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, r AS rank_units FROM r3
             ORDER BY rank_units DESC, node LIMIT 100
         """,
+        # Pointer-jumping alias resolution: recursive-CTE walk of the
+        # same successor map (terminal = first cur outside the src set;
+        # cycles exhaust the hop bound -> NULL canonical).
+        "alias_resolution_jump": r"""
+            WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+            nn AS (SELECT count(*) AS n FROM d),
+            e AS (
+              SELECT i AS src, i + 1 AS dst FROM d, nn
+              WHERE i % 13 <> 12 AND i + 1 < nn.n
+              UNION ALL
+              SELECT nn.n + j, nn.n + ((j + 1) % 3)
+              FROM nn, unnest([0, 1, 2]) AS t(j)
+            ),
+            f AS (SELECT src, MIN(dst) AS dst FROM e GROUP BY src),
+            walk AS (
+              SELECT src, dst AS cur, 1 AS hops FROM f
+              UNION ALL
+              SELECT w.src, f.dst, w.hops + 1
+              FROM walk w JOIN f ON w.cur = f.src WHERE w.hops < 64
+            ),
+            res AS (
+              SELECT src, MIN(cur) AS canonical FROM walk
+              WHERE cur NOT IN (SELECT src FROM f) GROUP BY src
+            )
+            SELECT f.src, res.canonical, CAST(64 AS INT) AS hops_bound,
+                   CAST(CASE WHEN res.canonical IS NULL THEN 0 ELSE 1 END AS INT)
+                     AS resolved
+            FROM f LEFT JOIN res USING (src)
+            ORDER BY src
+        """,
         # OPIC (Abiteboul et al. WWW'03), 2 synchronous cash rounds
         # unrolled; int64 fixed point, cash // outdeg per edge, hist
         # accumulates banked cash — the exact twin of graph.opic_units.

@@ -271,3 +271,58 @@ def test_semdedup_no_cartesian_plan(spark):
     plan = losers._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- pointer-jumping alias resolution (crawl/alias.py) ---------------------
+
+
+def py_resolve(edges, cap):
+    f = {}
+    for s, d in edges:
+        f[s] = min(d, f.get(s, d))
+    out = {}
+    for s in f:
+        cur, hops = f[s], 1
+        while cur in f and hops < cap:
+            cur, hops = f[cur], hops + 1
+        out[s] = cur if cur not in f else None
+    return out
+
+
+def test_alias_resolution_chain_cycle_dup(spark):
+    from scrapy_products_tracker_spark.crawl.alias import resolve_aliases
+
+    edges = (
+        [(i, i + 1) for i in range(64)]      # chain 0..64: 64 hops from 0
+        + [(100, 101), (101, 102), (102, 100)]  # cycle
+        + [(200, 250), (200, 210)]           # duplicate src -> min dst
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.src: r.canonical for r in resolve_aliases(e, max_doubling=6).collect()}
+    assert got == py_resolve(edges, cap=64)
+    assert got[0] == 64 and got[63] == 64          # full chain resolved
+    assert got[100] is None and got[102] is None   # cycle unresolved
+    assert got[200] == 210                         # min-dst determinism
+    # halving the doubling budget (32-hop bound) strands the chain head
+    # but not its tail
+    got32 = {r.src: r.canonical for r in resolve_aliases(e, max_doubling=5).collect()}
+    assert got32[0] is None and got32[40] == 64
+    assert got32 == py_resolve(edges, cap=32)
+
+
+def test_alias_resolution_plan_and_guard(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.crawl.alias import resolve_aliases
+
+    with pytest.raises(ValueError):
+        resolve_aliases(None, max_doubling=-1)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    df = resolve_aliases(e, max_doubling=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert {r.src: (r.canonical, r.resolved) for r in df.collect()} == {
+        1: (3, 1),
+        2: (3, 1),
+    }
