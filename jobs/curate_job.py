@@ -64,6 +64,10 @@ def main(argv=None):
     ap.add_argument("--min-side-px", type=int, default=16)
     ap.add_argument("--max-aspect-milli", type=int, default=3000)
     ap.add_argument("--shard-budget-bytes", type=int, default=None)
+    ap.add_argument("--min-colorfulness-milli", type=int, default=None)
+    ap.add_argument("--drop-grayscale", action="store_true")
+    ap.add_argument("--flesch-lo-milli", type=int, default=None)
+    ap.add_argument("--flesch-hi-milli", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -85,6 +89,8 @@ def main(argv=None):
             shard_budget_bytes=args.shard_budget_bytes,
             range_col=args.range_col,
             scrub_metadata=args.scrub_metadata,
+            min_colorfulness_milli=args.min_colorfulness_milli,
+            drop_grayscale=args.drop_grayscale,
         )
     else:
         from pyspark.sql import functions as F
@@ -112,6 +118,12 @@ def main(argv=None):
             nfc=args.nfc,
             dedup_lines=args.dedup_lines,
             min_zratio_milli=args.min_zratio_milli,
+            flesch_range_milli=(
+                (args.flesch_lo_milli, args.flesch_hi_milli)
+                if args.flesch_lo_milli is not None
+                and args.flesch_hi_milli is not None
+                else None
+            ),
             ppl_drop_tail=args.ppl_drop_tail,
             ppl_group_col=args.ppl_group_col,
         )

@@ -183,6 +183,7 @@ def curate_corpus(
     nfc: bool = False,
     dedup_lines: bool = False,
     min_zratio_milli: int | None = None,
+    flesch_range_milli: tuple[int, int] | None = None,
     ppl_drop_tail: bool = False,
     ppl_group_col: str | None = None,
     ppl_vocab_size: int = 64,
@@ -293,6 +294,25 @@ def curate_corpus(
             zr.filter(F.col("ratio_milli") >= F.lit(int(min_zratio_milli))).select(
                 F.col("id").alias(id_col)
             ),
+            id_col,
+        )
+    if flesch_range_milli is not None:
+        # 1a'. readability band (functions/text.readability_scores):
+        # keep docs whose Flesch Reading Ease lands inside
+        # [lo, hi] milli — the standard both-tails gate (word salad
+        # scores implausibly high; boilerplate/legalese implausibly
+        # low). Zero-shuffle column algebra; the narrow verdict joins
+        # back on the 8-byte id like the other gates.
+        from ..functions.text import readability_scores
+
+        lo, hi = flesch_range_milli
+        if lo > hi:
+            raise ValueError("flesch_range_milli must be (lo, hi) with lo <= hi")
+        rs = readability_scores(kept, id_col=id_col, text_col=text_col)
+        kept = kept.join(
+            rs.filter(
+                F.col("flesch_milli").between(F.lit(int(lo)), F.lit(int(hi)))
+            ).select(id_col),
             id_col,
         )
     if classifier_target is not None:

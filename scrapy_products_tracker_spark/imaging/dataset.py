@@ -294,6 +294,8 @@ def curate(
     bytes_col: str = "bytes",
     caption_col: str = "caption",
     scrub_metadata: bool = False,
+    min_colorfulness_milli: int | None = None,
+    drop_grayscale: bool = False,
 ) -> DataFrame:
     """The end-to-end curation funnel every image+caption pre-training
     corpus runs, composed from this module's operators in one lazy
@@ -350,6 +352,34 @@ def curate(
         id_col=id_col,
         caption_col=caption_col,
     )
+    keep_ids = flags.filter(F.col("keep")).select(F.col("id").alias(id_col))
+    if min_colorfulness_milli is not None or drop_grayscale:
+        # 1c. pixel-level color gate (quality.image_color_stats):
+        # decode ONLY the metadata-filter survivors (the expensive
+        # Arrow kernel runs after the cheap row rules prune), drop
+        # rows below the Hasler-Süsstrunk colorfulness floor and/or
+        # exactly-neutral grayscale payloads. Undecodable rows (NULL
+        # metrics) fail the gate — a curation funnel cannot train on
+        # them (contrast the standalone audit, which only reports).
+        from .quality import image_color_stats
+
+        cm_in = df.join(keep_ids, id_col).select(
+            F.col(id_col).alias("image_id"),
+            F.lit("").alias("fmt"),
+            F.col(bytes_col).alias("bytes"),
+        )
+        cond = F.lit(True)
+        if min_colorfulness_milli is not None:
+            cond = cond & (
+                F.col("colorfulness_milli") >= F.lit(int(min_colorfulness_milli))
+            )
+        if drop_grayscale:
+            cond = cond & (F.col("gray_frac_milli") < F.lit(1000))
+        keep_ids = (
+            image_color_stats(cm_in)
+            .filter(cond)
+            .select(F.col("image_id").alias(id_col))
+        )
     dkey = F.when(
         F.col(bytes_col).isNull(),
         F.concat(F.lit("null:"), F.col(id_col).cast("string")),
@@ -357,7 +387,7 @@ def curate(
     w_dup = Window.partitionBy("_dk").orderBy(id_col)
     survivors = (
         df.select(F.col(id_col), dkey.alias("_dk"))
-        .join(flags.filter(F.col("keep")).select(F.col("id").alias(id_col)), id_col)
+        .join(keep_ids, id_col)
         .withColumn("_rn", F.row_number().over(w_dup))
         .filter(F.col("_rn") == 1)
         .select(id_col)

@@ -239,3 +239,26 @@ def test_dedup_against_corpus_prededuped_batch(spark):
         for r in dedup_against_corpus(new, corpus, dedup_within=False).collect()
     )
     assert got == [10, 11]
+
+
+def test_curate_corpus_readability_gate(spark):
+    from scrapy_products_tracker_spark.dedup import curate_corpus
+    from scrapy_products_tracker_spark.functions.text import readability_scores
+
+    rows = [
+        (1, "The cat sat on the mat. The dog ran to the park. We like it here.", "a"),
+        # unpunctuated polysyllabic run-on: words/sentence and
+        # syllables/word both explode -> flesch far below zero
+        (2, " ".join(["organizational autoregressive convolutional"] * 10), "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scores = {r.doc_id: r.flesch_milli for r in readability_scores(df).collect()}
+    assert scores[1] > 0 > scores[2]
+    kept = curate_corpus(
+        df, min_tokens=5, min_quality=0.0, flesch_range_milli=(0, 206_835)
+    )
+    assert [r.doc_id for r in kept.collect()] == [1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus(df, flesch_range_milli=(10, 0)).collect()

@@ -406,3 +406,33 @@ def test_epoch_repeat_exact_counts(spark):
     b_epochs = {e for (s, e) in got if s == "b"}
     assert b_epochs == {1}
     assert got[("b", 1)] == picked(b_ids, 500)
+
+
+def test_curate_color_gate(spark):
+    import numpy as np
+
+    from scrapy_products_tracker_spark.imaging import curate
+    from scrapy_products_tracker_spark.imaging.codec import encode_image
+
+    def png(px):
+        return bytearray(encode_image(px, "png"))
+
+    colorful = np.random.default_rng(5).integers(0, 256, (16, 16, 3)).astype("uint8")
+    gray3 = np.full((16, 16, 3), 120, dtype="uint8")  # neutral, stored 3-channel
+    rows = [
+        ("c0", png(colorful), 16, 16, "png", "a colorful caption right here"),
+        ("g0", png(gray3), 16, 16, "png", "a grayscale caption right here"),
+        ("j0", bytearray(b"not an image"), 16, 16, "png", "junk payload caption here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+    # gate off: all three survive the metadata rules
+    assert sorted(r.image_id for r in curate(df).collect()) == ["c0", "g0", "j0"]
+    # grayscale gate: neutral payload drops; undecodable fails the gate
+    assert sorted(
+        r.image_id for r in curate(df, drop_grayscale=True).collect()
+    ) == ["c0"]
+    # colorfulness floor only: grayscale (colorfulness 0) drops, junk drops
+    out = curate(df, min_colorfulness_milli=1).collect()
+    assert sorted(r.image_id for r in out) == ["c0"]
