@@ -2870,6 +2870,28 @@ def q_latency_percentiles(spark, sf):
     return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
 
 
+def q_ct_classify(spark, sf):
+    """Cavnar-Trenkle '94 n-gram language ID (functions/classify.
+    ct_train/ct_classify): char-3-gram rank profiles self-trained on
+    the documents' lang column, every doc classified by out-of-place
+    distance (|doc_rank - profile_rank|, penalty top_k on miss).
+    Third lang-ID family next to the stopword heuristic and the NB
+    gate. Oracle: fully independent pure-Python Counters replication
+    (builders.build_ct_expected)."""
+    from scrapy_products_tracker_spark.functions.classify import (
+        ct_classify,
+        ct_train,
+    )
+
+    d = _t(spark, sf, "documents")
+    profiles = ct_train(d)
+    return (
+        ct_classify(d, profiles)
+        .select(F.col("id").alias("doc_id"), "label", "distance")
+        .orderBy("doc_id")
+    )
+
+
 def q_hll_overlap(spark, sf):
     """Cross-corpus overlap audit by HLL sketch merge (functions/
     sketches.hll_overlap): corpus A (doc_id % 3 != 0) vs corpus B
@@ -3042,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_spans": q_pack_sequences,
         "dsir_importance_scores": q_dsir_importance,
         "nb_lang_classify": q_nb_classify,
+        "ct_lang_classify": q_ct_classify,
         "embedding_prototype_filter": q_prototype_filter,
         "temperature_sample_rows": q_temperature_sample,
         "global_shuffle_rank": q_global_shuffle_rank,

@@ -286,3 +286,115 @@ def nb_classify(
     return nb_score(
         df, weights, priors, id_col=id_col, text_col=text_col, n_buckets=n_buckets
     )
+
+
+# ------------------------------------------------ Cavnar-Trenkle n-grams
+
+def _ct_ngrams(text: Column, n: int) -> Column:
+    """Char n-grams over lowercased text with whitespace runs collapsed
+    to '_' (the Cavnar-Trenkle '94 normalization). Docs shorter than
+    ``n`` emit no grams."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", "_")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] (phantom empty
+    # grams for docs shorter than n) — guard the short case explicitly
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: F.substring(norm, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ct_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Cavnar-Trenkle ('94) language profiles: ``(label, gram, rank)``
+    — each label's ``top_k`` char n-grams ranked by (count desc, gram
+    asc). The third lang-ID family next to the stopword heuristic
+    (text.lang_guess) and the learned NB gate (nb_classify): CT
+    profiles need no stopword list and no smoothing, just rank order.
+
+    Scale shape: one explode + ONE (label, gram)-keyed map-side-
+    combinable count, then a per-label window over the label's GRAM
+    VOCABULARY (alphabet^n-bounded rows, not corpus rows — a
+    10^10-doc corpus and a 10^6-doc one rank the same table size)."""
+    if top_k < 1 or n < 1:
+        raise ValueError("top_k and n must be >= 1")
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(_ct_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("label", "gram").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("label").orderBy(F.desc("_c"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("label", "gram", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ct_classify(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """(id, label, distance) per doc: the label minimizing the CT
+    out-of-place distance between the doc's own top-``top_k`` gram
+    ranking and each profile — ``Σ |doc_rank − profile_rank|`` over
+    the doc's grams, with the standard maximum penalty ``top_k`` for
+    grams absent from a profile. Ties break by label asc. Docs with
+    no grams have an empty sum — distance 0 against every label, so
+    they classify as the lexicographically-lowest label (degenerate
+    rows; gate on token count upstream, as the funnels do).
+
+    Scale shape: per-doc ranking is a window over ONE doc's gram set
+    (doc-length-bounded); candidates fan out over the label list (a
+    broadcast of O(languages) rows — intended semantics, every doc
+    scores every label) and join the broadcast profile table; one
+    (id, label) aggregate + one id-keyed argmin."""
+    from pyspark.sql import Window
+
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_ct_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = doc_grams.groupBy("id", "gram").agg(F.count("*").alias("_c"))
+    wd = Window.partitionBy("id").orderBy(F.desc("_c"), F.asc("gram"))
+    ranked = (
+        counts.withColumn("drank", F.row_number().over(wd))
+        .filter(F.col("drank") <= top_k)
+        .select("id", "gram", "drank")
+    )
+    labels = profiles.select("label").distinct()
+    cand = ranked.crossJoin(F.broadcast(labels))
+    joined = cand.join(F.broadcast(profiles), ["label", "gram"], "left")
+    per = joined.groupBy("id", "label").agg(
+        F.sum(
+            F.coalesce(
+                F.abs(F.col("drank") - F.col("rank")).cast("long"),
+                F.lit(int(top_k)).cast("long"),
+            )
+        ).alias("distance")
+    )
+    # docs with no grams never reach `per`; re-attach with the
+    # all-penalty distance against the lexicographically-lowest label
+    best = per.groupBy("id").agg(
+        F.min(F.struct("distance", "label")).alias("_b")
+    ).select("id", F.col("_b.label").alias("label"), F.col("_b.distance").alias("distance"))
+    empty = (
+        df.select(F.col(id_col).alias("id"))
+        .join(best.select("id"), "id", "left_anti")
+        .crossJoin(F.broadcast(labels.agg(F.min("label").alias("label"))))
+        .withColumn("distance", F.lit(0).cast("long"))
+    )
+    return best.unionByName(empty)

@@ -2103,6 +2103,55 @@ def build_border_stats_expected() -> str:
     return _write(df, "border_stats.parquet", schema)
 
 
+def build_ct_expected(sf_dir: str = CORRECTNESS_SF, n: int = 3, top_k: int = 100) -> str:
+    """Independent Cavnar-Trenkle twin (classify.ct_train/ct_classify):
+    profiles self-trained on the documents' lang column, every doc
+    classified by out-of-place distance — pure-Python Counters, same
+    normalization (SQL trim = spaces only; ASCII \\s; rank ties by
+    gram asc) and the same (distance, label) argmin."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def grams_of(t):
+        norm = re.sub(r"\s+", "_", (t or "").strip(" ").lower(), flags=re.ASCII)
+        return [norm[i : i + n] for i in range(len(norm) - n + 1)]
+
+    prof_counts: dict = {}
+    for lang, t in zip(docs["lang"], docs["text"]):
+        prof_counts.setdefault(lang, Counter()).update(grams_of(t))
+    profiles = {}
+    for lang, c in prof_counts.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        profiles[lang] = {g: i + 1 for i, (g, _) in enumerate(ranked)}
+    labels = sorted(profiles)
+    rows = []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        c = Counter(grams_of(t))
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        dr = {g: i + 1 for i, (g, _) in enumerate(ranked)}
+        best = None
+        for lab in labels:
+            p = profiles[lab]
+            dist = sum(abs(r - p[g]) if g in p else top_k for g, r in dr.items())
+            if best is None or (dist, lab) < best:
+                best = (dist, lab)
+        rows.append({"doc_id": int(did), "label": best[1], "distance": best[0]})
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("label", pa.string()), ("distance", pa.int64())]
+    )
+    return _write(
+        pd.DataFrame(rows, columns=["doc_id", "label", "distance"]),
+        "ct_expected.parquet",
+        schema,
+    )
+
+
 def build_hll_overlap_expected(sf_dir: str = CORRECTNESS_SF) -> str:
     """Independent HLL-merge overlap twin (sketches.hll_overlap):
     corpus A = documents with doc_id % 3 != 0, corpus B = doc_id % 2

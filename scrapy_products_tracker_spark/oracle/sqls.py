@@ -77,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
     p_smb = OB.build_sitemap_bodies()
     p_hll = OB.build_hll_expected()
     p_hov = OB.build_hll_overlap_expected()
+    p_ct = OB.build_ct_expected()
     p_cms = OB.build_cms_expected()
     _, _, p_robx = OB.build_robots_fixture()
     p_fru = OB.build_frontier_urls()
@@ -1077,6 +1078,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "compression_ratio_stats": f"""
             SELECT id, raw_len, zlib_len, ratio_milli FROM read_parquet('{p_zr}')
+        """,
+        "ct_lang_classify": f"""
+            SELECT doc_id, label, distance
+            FROM read_parquet('{p_ct}') ORDER BY doc_id
         """,
         "hll_overlap_estimate": f"""
             SELECT est_a_milli, est_b_milli, est_union_milli,

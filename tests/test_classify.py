@@ -283,3 +283,51 @@ def test_nb_plan_shape(spark):
     # docs x priors / labels x buckets fan-out — never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- Cavnar-Trenkle n-gram lang-ID (classify.ct_train/ct_classify) --------
+
+
+def test_ct_profiles_and_classification(spark):
+    from scrapy_products_tracker_spark.functions.classify import ct_classify, ct_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "aaa aaa aab aaa", "aa"),
+            (2, "zzz zzy zzz zzz", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    prof = ct_train(train, top_k=5)
+    rows = {(r.label, r.gram): r.rank for r in prof.collect()}
+    # 'aaa' and '_aa' both occur 3x; the count tie breaks gram-asc
+    assert rows[("aa", "_aa")] == 1 and rows[("aa", "aaa")] == 2
+    assert all(rk <= 5 for rk in rows.values())
+
+    test = spark.createDataFrame(
+        [(10, "aaa aab aaa"), (11, "zzy zzz zzz"), (12, None)],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.label, r.distance) for r in ct_classify(test, prof, top_k=5).collect()}
+    assert got[10][0] == "aa"
+    assert got[11][0] == "zz"
+    # NULL/empty doc: empty gram sum -> distance 0, lowest label
+    assert got[12] == ("aa", 0)
+
+
+def test_ct_out_of_place_penalty_and_guards(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.functions.classify import ct_classify, ct_train
+
+    train = spark.createDataFrame(
+        [(1, "abcabcabc", "x")], "doc_id long, text string, lang string"
+    )
+    prof = ct_train(train, top_k=3)
+    # a doc sharing no grams with the profile scores
+    # n_distinct_doc_grams x penalty: 'zzzzz' has ONE distinct gram
+    test = spark.createDataFrame([(7, "zzzzz")], "doc_id long, text string")
+    r = ct_classify(test, prof, top_k=3).collect()[0]
+    assert r.label == "x" and r.distance == 1 * 3
+    with pytest.raises(ValueError):
+        ct_train(train, top_k=0)
