@@ -834,6 +834,20 @@ def q_apportion_budget(spark, sf):
     return apportion_budget(w, total=1000).orderBy("key")
 
 
+def q_fetch_fairness(spark, sf):
+    """Crawl-fairness audit (politeness/allocation.fetch_fairness):
+    exact integer-milli Gini + max share over the 97-pseudo-domain
+    token-mass distribution (same construction as the apportionment
+    query). Oracle: the sorted-rank Gini formula relationally."""
+    from scrapy_products_tracker_spark.politeness import fetch_fairness
+
+    d = _t(spark, sf, "documents")
+    w = d.groupBy((F.col("doc_id") % 97).cast("long").alias("domain")).agg(
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n")
+    )
+    return fetch_fairness(w)
+
+
 def q_readability(spark, sf):
     """Flesch Reading Ease + Flesch-Kincaid grade per doc in integer
     milli-units (functions/text.readability_scores): exact word /
@@ -3030,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_cap_survivors": q_template_cap_survivors,
         "adaptive_budget_step": q_adaptive_budgets,
         "apportion_budget_quotas": q_apportion_budget,
+        "fetch_fairness_gini": q_fetch_fairness,
         "revisit_priority": q_revisit_priority,
         "price_change_events": q_price_change_events,
         "asof_price_join": q_asof_price_join,

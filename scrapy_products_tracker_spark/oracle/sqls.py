@@ -898,6 +898,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY lang
         """,
+        # Gini fairness: sorted-rank formula, ties (count, key).
+        "fetch_fairness_gini": f"""
+            WITH w AS (SELECT CAST(doc_id % 97 AS BIGINT) AS key,
+                              CAST(SUM({_NT}) AS BIGINT) AS c
+                       FROM documents GROUP BY 1),
+            r AS (SELECT c, row_number() OVER (ORDER BY c, key) AS i FROM w)
+            SELECT CAST(count(*) AS BIGINT) AS n_domains,
+                   CAST(SUM(c) AS BIGINT) AS total_fetches,
+                   CAST((MAX(c) * 1000) // GREATEST(SUM(c), 1) AS BIGINT)
+                     AS max_share_milli,
+                   CAST(((SUM((2 * i - 1) * c) - count(*) * SUM(c)) * 1000)
+                     // GREATEST(count(*) * SUM(c), 1) AS BIGINT) AS gini_milli
+            FROM r
+        """,
         # Largest-remainder apportionment: naive global row_number twin
         # of the engine's two-phase remainder rank.
         "apportion_budget_quotas": f"""

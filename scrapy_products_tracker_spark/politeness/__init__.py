@@ -1,5 +1,5 @@
 from .adaptive import adaptive_budget_step, round_outcome_counts
-from .allocation import apportion_budget
+from .allocation import apportion_budget, fetch_fairness
 from .robots import (
     load_robots,
     parse_robots_body,

@@ -108,3 +108,53 @@ def apportion_budget(
         "key", "weight", F.lit(0).cast("long").alias("quota")
     )
     return out.unionByName(rest)
+
+
+def fetch_fairness(
+    counts: DataFrame,
+    key_col: str = "domain",
+    count_col: str = "n",
+) -> DataFrame:
+    """One-row crawl-fairness audit over per-domain fetch counts:
+    ``(n_domains, total_fetches, max_share_milli, gini_milli)``.
+
+    The Gini coefficient of the fetch distribution is the standard
+    "is the crawl starving the tail?" observability signal — 0 =
+    perfectly even, →1000 = one domain got everything (politeness
+    budgets + claim aging exist to keep this down; this measures
+    them). Computed exactly in integer milli via the sorted-rank
+    formula ``G = Σ(2i - n - 1)·c_i / (n·Σc)`` with ties ordered
+    (count, key) — deterministic on any engine.
+
+    Scale contract: the window ranks the per-DOMAIN count table
+    (politeness-key cardinality, ~10^7 at web scale — the same
+    bounded-table window contract as ``latency_percentiles``), never
+    the fetch log itself. NULL/negative counts are rejected rows —
+    callers pass an aggregate, not a log."""
+    from pyspark.sql import Window
+
+    c = counts.select(
+        F.col(key_col).alias("key"), F.col(count_col).cast("long").alias("c")
+    )
+    w = Window.orderBy("c", "key")
+    ranked = c.withColumn("_i", F.row_number().over(w))
+    return (
+        ranked.agg(
+            F.count("*").alias("_n"),
+            F.sum("c").alias("_tot"),
+            F.max("c").alias("_mx"),
+            F.sum(F.expr("(2 * _i - 1) * c")).alias("_wsum"),
+        )
+        .select(
+            F.col("_n").cast("long").alias("n_domains"),
+            F.col("_tot").cast("long").alias("total_fetches"),
+            F.expr("(_mx * 1000) div greatest(_tot, cast(1 as bigint))").alias(
+                "max_share_milli"
+            ),
+            # Σ(2i-n-1)c_i = Σ(2i-1)c_i - n·Σc  (ascending ranks)
+            F.expr(
+                "((_wsum - _n * _tot) * 1000)"
+                " div greatest(_n * _tot, cast(1 as bigint))"
+            ).alias("gini_milli"),
+        )
+    )

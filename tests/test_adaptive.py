@@ -183,3 +183,24 @@ def test_apportion_degenerate_weights(spark):
     assert {r.quota for r in apportion_budget(w, total=0).collect()} == {0}
     with pytest.raises(ValueError):
         apportion_budget(w, total=-1)
+
+
+def test_fetch_fairness_closed_forms(spark):
+    from scrapy_products_tracker_spark.politeness import fetch_fairness
+
+    even = spark.createDataFrame([("a", 5), ("b", 5)], "domain string, n long")
+    r = fetch_fairness(even).collect()[0]
+    assert (r.n_domains, r.total_fetches, r.gini_milli) == (2, 10, 0)
+    assert r.max_share_milli == 500
+
+    skewed = spark.createDataFrame([("a", 0), ("b", 10)], "domain string, n long")
+    r = fetch_fairness(skewed).collect()[0]
+    # one of two domains got everything: G = 1 - 1/n = 0.5
+    assert r.gini_milli == 500 and r.max_share_milli == 1000
+
+    # 4 domains, one hog: G = (2*1*0 + ... ) computed by hand below
+    four = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 8)], "domain string, n long"
+    )
+    r = fetch_fairness(four).collect()[0]
+    assert r.gini_milli == 750  # 1 - 1/4
