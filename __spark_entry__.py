@@ -2884,6 +2884,22 @@ def q_latency_percentiles(spark, sf):
     return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
 
 
+def q_lsh_precision(spark, sf):
+    """Sampled quality audit of the MinHash-LSH candidate generator
+    (functions/similarity.lsh_precision_audit): md5-deterministic half
+    sample of the banded candidates verified against the EXACT
+    word-shingle Jaccard — measured precision at threshold 0.5 plus
+    the MinHash estimator's mean absolute error, all integer milli.
+    Oracle: the same bands / sample / exact-shingle algebra over the
+    independent p_sig signature fixture."""
+    from scrapy_products_tracker_spark.functions.similarity import (
+        lsh_precision_audit,
+    )
+
+    d = _t(spark, sf, "documents")
+    return lsh_precision_audit(d, threshold_milli=500, sample_milli=500)
+
+
 def q_ct_classify(spark, sf):
     """Cavnar-Trenkle '94 n-gram language ID (functions/classify.
     ct_train/ct_classify): char-3-gram rank profiles self-trained on
@@ -2979,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stop_tracking_rearm": q_stop_tracking_rearm,
         "dedup_exact_text": q_dedup_exact_text,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "lsh_precision_audit": q_lsh_precision,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_corpus_survivors": q_dedup_corpus_survivors,
         "dedup_against_corpus": q_dedup_against_corpus,

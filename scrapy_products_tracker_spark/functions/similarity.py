@@ -929,3 +929,100 @@ def ann_topk_ivfpq(
     return pq_ann_topk(
         cand, query_vec, codebooks, topk=k, id_col=id_col, vec_col=vec_col, scale=scale
     )
+
+
+def lsh_precision_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_milli: int = 800,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    sample_milli: int = 1000,
+    salt: str = "a1",
+) -> DataFrame:
+    """One-row quality audit of the MinHash-LSH candidate generator:
+    ``(n_candidates, n_sampled, n_true_pos, precision_milli,
+    avg_abs_est_err_milli)``.
+
+    At 10^10 docs nobody can verify every LSH candidate pair exactly —
+    but a deterministic md5 SAMPLE of them can be checked against the
+    EXACT word-shingle Jaccard, giving a measured precision for the
+    banding configuration (the knob the dedup funnel's recall/cost
+    trade rides on) plus the MinHash estimator's mean absolute error.
+    The sample is ``md5(doc_a|doc_b|salt) % 1000 < sample_milli`` —
+    a pure function of the pair, so re-audits and engines agree.
+
+    All integer milli: exact = ``1000·|∩| div |∪]`` over distinct
+    shingle sets, estimate = ``matches·1000 div n_hashes`` over
+    signature slots, true positive = exact >= ``threshold_milli``.
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); only the sampled pairs join the shingle-set table, so
+    exact-verification cost is ``sample_milli/1000`` of candidate
+    volume with full-width shingle arrays touched only there."""
+    if not 0 < sample_milli <= 1000:
+        raise ValueError("sample_milli must be in (0, 1000]")
+    sig = minhash_signature(df, id_col, text_col, n_hashes=n_hashes, k=k).persist()
+    cand = lsh_candidate_pairs(sig, n_hashes=n_hashes, bands=bands).persist()
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    key = F.concat(
+        F.col("doc_a").cast("string"), F.lit("|"),
+        F.col("doc_b").cast("string"), F.lit(salt),
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 1000
+    sampled = cand.filter(bucket < F.lit(int(sample_milli)))
+    a = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = sampled.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        # matches*1000 <= 32000: exact in double, cast truncates = div
+        ((matches * 1000) / n_hashes).cast("long").alias("est_milli"),
+    )
+    sh = df.select(
+        F.col(id_col).alias("_d"),
+        F.array_distinct(shingles_col(F.col(text_col), k)).alias("_sh"),
+    )
+    ex = (
+        est.join(sh.select(F.col("_d").alias("doc_a"), F.col("_sh").alias("_sha")), "doc_a")
+        .join(sh.select(F.col("_d").alias("doc_b"), F.col("_sh").alias("_shb")), "doc_b")
+        .withColumn(
+            "exact_milli",
+            F.expr(
+                "(1000 * size(array_intersect(_sha, _shb)))"
+                " div greatest(size(array_union(_sha, _shb)), 1)"
+            ),
+        )
+    )
+    rep = ex.agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(
+            (F.col("exact_milli") >= F.lit(int(threshold_milli))).cast("long")
+        ).alias("n_true_pos"),
+        F.sum(F.abs(F.col("est_milli") - F.col("exact_milli"))).alias("_errsum"),
+    )
+    out = n_cand.crossJoin(rep).select(
+        F.col("n_candidates").cast("long"),
+        F.col("n_sampled").cast("long"),
+        F.coalesce(F.col("n_true_pos"), F.lit(0)).cast("long").alias("n_true_pos"),
+        F.expr(
+            "(coalesce(n_true_pos, 0) * 1000)"
+            " div greatest(n_sampled, cast(1 as bigint))"
+        ).alias("precision_milli"),
+        F.expr(
+            "coalesce(_errsum, 0) div greatest(n_sampled, cast(1 as bigint))"
+        ).alias("avg_abs_est_err_milli"),
+    )
+    return out

@@ -2041,6 +2041,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard_est FROM est
             WHERE jaccard_est >= 0.5 ORDER BY doc_a, doc_b
         """,
+        # LSH precision audit: bands + md5 half-sample + exact
+        # word-3-shingle Jaccard, all integer milli — the relational
+        # twin of similarity.lsh_precision_audit over p_sig.
+        "lsh_precision_audit": rf"""
+            WITH sig AS (SELECT doc, sig FROM read_parquet('{p_sig}')),
+            bands AS (SELECT doc, band, list_slice(sig, band * 4 + 1, band * 4 + 4) AS bs
+                      FROM sig, unnest(generate_series(0, 7)) AS t(band)),
+            cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc),
+            nc AS (SELECT count(*) AS n_candidates FROM cand),
+            samp AS (SELECT * FROM cand
+                     WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '|'
+                           || CAST(doc_b AS VARCHAR) || 'a1'), 1, 15))::BIGINT
+                           % 1000 < 500),
+            est AS (SELECT s.doc_a, s.doc_b,
+                           CAST(list_sum(list_transform(generate_series(1, 32),
+                                i -> CASE WHEN sa.sig[CAST(i AS INT)]
+                                           = sb.sig[CAST(i AS INT)]
+                                     THEN 1 ELSE 0 END)) * 1000 // 32 AS BIGINT)
+                             AS est_milli
+                    FROM samp s JOIN sig sa ON sa.doc = s.doc_a
+                                JOIN sig sb ON sb.doc = s.doc_b),
+            sh AS (SELECT doc_id AS d,
+                          list_distinct(CASE WHEN len(w) >= 3 THEN
+                            list_transform(generate_series(1, len(w) - 2),
+                              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                                   || ' ' || w[CAST(i + 2 AS INT)])
+                          ELSE [trim(text)] END) AS sh
+                   FROM (SELECT doc_id, text,
+                                string_split_regex(trim(text), '\s+') AS w
+                         FROM documents WHERE text IS NOT NULL)),
+            ex AS (SELECT e.est_milli,
+                          CAST((1000 * len(list_intersect(a.sh, b.sh)))
+                            // GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+                            AS BIGINT) AS exact_milli
+                   FROM est e JOIN sh a ON a.d = e.doc_a JOIN sh b ON b.d = e.doc_b),
+            rep AS (SELECT count(*) AS n_sampled,
+                           COALESCE(SUM(CASE WHEN exact_milli >= 500 THEN 1 ELSE 0 END), 0) AS n_true_pos,
+                           COALESCE(SUM(abs(est_milli - exact_milli)), 0) AS errsum
+                    FROM ex)
+            SELECT CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+                   CAST(rep.n_sampled AS BIGINT) AS n_sampled,
+                   CAST(rep.n_true_pos AS BIGINT) AS n_true_pos,
+                   CAST((rep.n_true_pos * 1000) // GREATEST(rep.n_sampled, 1)
+                        AS BIGINT) AS precision_milli,
+                   CAST(rep.errsum // GREATEST(rep.n_sampled, 1) AS BIGINT)
+                     AS avg_abs_est_err_milli
+            FROM nc, rep
+        """,
         "simhash_neardup": f"""
             SELECT doc, simhash FROM read_parquet('{p_sim}') ORDER BY doc
         """,

@@ -266,3 +266,31 @@ def test_retrieval_recall_pure_python(spark):
     for k in (1, 3):
         hits = sum(1 for r in ranks.values() if r <= k)
         assert got[k] == (n_pairs, hits, hits * 1000 // n_pairs)
+
+
+def test_lsh_precision_audit_full_sample(spark):
+    from scrapy_products_tracker_spark.functions.similarity import (
+        lsh_precision_audit,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact copy: candidate + true positive
+        (3, "completely different words about copper lamps and granite piers"),
+        (4, "yet another unrelated sentence mentioning harbors ferns and signals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_precision_audit(
+        df, threshold_milli=500, sample_milli=1000
+    ).collect()[0]
+    assert r.n_candidates >= 1 and r.n_sampled == r.n_candidates
+    assert r.n_true_pos >= 1
+    # the identical pair estimates 1000 and is exactly 1000: if it is
+    # the only candidate, precision is exact and the error is zero
+    if r.n_candidates == 1:
+        assert r.precision_milli == 1000 and r.avg_abs_est_err_milli == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_precision_audit(df, sample_milli=0)
