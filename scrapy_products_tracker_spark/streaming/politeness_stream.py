@@ -8,9 +8,12 @@ a **stateful streaming operator**: the token bucket the north star
 names, carried across micro-batches per domain.
 
 Semantics (deterministic, cross-batch): each domain's bucket starts
-FULL (``burst`` tokens); at every micro-batch it refills by ``rate``
-(capped at ``burst``) and then admits that batch's rows in url-sorted
-order while tokens remain. Leftover tokens are the
+FULL (``burst`` tokens); at every micro-batch IN WHICH THE DOMAIN HAS
+TRAFFIC it refills by ``rate`` (capped at ``burst``) and then admits
+that batch's rows in url-sorted order while tokens remain — an idle
+domain's bucket neither refills nor drains (the stateful operator is
+only invoked for keys present in the batch), which is exactly the
+conservative reading: absence can't mint extra credit. Leftover tokens are the
 ``applyInPandasWithState`` state cell — one int64 per domain, the
 same per-key state scale as the price-change detector. Rows are never
 dropped: rejected ones are EMITTED with ``admitted = 0`` so the
