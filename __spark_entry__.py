@@ -2884,6 +2884,21 @@ def q_latency_percentiles(spark, sf):
     return latency_percentiles(spark.read.parquet(paths["pages"])).orderBy("domain")
 
 
+def q_centroid_drift(spark, sf):
+    """Per-label embedding centroid separation audit
+    (functions/similarity.label_centroid_drift): int64-milli centroids
+    from ONE (label, dim)-keyed sum (post-shuffle size = labels x dims
+    regardless of corpus rows), pairwise cosine at 6 dp over the tiny
+    centroid table. Pure-SQL oracle (unnest + same truncating integer
+    division + list_cosine_similarity)."""
+    from scrapy_products_tracker_spark.functions.similarity import (
+        label_centroid_drift,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    return label_centroid_drift(e).orderBy("label_a", "label_b")
+
+
 def q_lsh_precision(spark, sf):
     """Sampled quality audit of the MinHash-LSH candidate generator
     (functions/similarity.lsh_precision_audit): md5-deterministic half
@@ -2996,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_text": q_dedup_exact_text,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "lsh_precision_audit": q_lsh_precision,
+        "embedding_centroid_drift": q_centroid_drift,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_corpus_survivors": q_dedup_corpus_survivors,
         "dedup_against_corpus": q_dedup_against_corpus,

@@ -1026,3 +1026,58 @@ def lsh_precision_audit(
         ).alias("avg_abs_est_err_milli"),
     )
     return out
+
+
+def label_centroid_drift(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Pairwise cosine between per-group embedding centroids:
+    ``(label_a, label_b, n_a, n_b, cos)`` for label_a < label_b —
+    the distribution-shift / cluster-separation audit over an
+    embedding corpus (are two crawl batches drifting together? are
+    the class clusters still separable?).
+
+    Determinism: vectors quantize to int64 milli components
+    (round(x*scale) — the repo-wide trick), per-(group, dim) sums are
+    exact order-free int64, the centroid component is ``sum div n``
+    (floor), and only the final cosine is a double, rounded to 6 dp
+    on both engines.
+
+    Scale shape: ONE (group, dim)-keyed map-side-combinable sum —
+    post-shuffle size is groups x dims rows no matter the corpus row
+    count — then a groups²-sized broadcast self-join (groups =
+    labels/sources/batches: small by construction)."""
+    iv = df.select(
+        F.col(label_col).alias("_lb"), _pq_int_vec(vec_col, scale).alias("_v")
+    )
+    per_dim = (
+        iv.select("_lb", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("_lb", "dim")
+        .agg(F.sum("x").alias("_s"), F.count("*").alias("_n"))
+        .select("_lb", "dim", F.expr("_s div _n").alias("_c"), "_n")
+    )
+    cents = per_dim.groupBy("_lb").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "_c"))), lambda s: s["_c"]
+        ).alias("_cv"),
+        F.first("_n").alias("_n"),
+    )
+    a = cents.select(
+        F.col("_lb").alias("label_a"), F.col("_cv").alias("_ca"), F.col("_n").alias("n_a")
+    )
+    b = cents.select(
+        F.col("_lb").alias("label_b"), F.col("_cv").alias("_cb"), F.col("_n").alias("n_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.round(cosine_sim(F.col("_ca"), F.col("_cb")), 6).alias("cos"),
+        )
+    )

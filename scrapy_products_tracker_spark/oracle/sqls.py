@@ -1960,6 +1960,29 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b
               ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 40
         """,
+        # centroid drift: int64-milli centroids (truncating integer
+        # division both engines) + 6-dp cosine over the tiny table.
+        "embedding_centroid_drift": """
+            WITH iv AS (SELECT label,
+                               list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(round(x * 1000) AS BIGINT)) AS v
+                        FROM embeddings),
+            pd AS (SELECT label, i AS dim, v[CAST(i AS INT)] AS x
+                   FROM iv, unnest(generate_series(1, len(v))) AS t(i)),
+            ct AS (SELECT label, dim,
+                          CAST(SUM(x) // count(*) AS BIGINT) AS c,
+                          count(*) AS n
+                   FROM pd GROUP BY label, dim),
+            ca AS (SELECT label, list(c ORDER BY dim) AS cv,
+                          CAST(MAX(n) AS BIGINT) AS n
+                   FROM ct GROUP BY label)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   a.n AS n_a, b.n AS n_b,
+                   round(list_cosine_similarity(CAST(a.cv AS DOUBLE[]),
+                                                CAST(b.cv AS DOUBLE[])), 6) AS cos
+            FROM ca a JOIN ca b ON a.label < b.label
+            ORDER BY label_a, label_b
+        """,
         "ann_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -294,3 +294,31 @@ def test_lsh_precision_audit_full_sample(spark):
 
     with pytest.raises(ValueError):
         lsh_precision_audit(df, sample_milli=0)
+
+
+def test_label_centroid_drift_closed_forms(spark):
+    from scrapy_products_tracker_spark.functions.similarity import (
+        label_centroid_drift,
+    )
+
+    rows = [
+        ("A", [1.0, 0.0]),
+        ("A", [1.0, 0.0]),
+        ("B", [0.0, 1.0]),
+        ("C", [2.0, 0.0]),
+        ("C", [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {
+        (r.label_a, r.label_b): (r.n_a, r.n_b, r.cos)
+        for r in label_centroid_drift(df).collect()
+    }
+    assert got[("A", "B")] == (2, 1, 0.0)       # orthogonal centroids
+    assert got[("A", "C")] == (2, 2, 1.0)       # parallel: C mean = (1000, 0)
+    assert got[("B", "C")][2] == 0.0
+    # partition invariance
+    got2 = {
+        (r.label_a, r.label_b): (r.n_a, r.n_b, r.cos)
+        for r in label_centroid_drift(df.repartition(5)).collect()
+    }
+    assert got == got2
