@@ -118,7 +118,13 @@ def export_text_corpus(
         )
         corpus = docs.join(published, "doc_id", "leftsemi")
         fresh = docs.join(published, "doc_id", "left_anti")
-        docs = dedup_against_corpus(fresh, corpus, threshold=threshold)
+        # cut the cross-set dedup lineage before the funnel stacks its
+        # own plan on top — without this the composed tree (WARC parse
+        # -> extraction -> MinHash cross-set -> funnel -> packing)
+        # re-analyzes and re-executes wholesale for every downstream
+        # action (the driver-heap growth mode the dedup cluster loop
+        # documents)
+        docs = dedup_against_corpus(fresh, corpus, threshold=threshold).localCheckpoint()
 
     curated = curate_corpus(
         docs,
@@ -129,7 +135,8 @@ def export_text_corpus(
         sample_target=sample_target,
         seq_len=seq_len,
         **(curate_kwargs or {}),
-    )
+    ).localCheckpoint()  # consumed twice (shard writer + bookkeeping):
+    # checkpointing computes the funnel ONCE and frees its plan tree
     assign = curated.select(
         *_SHARD_COLS,
         F.expr(f"tok_before div {int(budget_tokens)}").alias("shard_id"),
