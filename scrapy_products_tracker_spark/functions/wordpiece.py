@@ -140,13 +140,23 @@ def wordpiece_train(
             )
             .withColumn("score_femto", F.expr(_SCORE_EXPR))
         )
-        best = scored.orderBy(
-            F.col("score_femto").desc(),
-            F.col("pair_count").desc(),
-            F.col("left"),
-            F.col("right"),
-        ).head(1)
-        if not best or best[0]["pair_count"] < min_pair_count:
+        # the count floor filters the CANDIDATE set, not the winner:
+        # likelihood scoring maximizes exactly the rare pairs (two hapax
+        # pieces that co-occur once score the full 10^15), so a winner-
+        # side check would halt training on a count-1 pair while
+        # frequent mergeable pairs still exist. Stop only when no pair
+        # survives the floor.
+        best = (
+            scored.filter(F.col("pair_count") >= min_pair_count)
+            .orderBy(
+                F.col("score_femto").desc(),
+                F.col("pair_count").desc(),
+                F.col("left"),
+                F.col("right"),
+            )
+            .head(1)
+        )
+        if not best:
             break
         left, right = best[0]["left"], best[0]["right"]
         merges.append(

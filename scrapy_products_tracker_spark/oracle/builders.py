@@ -1437,13 +1437,17 @@ def _py_wordpiece_train(docs, n_merges: int, min_pair_count: int = 2):
                 pair_counts[(ps[i], ps[i + 1])] += c
         if not pair_counts:
             break
+        # floor filters the candidate set BEFORE the argmax (rare pairs
+        # score highest under likelihood; a winner-side check would
+        # halt on a count-1 pair) — mirrors wordpiece_train exactly.
         scored = [
             (cnt * 10**15 // (piece_counts[l] * piece_counts[r]), cnt, l, r)
             for (l, r), cnt in pair_counts.items()
+            if cnt >= min_pair_count
         ]
-        sc, cnt, left, right = min(scored, key=lambda x: (-x[0], -x[1], x[2], x[3]))
-        if cnt < min_pair_count:
+        if not scored:
             break
+        sc, cnt, left, right = min(scored, key=lambda x: (-x[0], -x[1], x[2], x[3]))
         rows.append(
             {"rank": rank, "left": left, "right": right, "pair_count": cnt,
              "score_femto": sc}

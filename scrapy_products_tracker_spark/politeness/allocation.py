@@ -57,14 +57,26 @@ def apportion_budget(
         F.col(weight_col).cast("long").alias("weight"),
     )
     pos = w.filter(F.col("weight") > 0)
-    W = pos.agg(F.sum("weight")).first()[0] or 0
+    # W staged in DECIMAL(38,0): token-mass weights at the module's stated
+    # scale (~10^13-10^15 per domain x 10^7 domains) overflow int64 sums.
+    W = int(pos.agg(F.sum(F.col("weight").cast("decimal(38,0)"))).first()[0] or 0)
     if W == 0 or total == 0:
         return w.select("key", "weight", F.lit(0).cast("long").alias("quota"))
+    # total*weight can reach ~10^24 (total 10^9 x weight 10^15) — far past
+    # 2^63, where non-ANSI Spark wraps silently. Stage the products in
+    # DECIMAL(38,0) (same discipline as wordpiece._SCORE_EXPR); _base fits
+    # int64 by construction (<= total), _rem stays decimal (< W).
     base = pos.select(
         "key",
         "weight",
-        F.expr(f"({int(total)} * weight) div {int(W)}").alias("_base"),
-        F.expr(f"({int(total)} * weight) % {int(W)}").alias("_rem"),
+        F.expr(
+            f"cast((cast({int(total)} as decimal(38,0)) * weight)"
+            f" div cast({int(W)} as decimal(38,0)) as long)"
+        ).alias("_base"),
+        F.expr(
+            f"cast((cast({int(total)} as decimal(38,0)) * weight)"
+            f" % cast({int(W)} as decimal(38,0)) as decimal(38,0))"
+        ).alias("_rem"),
     )
     leftover = total - (base.agg(F.sum("_base")).first()[0] or 0)
     if leftover > 0:
@@ -74,7 +86,10 @@ def apportion_budget(
         # one-row-per-bucket count table (no single-partition Window).
         b = base.withColumn(
             "_bk",
-            F.expr(f"cast((_rem * {N_REM_BUCKETS}) div {int(W)} as int)"),
+            F.expr(
+                f"cast((_rem * {N_REM_BUCKETS})"
+                f" div cast({int(W)} as decimal(38,0)) as int)"
+            ),
         )
         counts = b.groupBy("_bk").agg(F.count("*").alias("_n"))
         w_off = Window.orderBy(F.desc("_bk")).rowsBetween(
@@ -126,35 +141,59 @@ def fetch_fairness(
     formula ``G = Σ(2i - n - 1)·c_i / (n·Σc)`` with ties ordered
     (count, key) — deterministic on any engine.
 
-    Scale contract: the window ranks the per-DOMAIN count table
-    (politeness-key cardinality, ~10^7 at web scale — the same
-    bounded-table window contract as ``latency_percentiles``), never
-    the fetch log itself. NULL/negative counts are rejected rows —
-    callers pass an aggregate, not a log."""
-    from pyspark.sql import Window
-
+    Scale contract: the rank over the per-DOMAIN count table
+    (politeness-key cardinality, ~10^7 at web scale) is the same
+    **two-phase bucketed rank** as ``apportion_budget`` — value-range
+    buckets on ``c`` + broadcast running offsets, no single-partition
+    Window. NULL/negative counts are rejected rows (filtered
+    explicitly) — callers pass an aggregate, not a log. The weighted
+    sum ``Σ(2i-1)·c_i`` is staged in DECIMAL(38,0): rank i ~10^7 times
+    count ~10^12 overflows int64."""
     c = counts.select(
         F.col(key_col).alias("key"), F.col(count_col).cast("long").alias("c")
+    ).filter(F.col("c").isNotNull() & (F.col("c") >= 0))
+    # two scalar aggregates (8-byte driver values) bound the bucket map
+    mm = c.agg(F.min("c").alias("mn"), F.max("c").alias("mx")).first()
+    mn = 0 if mm["mn"] is None else int(mm["mn"])
+    span = max(1, (0 if mm["mx"] is None else int(mm["mx"])) - mn + 1)
+    b = c.withColumn(
+        "_bk",
+        F.expr(
+            f"cast(((c - {mn}) * cast({N_REM_BUCKETS} as decimal(38,0)))"
+            f" div cast({span} as decimal(38,0)) as int)"
+        ),
     )
-    w = Window.orderBy("c", "key")
-    ranked = c.withColumn("_i", F.row_number().over(w))
+    bcounts = b.groupBy("_bk").agg(F.count("*").alias("_bn"))
+    w_off = Window.orderBy(F.asc("_bk")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # over <= 4096 rows: bounded, not data-sized
+    offsets = bcounts.select(
+        "_bk", F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_bk").orderBy(F.asc("c"), F.asc("key"))
+    ranked = b.join(F.broadcast(offsets), "_bk").withColumn(
+        "_i", F.row_number().over(w_local) + F.col("_off")
+    )
     return (
         ranked.agg(
             F.count("*").alias("_n"),
-            F.sum("c").alias("_tot"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("_tot"),
             F.max("c").alias("_mx"),
-            F.sum(F.expr("(2 * _i - 1) * c")).alias("_wsum"),
+            F.sum(
+                F.expr("cast(2 * _i - 1 as decimal(38,0)) * c")
+            ).alias("_wsum"),
         )
         .select(
             F.col("_n").cast("long").alias("n_domains"),
             F.col("_tot").cast("long").alias("total_fetches"),
-            F.expr("(_mx * 1000) div greatest(_tot, cast(1 as bigint))").alias(
-                "max_share_milli"
-            ),
+            F.expr(
+                "cast((_mx * 1000) div greatest(_tot, cast(1 as decimal(38,0)))"
+                " as long)"
+            ).alias("max_share_milli"),
             # Σ(2i-n-1)c_i = Σ(2i-1)c_i - n·Σc  (ascending ranks)
             F.expr(
-                "((_wsum - _n * _tot) * 1000)"
-                " div greatest(_n * _tot, cast(1 as bigint))"
+                "cast(((_wsum - _n * _tot) * 1000)"
+                " div greatest(_n * _tot, cast(1 as decimal(38,0))) as long)"
             ).alias("gini_milli"),
         )
     )

@@ -185,6 +185,43 @@ def test_apportion_degenerate_weights(spark):
         apportion_budget(w, total=-1)
 
 
+def test_apportion_token_mass_weights_no_overflow(spark):
+    # token-mass weights at web scale: total*weight ~10^24 >> 2^63. The
+    # DECIMAL(38,0) staging must keep quotas exact (non-ANSI int64 math
+    # would wrap silently and break the exact-sum invariant).
+    from scrapy_products_tracker_spark.politeness import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 3 * 10**15), ("b", 10**15), ("c", 7 * 10**14 + 3)],
+        "domain string, weight long",
+    )
+    rows = apportion_budget(w, total=10**9).collect()
+    got = {r.key: r.quota for r in rows}
+    assert sum(got.values()) == 10**9
+    tot_w = 3 * 10**15 + 10**15 + 7 * 10**14 + 3
+    for k, wt in [("a", 3 * 10**15), ("b", 10**15), ("c", 7 * 10**14 + 3)]:
+        base = (10**9 * wt) // tot_w
+        assert got[k] in (base, base + 1)
+
+
+def test_fetch_fairness_web_scale_counts_and_rejected_rows(spark):
+    # (2i-1)*c at rank ~10^3 x count ~10^17 passes 2^63 without decimal
+    # staging; NULL/negative counts must be filtered, not aggregated.
+    from scrapy_products_tracker_spark.politeness import fetch_fairness
+
+    rows = [(f"d{i:04d}", 10**13 * (i + 1)) for i in range(500)]
+    rows += [("bad1", None), ("bad2", -5)]
+    c = spark.createDataFrame(rows, "domain string, n long")
+    r = fetch_fairness(c).collect()[0]
+    n = 500
+    tot = sum(10**13 * (i + 1) for i in range(n))
+    wsum = sum((2 * (i + 1) - 1) * 10**13 * (i + 1) for i in range(n))
+    assert tot < 2**63 < min(wsum, n * tot)  # staged intermediates overflow
+    assert r.n_domains == n and r.total_fetches == tot
+    assert r.gini_milli == ((wsum - n * tot) * 1000) // (n * tot)
+    assert r.max_share_milli == (10**13 * n * 1000) // tot
+
+
 def test_fetch_fairness_closed_forms(spark):
     from scrapy_products_tracker_spark.politeness import fetch_fairness
 

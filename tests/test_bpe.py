@@ -132,3 +132,29 @@ def test_wordpiece_early_stop_and_guards(spark):
     assert wordpiece_train(df, n_merges=3).count() == 0  # all pairs count 1 < 2
     with pytest.raises(ValueError):
         wordpiece_train(df, n_merges=0)
+
+
+def test_wordpiece_hapax_pair_does_not_halt_training(spark):
+    # One hapax word ('qv') whose pair (q,##v) is seen once between two
+    # hapax pieces — it scores the maximum 10^15 under likelihood, but
+    # must be FILTERED by min_pair_count, not crowned winner and then
+    # used to halt training: the frequent (a,##b) merge must still be
+    # learned (the round-4 bug produced zero merges here).
+    from scrapy_products_tracker_spark.functions.wordpiece import wordpiece_train
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab qv")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in wordpiece_train(df, n_merges=3).orderBy("rank").collect()]
+    assert got == [(0, "a", "##b", 3, 333_333_333_333_333)]
+
+    # the independent oracle trainer must agree
+    import pandas as pd
+
+    from scrapy_products_tracker_spark.oracle.builders import _py_wordpiece_train
+
+    rows, _ = _py_wordpiece_train(pd.DataFrame({"text": ["ab ab ab qv"]}), 3)
+    assert [
+        (r["rank"], r["left"], r["right"], r["pair_count"], r["score_femto"])
+        for r in rows
+    ] == got
