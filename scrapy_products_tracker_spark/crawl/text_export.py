@@ -79,15 +79,27 @@ def export_text_corpus(
 
     Deterministic end to end: the same archive produces byte-identical
     shard files (extraction, funnel, packing and the shard writer are
-    all id-ordered and partitioning-invariant), so a re-export is a
-    safe retry. ``incremental=True`` publishes a DELTA: bookkeeping
-    under ``out_dir/_published`` (doc ids) + ``out_dir/_manifest``;
-    re-crawled pages and near-duplicates of already-published docs
-    never re-ship; each delta is its own packed token stream
-    (documented: ``tok_before`` restarts per export — a trainer
-    concatenates shards in manifest order). An empty delta publishes
-    nothing."""
+    all id-ordered and partitioning-invariant; re-crawled bodies for
+    one url keep the min-``md5(text)`` row, not an arbitrary
+    partition's), so a re-export is a safe retry. ``incremental=True``
+    publishes a DELTA: bookkeeping under ``out_dir/_published`` (doc
+    ids) + ``out_dir/_manifest``, committed ATOMICALLY by one pointer
+    flip (``export_commit`` — a crash mid-publish leaves the pointer
+    unflipped, so the retry recomputes and overwrites the identical
+    delta; no doc is ever silently dropped); re-crawled pages and
+    near-duplicates of already-published docs never re-ship; each
+    delta is its own packed token stream (documented: ``tok_before``
+    restarts per export — a trainer concatenates shards in manifest
+    order). An empty delta publishes nothing."""
+    from pyspark.sql import Window
+
     from ..dedup.text_corpus import curate_corpus, dedup_against_corpus
+    from ..export_commit import (
+        commit_delta,
+        committed_deltas,
+        read_committed,
+        stage_delta,
+    )
     from ..functions.html import html_to_text_col, main_content_col
     from ..functions.urls import registrable_domain
     from .warc import read_warc_shards
@@ -104,16 +116,32 @@ def export_text_corpus(
         "url",
         registrable_domain(F.col("url")).alias("source"),
         text.alias("text"),
-    ).dropDuplicates(["doc_id"])
+    )
+    # deterministic keeper across re-crawls of one url: min md5(text)
+    # per doc_id (dropDuplicates keeps a partitioning-dependent row,
+    # breaking the byte-identical-shards contract when the archive
+    # holds multiple 200s for the same url with different bodies)
+    w_keep = Window.partitionBy("doc_id").orderBy(F.md5(F.col("text")).asc_nulls_first())
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(w_keep))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
-    pub_dir = os.path.join(out_dir, "_published")
-    man_dir = os.path.join(out_dir, "_manifest")
-    prior = incremental and os.path.isdir(man_dir)
+    prior = incremental and bool(committed_deltas(out_dir))
+    delta_id = len(committed_deltas(out_dir)) if incremental else 0
     base_shard = 0
     if prior:
-        published = spark.read.parquet(pub_dir).select("doc_id").distinct()
+        published = read_committed(spark, out_dir, "_published").select(
+            "doc_id"
+        ).distinct()
         base_shard = (
-            int(spark.read.parquet(man_dir).agg(F.max("shard_id")).first()[0] or -1)
+            int(
+                read_committed(spark, out_dir, "_manifest")
+                .agg(F.max("shard_id"))
+                .first()[0]
+                or -1
+            )
             + 1
         )
         corpus = docs.join(published, "doc_id", "leftsemi")
@@ -195,9 +223,15 @@ def export_text_corpus(
     )
     out = manifest.collect()
     man_df = spark.createDataFrame(out, TEXT_MANIFEST_SCHEMA)
-    # bookkeeping lands AFTER the shard files (crash before = clean
-    # retry; duplicated append is benign via distinct() on read)
-    mode = "append" if prior else "overwrite"
-    curated.select("doc_id").write.mode(mode).parquet(pub_dir)
-    man_df.write.mode(mode).parquet(man_dir)
+    if not out:  # empty delta publishes nothing — no dirs, no commit
+        return man_df
+    # bookkeeping lands AFTER the shard files, staged into an invisible
+    # delta dir and made visible by ONE atomic pointer flip: a crash at
+    # any point before the flip leaves prior state intact and the retry
+    # recomputes + overwrites the identical delta (determinism contract
+    # above) — no doc can be marked published without its shards
+    # reaching the manifest
+    stage_delta(out_dir, "_published", curated.select("doc_id"), delta_id)
+    stage_delta(out_dir, "_manifest", man_df, delta_id)
+    commit_delta(out_dir, delta_id, full=not incremental)
     return man_df

@@ -94,18 +94,31 @@ def export_training_shards(
     bookkeeping. At 10^10 scale the anti-join is an id-keyed
     equi-join and the cross-set pass is the banded-phash equi-join —
     payload bytes still never shuffle except into the tar sink."""
+    from ..export_commit import (
+        commit_delta,
+        committed_deltas,
+        read_committed,
+        stage_delta,
+    )
+
     res = store.read_results(spark, version=version)
     rows = res.filter(F.col("decode_ok") & F.col("bytes").isNotNull())
-    pub_dir = os.path.join(out_dir, "_published")
-    man_dir = os.path.join(out_dir, "_manifest")
-    prior = incremental and os.path.isdir(man_dir)
+    prior = incremental and bool(committed_deltas(out_dir))
+    delta_id = len(committed_deltas(out_dir)) if incremental else 0
     base_shard = 0
     if prior:
         from .neardup import image_dedup_against_corpus
 
-        published = spark.read.parquet(pub_dir).select("image_id").distinct()
+        published = read_committed(spark, out_dir, "_published").select(
+            "image_id"
+        ).distinct()
         base_shard = (
-            int(spark.read.parquet(man_dir).agg(F.max("shard_id")).first()[0] or -1)
+            int(
+                read_committed(spark, out_dir, "_manifest")
+                .agg(F.max("shard_id"))
+                .first()[0]
+                or -1
+            )
             + 1
         )
         corpus = rows.join(published, "image_id", "leftsemi")
@@ -177,12 +190,15 @@ def export_training_shards(
     # then hand back the tiny manifest
     out = manifest.collect()
     man_df = spark.createDataFrame(out, MANIFEST_SCHEMA)
-    # publish bookkeeping AFTER the shard files land (crash before this
-    # point = clean retry: the next delta recomputes the same shards
-    # and atomically overwrites the same files). Full runs overwrite
-    # the bookkeeping; delta runs append to it. distinct() on read
-    # makes a duplicated append (crash between the two writes) benign.
-    mode = "append" if prior else "overwrite"
-    curated.select("image_id").write.mode(mode).parquet(pub_dir)
-    man_df.write.mode(mode).parquet(man_dir)
+    if not out:  # empty delta publishes nothing — no dirs, no commit
+        return man_df
+    # bookkeeping lands AFTER the shard files, staged into an invisible
+    # delta dir and made visible by ONE atomic pointer flip
+    # (export_commit): a crash anywhere before the flip leaves the
+    # prior corpus intact and the retry recomputes + overwrites the
+    # identical delta — ids can never be marked published while their
+    # shards are missing from the manifest.
+    stage_delta(out_dir, "_published", curated.select("image_id"), delta_id)
+    stage_delta(out_dir, "_manifest", man_df, delta_id)
+    commit_delta(out_dir, delta_id, full=not incremental)
     return man_df

@@ -108,6 +108,67 @@ def test_incremental_delta_publishes_only_new(spark, tmpdir_path):
     assert _file_md5s(out) == after
 
 
+def test_crash_before_pointer_flip_drops_nothing(spark, tmpdir_path, monkeypatch):
+    # the round-4 bug: published ids landed before the manifest, so a
+    # crash between the two writes marked docs published while their
+    # shards were missing from the manifest — the retry computed an
+    # EMPTY delta and those docs were dropped from the corpus forever.
+    # Now both tables stage invisibly and ONE atomic pointer flip
+    # commits them: a crash anywhere before the flip must leave the
+    # retry able to republish the full delta.
+    import scrapy_products_tracker_spark.export_commit as ec
+
+    v1 = [_page(i) for i in range(8)]
+    out = tmpdir_path + "/crash"
+    kw = dict(budget_tokens=100, seq_len=10, main_content=False, min_tokens=5)
+    export_text_corpus(spark, _archive(spark, v1), out, incremental=True, **kw)
+    assert ec.committed_deltas(out) == [0]
+
+    v2 = v1 + [_page(100, host="b.test"), _page(101, host="b.test")]
+    real_commit = ec.commit_delta
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(ec, "commit_delta", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        export_text_corpus(spark, _archive(spark, v2), out, incremental=True, **kw)
+    # pointer unflipped: the torn delta is invisible
+    assert ec.committed_deltas(out) == [0]
+
+    monkeypatch.setattr(ec, "commit_delta", real_commit)
+    man2 = export_text_corpus(
+        spark, _archive(spark, v2), out, incremental=True, **kw
+    ).collect()
+    assert sum(m.n_docs for m in man2) == 2  # both new docs republished
+    # trainer-visible corpus holds every doc exactly once
+    all_rows = [
+        r.doc_id
+        for p in _file_md5s(out)
+        for r in spark.read.parquet(out + "/" + p).collect()
+    ]
+    assert len(all_rows) == len(set(all_rows)) == 10
+
+
+def test_recrawl_keeper_is_deterministic(spark, tmpdir_path):
+    # one url fetched twice with DIFFERENT bodies (a re-crawl): the
+    # keeper must be the min-md5(text) row regardless of archive order
+    # or partitioning, preserving the byte-identical-shards contract.
+    url = "https://a.test/page"
+    b1 = b"<html><body>" + b" ".join(b"alpha%d" % j for j in range(24)) + b"</body></html>"
+    b2 = b"<html><body>" + b" ".join(b"beta%d" % j for j in range(24)) + b"</body></html>"
+    kw = dict(budget_tokens=100, seq_len=10, main_content=False, min_tokens=5)
+    outs = []
+    for order, name in [((b1, b2), "fwd"), ((b2, b1), "rev")]:
+        pages = [(url, 200, order[0]), (url, 200, order[1])] + [
+            _page(i) for i in range(4)
+        ]
+        out = tmpdir_path + "/keeper_" + name
+        export_text_corpus(spark, _archive(spark, pages), out, **kw).collect()
+        outs.append(_file_md5s(out))
+    assert outs[0] == outs[1]  # same bytes whichever record came first
+
+
 def test_budget_guard(spark, tmpdir_path):
     with pytest.raises(ValueError):
         export_text_corpus(
