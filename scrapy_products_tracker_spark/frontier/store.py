@@ -72,11 +72,41 @@ def frontier_bucket_col(url_hash_col, n_buckets: int):
 
 
 class SnapshotParquetStore:
-    def __init__(self, root: str, n_frontier_buckets: int | None = None):
+    def __init__(
+        self,
+        root: str,
+        n_frontier_buckets: int | None = None,
+        frontier_commit: str = "cow",
+        frontier_log_max_runs: int = 16,
+    ):
+        """``frontier_commit`` selects the round-delta strategy:
+
+        - ``"cow"`` (default): dirty-bucket copy-on-write — each round
+          rewrites every bucket containing an updated/inserted hash.
+          Cost per round is O(dirty-bucket rows); the 50x bench measured
+          it growing 2.5 -> 6.2 s/round as rounds dirty all buckets and
+          buckets grow with the frontier.
+        - ``"log"``: LSM-style delta commit — each round appends ONLY
+          its update/insert rows as per-bucket log runs (O(chunk) write,
+          flat in frontier size); readers merge base+log at read time
+          (pushdown-preserving, see ``_merged_frontier_view``) and
+          ``compact_frontier_log`` folds runs back into clustered
+          bucket files every ``frontier_log_max_runs`` commits (the
+          Iceberg merge-on-read + rewrite_data_files pattern).
+
+        Log-mode contract: delta UPDATES may only target rows whose
+        merged status is PENDING (true of every claim-derived update —
+        claims only take PENDING rows). Arbitrary status surgery uses a
+        full-frontier commit (rearm_session / refresh_robots already
+        do)."""
         if n_frontier_buckets is not None and (
             n_frontier_buckets < 1 or (n_frontier_buckets & (n_frontier_buckets - 1)) != 0
         ):
             raise ValueError("n_frontier_buckets must be a power of two")
+        if frontier_commit not in ("cow", "log"):
+            raise ValueError("frontier_commit must be 'cow' or 'log'")
+        self.frontier_commit = frontier_commit
+        self.frontier_log_max_runs = int(frontier_log_max_runs)
         self.root = Path(root)
         (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
@@ -131,10 +161,17 @@ class SnapshotParquetStore:
             return [str(self.root / p) for p in bmap.values()]
         return [str(self.root / bmap[str(b)]) for b in buckets if str(b) in bmap]
 
+    @staticmethod
+    def _frontier_log(m: dict) -> list[dict]:
+        fr = m["frontier"]
+        return fr.get("log", []) if isinstance(fr, dict) else []
+
     def read_frontier(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         m = self.read_manifest(version)
         if m is None:
             return None
+        if self._frontier_log(m):
+            return self._merged_frontier_view(spark, m)
         return spark.read.parquet(*self._frontier_paths(m))
 
     def read_frontier_buckets(
@@ -145,10 +182,114 @@ class SnapshotParquetStore:
         m = self.read_manifest(version)
         if m is None:
             return None
+        if self._frontier_log(m):
+            return self._merged_frontier_view(spark, m, buckets=buckets)
         paths = self._frontier_paths(m, buckets)
         if not paths:
             return self.read_frontier(spark, version).limit(0)
         return spark.read.parquet(*paths)
+
+    def _merged_frontier_view(
+        self, spark: SparkSession, m: dict, buckets=None
+    ) -> DataFrame:
+        """Merge-on-read view of base buckets + outstanding log runs
+        (``frontier_commit='log'``), optionally restricted to named
+        buckets.
+
+        The plan is built so the claim scan keeps its parquet row-group
+        skip index (BASELINE.md §3.4) while a log is outstanding:
+
+        - terminal base rows pass through untouched in their own union
+          branch carrying ``status != PENDING`` — by the log-mode
+          contract (class docstring) no log update can target them, and
+          a caller's ``status == PENDING`` filter folds this branch to
+          empty at plan time;
+        - PENDING base rows ∪ log-insert rows take a broadcast left
+          join against the per-key LATEST update (one tiny aggregate
+          over the log runs — per column, the newest non-null run wins,
+          exactly the sequential-coalesce semantics of the COW MERGE)
+          and coalesce status/attempt/session. The pushed
+          ``status = PENDING`` scan filter on this branch's base side
+          is what preserves the row-group skip.
+
+        Log rows are bounded by ``frontier_log_max_runs × chunk`` (the
+        auto-compaction contract), so the update aggregate and the
+        insert union stay broadcast-sized at any frontier scale."""
+        from ..schemas import PENDING
+
+        fr = m["frontier"]
+        bmap = fr["buckets"]
+        sel = None if buckets is None else {str(b) for b in buckets}
+        base_paths = [
+            str(self.root / p) for b, p in bmap.items() if sel is None or b in sel
+        ]
+        if base_paths:
+            base = spark.read.parquet(*base_paths)
+        else:
+            allp = [str(self.root / p) for p in bmap.values()]
+            base = spark.read.parquet(*allp).limit(0)
+        ins_paths: list[str] = []
+        upd_runs: list[tuple[int, list[str]]] = []
+        for entry in self._frontier_log(m):
+            ip = [
+                str(self.root / p)
+                for b, p in entry.get("ins", {}).items()
+                if sel is None or b in sel
+            ]
+            up = [
+                str(self.root / p)
+                for b, p in entry.get("upd", {}).items()
+                if sel is None or b in sel
+            ]
+            ins_paths.extend(ip)
+            if up:
+                upd_runs.append((int(entry["seq"]), up))
+        pend = base.filter(F.col("status") == PENDING)
+        term = base.filter(F.col("status") != PENDING)
+        if ins_paths:
+            pend = pend.unionByName(
+                spark.read.parquet(*ins_paths).select(*base.columns)
+            )
+        if upd_runs:
+            runs = [
+                spark.read.parquet(*paths).withColumn("_seq", F.lit(seq))
+                for seq, paths in upd_runs
+            ]
+            upd = runs[0]
+            for r in runs[1:]:
+                upd = upd.unionByName(r, allowMissingColumns=True)
+            has_sess = "new_session" in upd.columns
+            aggs = [
+                F.max(F.struct("_seq", "new_status", "new_attempt")).alias("_sa")
+            ]
+            if has_sess:
+                aggs.append(
+                    F.max(
+                        F.when(
+                            F.col("new_session").isNotNull(),
+                            F.struct("_seq", "new_session"),
+                        )
+                    ).alias("_ss")
+                )
+            latest = upd.groupBy("url_hash", "url").agg(*aggs)
+            pend = (
+                pend.join(F.broadcast(latest), ["url_hash", "url"], "left")
+                .withColumn(
+                    "status",
+                    F.coalesce(F.col("_sa").getField("new_status"), F.col("status")),
+                )
+                .withColumn(
+                    "attempt",
+                    F.coalesce(F.col("_sa").getField("new_attempt"), F.col("attempt")),
+                )
+            )
+            if has_sess:
+                pend = pend.withColumn(
+                    "session",
+                    F.coalesce(F.col("_ss").getField("new_session"), F.col("session")),
+                )
+            pend = pend.drop("_sa", *(["_ss"] if has_sess else []))
+        return term.unionByName(pend.select(*term.columns))
 
     def frontier_n_buckets(self, version: int | None = None) -> int | None:
         m = self.read_manifest(version)
@@ -275,6 +416,11 @@ class SnapshotParquetStore:
         fr = prev["frontier"]
         if isinstance(fr, str):
             raise ValueError("delta commit requires a bucketized frontier")
+        if fr.get("log"):
+            raise ValueError(
+                "frontier has outstanding log runs; run compact_frontier_log() "
+                "first or open the store with frontier_commit='log'"
+            )
         B = int(fr["n_buckets"])
         bmap = dict(fr["buckets"])
         spark = (updates or inserts).sparkSession
@@ -310,6 +456,123 @@ class SnapshotParquetStore:
             else:  # bucket emptied (cannot happen today: rows never deleted)
                 bmap.pop(sb, None)
         return {"n_buckets": B, "buckets": bmap}, dirty
+
+    def _commit_frontier_logdelta(
+        self,
+        prev: dict,
+        updates: DataFrame | None,
+        inserts: DataFrame | None,
+        version: int,
+        dirty: list[int] | None = None,
+    ):
+        """LSM-style delta commit: append the round's update/insert rows
+        as per-bucket log runs — NO base bucket is read or rewritten, so
+        commit cost is O(round delta) regardless of frontier size (the
+        cost the 50x bench measured growing under COW). Readers merge
+        via ``_merged_frontier_view``; ``compact_frontier_log`` folds
+        runs down. Dirty buckets fall out of the partitioned write for
+        free (no collect)."""
+        fr = prev["frontier"]
+        if isinstance(fr, str):
+            raise ValueError("log delta commit requires a bucketized frontier")
+        B = int(fr["n_buckets"])
+        log = list(fr.get("log", []))
+        upd_written: dict[str, str] = {}
+        ins_written: dict[str, str] = {}
+        if updates is not None:
+            cols = ["url_hash", "url", "new_status", "new_attempt"] + (
+                ["new_session"] if "new_session" in updates.columns else []
+            )
+            upd_written = self._write_partitioned(
+                updates.select(*cols),
+                f"data/frontier_log/v{version}/upd",
+                frontier_bucket_col(F.col("url_hash"), B),
+            )
+        if inserts is not None:
+            ins_written = self._write_partitioned(
+                inserts,
+                f"data/frontier_log/v{version}/ins",
+                frontier_bucket_col(F.col("url_hash"), B),
+                sort_cols=self.FRONTIER_SORT,
+            )
+        if dirty is None:
+            dirty = sorted({int(b) for b in (*upd_written, *ins_written)})
+        else:
+            dirty = sorted(int(b) for b in dirty)
+        log.append({"seq": version, "upd": upd_written, "ins": ins_written})
+        return {
+            "n_buckets": B,
+            "buckets": dict(fr["buckets"]),
+            "log": log,
+        }, dirty
+
+    def compact_frontier_log(
+        self, spark: SparkSession, expected_version: int | None = None
+    ) -> dict | None:
+        """Fold outstanding frontier log runs back into clustered base
+        bucket files (Iceberg ``rewrite_data_files`` over a
+        merge-on-read table) and commit a log-free snapshot. Only
+        buckets touched by some run are rewritten; clean buckets carry
+        forward by reference. Amortized over ``frontier_log_max_runs``
+        rounds this is the same dirty-bucket COW work the per-round
+        commit used to do EVERY round. Returns a summary dict, or None
+        when no log is outstanding. OCC-guarded like every maintenance
+        commit."""
+        prev = self.read_manifest()
+        if prev is None:
+            raise RuntimeError("no committed snapshot to compact")
+        log = self._frontier_log(prev)
+        if not log:
+            return None
+        fr = prev["frontier"]
+        B = int(fr["n_buckets"])
+        bmap = dict(fr["buckets"])
+        dirty = sorted(
+            {int(b) for e in log for b in (*e.get("upd", {}), *e.get("ins", {}))}
+        )
+        version = prev["version"] + 1
+        while True:
+            try:
+                with open(self._manifest_path(version), "x") as fh:
+                    fh.write('{"claimed": true}')
+                break
+            except FileExistsError:
+                version += 1
+        merged = self._merged_frontier_view(spark, prev, buckets=dirty)
+        written = self._write_partitioned(
+            merged,
+            f"data/frontier/v{version}",
+            frontier_bucket_col(F.col("url_hash"), B),
+            sort_cols=self.FRONTIER_SORT,
+        )
+        for b in dirty:
+            sb = str(b)
+            if sb in written:
+                bmap[sb] = written[sb]
+        manifest = {
+            **prev,
+            "version": version,
+            "committed_at": time.time(),
+            "frontier": {"n_buckets": B, "buckets": bmap},
+            "meta": {
+                **prev["meta"],
+                "frontier_log_compacted": {"runs": len(log), "buckets": len(dirty)},
+            },
+        }
+        if expected_version is None:
+            expected_version = prev["version"]
+        if self.latest_version() != expected_version:
+            raise CommitConflictError(
+                f"base snapshot v{expected_version} is stale "
+                f"(LATEST is v{self.latest_version()}); re-read and retry"
+            )
+        mtmp = self.root / "snapshots" / f"v{version}.json.tmp"
+        mtmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(mtmp, self._manifest_path(version))
+        tmp = self.root / "LATEST.tmp"
+        tmp.write_text(str(version))
+        os.replace(tmp, self.root / "LATEST")
+        return {"version": version, "runs": len(log), "buckets": len(dirty)}
 
     def _commit_products_delta(
         self,
@@ -496,7 +759,9 @@ class SnapshotParquetStore:
             ]
             if delta_mode:
                 f_frontier = pool.submit(
-                    self._commit_frontier_delta,
+                    self._commit_frontier_logdelta
+                    if self.frontier_commit == "log"
+                    else self._commit_frontier_delta,
                     prev,
                     frontier_updates,
                     frontier_inserts,
@@ -574,6 +839,19 @@ class SnapshotParquetStore:
         tmp = self.root / "LATEST.tmp"
         tmp.write_text(str(version))
         os.replace(tmp, self.root / "LATEST")  # atomic commit point
+        # log mode: fold runs down once they pass the cap — a separate
+        # OCC commit AFTER the snapshot lands, so a compaction crash
+        # never touches the round's durability
+        if (
+            delta_mode
+            and self.frontier_commit == "log"
+            and self.frontier_log_max_runs
+            and len(frontier_entry.get("log", [])) >= self.frontier_log_max_runs
+        ):
+            self.compact_frontier_log(
+                (frontier_updates or frontier_inserts).sparkSession,
+                expected_version=version,
+            )
         return version
 
     # --- observability ---------------------------------------------------
@@ -798,6 +1076,9 @@ class SnapshotParquetStore:
                 live.add(fr)
             elif fr:
                 live.update(fr["buckets"].values())
+                for e in fr.get("log", []):
+                    live.update(e.get("upd", {}).values())
+                    live.update(e.get("ins", {}).values())
             live.update(m.get("results", []))
             live.update(m.get("crawl_order", []))
             live.update(m.get("history", []))
@@ -822,7 +1103,7 @@ class SnapshotParquetStore:
                 return
             shutil.rmtree(child, ignore_errors=True) if child.is_dir() else child.unlink()
 
-        for sub in ("frontier", "results", "crawl_order", "history", "link_edges", "products", "seen", "bloom", "cuckoo"):
+        for sub in ("frontier", "frontier_log", "results", "crawl_order", "history", "link_edges", "products", "seen", "bloom", "cuckoo"):
             d = self.root / "data" / sub
             if not d.exists():
                 continue
