@@ -3,7 +3,7 @@ from .cdc import cdc_chunks, cdc_dedup_stats
 from .cuckoo import CuckooFilter
 from .exact import anti_join_on_hash, dedup_against_frontier, dedup_within_batch, soft_dedup_weights
 from .seen_table import BloomTable, CuckooTable, open_seen_table
-from .semantic import semdedup
+from .semantic import bounded_cells, semdedup
 from .substring import substring_dedup_clean, substring_dedup_stats
 from .text_corpus import curate_corpus, dedup_against_corpus, dedup_corpus
 
@@ -11,6 +11,7 @@ __all__ = [
     "curate_corpus",
     "dedup_against_corpus",
     "dedup_corpus",
+    "bounded_cells",
     "semdedup",
     "substring_dedup_clean",
     "substring_dedup_stats",

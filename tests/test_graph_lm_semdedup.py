@@ -273,6 +273,61 @@ def test_semdedup_no_cartesian_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semdedup_hot_cell_bound_enforced(spark):
+    # adversarial skew: 90% of vectors IDENTICAL (one dense cluster) —
+    # k-means cannot split ties, so the guard must fall through to the
+    # deterministic rank-split and STILL respect the bound: without it
+    # one cell holds 450 rows -> a 450²-pair task (10^15 pairs at 10^9
+    # vectors). The bound caps every cell, hence every pair-join task.
+    import warnings as _w
+
+    from scrapy_products_tracker_spark.dedup import bounded_cells
+
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(450)] + [
+        (450 + i, [0.0, float(i % 7 + 1), float(i % 3)]) for i in range(50)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assign = bounded_cells(
+            e, n_cells=4, iters=1, max_cell_rows=100, max_split_depth=2
+        )
+        sizes = [
+            int(r["n"])
+            for r in assign.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+        ]
+    assert max(sizes) <= 100  # the hard bound holds
+    assert sum(sizes) == 500  # no row dropped (never a silent cap)
+    assert any("rank-split" in str(w.message) for w in rec)  # logged, not silent
+    # ids stay unique per row
+    assert assign.select("vec_id").distinct().count() == 500
+    # and the bounded path still runs end-to-end through semdedup
+    surv, losers = semdedup(
+        e, n_cells=4, iters=1, tau=0.98, max_cell_rows=100, max_split_depth=2
+    )
+    assert surv.count() + losers.count() == 500
+
+
+def test_semdedup_bound_noop_when_cells_small(spark):
+    # a bound larger than every cell must leave the assignment (and the
+    # dedup result) byte-identical to the unbounded path
+    from scrapy_products_tracker_spark.dedup import bounded_cells
+
+    e = _planted(spark)
+    a0 = sorted(map(tuple, bounded_cells(e, n_cells=3, iters=1).collect()))
+    a1 = sorted(
+        map(
+            tuple,
+            bounded_cells(e, n_cells=3, iters=1, max_cell_rows=1000).collect(),
+        )
+    )
+    assert a0 == a1
+    s0, l0 = semdedup(e, n_cells=3, iters=1, tau=0.98)
+    s1, l1 = semdedup(e, n_cells=3, iters=1, tau=0.98, max_cell_rows=1000)
+    assert sorted(map(tuple, s0.collect())) == sorted(map(tuple, s1.collect()))
+    assert sorted(map(tuple, l0.collect())) == sorted(map(tuple, l1.collect()))
+
+
 # --- pointer-jumping alias resolution (crawl/alias.py) ---------------------
 
 
