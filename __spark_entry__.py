@@ -253,6 +253,57 @@ def q_politeness_budget_rank(spark, sf):
     return claimed.select("url", "domain", "discovered_seq", "within_round_rank")
 
 
+def q_politeness_registrable_rank(spark, sf):
+    """Registrable-domain (eTLD+1) politeness: three subdomains per
+    source share ONE rolled-up budget (min effective budget over member
+    hosts — politeness/scheduler.rollup_budgets), claimed through the
+    REAL scheduler with key_col='_pkey'. The oracle twin knows the
+    construction (sub{k}.{source}-shop.com -> {source}-shop.com) so the
+    Spark side's public-suffix fold is checked by value equality."""
+    from scrapy_products_tracker_spark.functions.urls import registrable_domain
+    from scrapy_products_tracker_spark.politeness import schedule_round
+    from scrapy_products_tracker_spark.politeness.scheduler import rollup_budgets
+
+    d = _t(spark, sf, "documents")
+    sub = F.substring(F.lit("subsub"), 1, (F.lit(3) + F.col("doc_id") % 3).cast("int"))
+    host = F.concat(sub, F.lit("."), F.col("source"), F.lit("-shop.com"))
+    cand = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        host.alias("domain"),
+        F.lit(0).alias("tier"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("doc_id").cast("long").alias("discovered_seq"),
+        F.lit(0).alias("attempt"),
+    ).withColumn("url_hash", F.xxhash64("url"))
+    robots = (
+        cand.select("domain").distinct()
+        .withColumn("disallow_prefixes", F.array().cast("array<string>"))
+        .withColumn("crawl_delay_ms", F.lit(0).cast("long"))
+        .withColumn(
+            "max_per_round", (F.lit(3) + F.pmod(F.length("domain"), F.lit(4))).cast("int")
+        )
+    )
+    cand = cand.withColumn("_pkey", registrable_domain(F.col("domain")))
+    claimed = schedule_round(
+        cand,
+        robots,
+        chunk_size=1_000_000,
+        n_salts=4,
+        key_col="_pkey",
+        budgets=rollup_budgets(robots),
+    )
+    return claimed.select(
+        "url",
+        F.col("_pkey").alias("site"),
+        "domain",
+        "discovered_seq",
+        "within_round_rank",
+    )
+
+
 def q_seed_ingest_dedup(spark, sf):
     """S1-S3/D1-D3 via the REAL canonicalizer (Arrow-batched pandas UDF)
     + first-discovery-wins dedup: three messy variants per doc
@@ -2994,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_end_to_end": q_crawl_end_to_end,
         "frontier_claim_topk": q_frontier_claim_topk,
         "politeness_budget_rank": q_politeness_budget_rank,
+        "politeness_registrable_rank": q_politeness_registrable_rank,
         "robots_allow_decisions": q_robots_allow_eval,
         "seed_ingest_dedup": q_seed_ingest_dedup,
         "domain_routing_counts": q_domain_routing_counts,

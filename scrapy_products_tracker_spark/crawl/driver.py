@@ -177,7 +177,20 @@ class CrawlConfig:
     # None = static cache for the whole session (parity default — the
     # fixtures pin static robots).
     robots_max_age_rounds: int | None = None
+    # politeness grouping key: "netloc" (reference parity — the
+    # per-domain queues of settings.py:79-81 are host-keyed) or
+    # "registrable" (eTLD+1 rollup, functions/urls.registrable_domain):
+    # all subdomains of one operator share ONE budget — the min
+    # effective budget over member hosts (politeness/scheduler.
+    # rollup_budgets) — so a subdomain swarm cannot multiply its crawl
+    # rate at 10^10 scale. Robots RULE matching stays host-scoped
+    # either way (RFC 9309 is per-origin).
+    politeness_key: str = "netloc"
     extra_meta: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.politeness_key not in ("netloc", "registrable"):
+            raise ValueError("politeness_key must be 'netloc' or 'registrable'")
 
 
 class CrawlDriver:
@@ -226,6 +239,18 @@ class CrawlDriver:
         # exact per-domain cap — so a 10^7-domain robots table never
         # materializes anywhere off the executors.
         self._max_budget = max_effective_budget(robots, self.cfg.round_ms)
+        # registrable-key mode: rolled-up (eTLD+1, min-budget) table,
+        # derived lazily per robots set (invalidated wherever
+        # _max_budget is recomputed). Budget-table-sized; broadcast by
+        # the scheduler — never a driver dict.
+        self._pkey_budgets = None
+
+    def _politeness_budgets(self):
+        if self._pkey_budgets is None:
+            from ..politeness.scheduler import rollup_budgets
+
+            self._pkey_budgets = rollup_budgets(self.robots, self.cfg.round_ms)
+        return self._pkey_budgets
 
     # ------------------------------------------------------------------
     def _frontier_row_select(self, df: DataFrame, *, status_col, source: str, round_no: int):
@@ -410,6 +435,7 @@ class CrawlDriver:
         # iterative-plan discipline as the AIMD step)
         self.robots = merged.localCheckpoint()
         self._max_budget = max_effective_budget(self.robots, self.cfg.round_ms)
+        self._pkey_budgets = None  # rolled budgets follow the new rules
 
         # re-tag claimable rows against the NEW rules; terminal rows
         # (SUCCESS/ERROR/...) are history and never change status
@@ -538,6 +564,14 @@ class CrawlDriver:
         # to the re-armed count — so large re-crawl sessions still take
         # the salted hot-domain path). None = unknown -> salted path.
         pending_hint = manifest["meta"].get("pending_hint")
+        claim_kw = {}
+        if self.cfg.politeness_key == "registrable":
+            from ..functions.urls import registrable_domain
+
+            narrow = narrow.withColumn(
+                "_pkey", registrable_domain(F.col("domain"))
+            )
+            claim_kw = {"key_col": "_pkey", "budgets": self._politeness_budgets()}
         claimed = schedule_round(
             narrow,
             self.robots,
@@ -546,7 +580,10 @@ class CrawlDriver:
             self.cfg.round_ms,
             max_budget=self._max_budget,
             pending_hint=pending_hint,
+            **claim_kw,
         )
+        if claim_kw:
+            claimed = claimed.drop("_pkey")
         if self.cfg.aging_milli_per_round:
             claimed = claimed.withColumn(
                 "priority", F.col("_base_priority").cast("int")
@@ -883,6 +920,7 @@ class CrawlDriver:
             # — after thousands of distress-halved rounds a drifting cap
             # would make phase 1 over-claim by the whole drift
             self._max_budget = max_effective_budget(self.robots, self.cfg.round_ms)
+            self._pkey_budgets = None  # AIMD moved the budgets
 
         meta = {
             "round": round_no,

@@ -238,6 +238,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
             FROM claimed
         """,
+        "politeness_registrable_rank": """
+            WITH cand AS (
+              SELECT concat('https://', substring('subsub', 1, CAST(3 + doc_id % 3 AS INT)),
+                            '.', source, '-shop.com/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     concat(substring('subsub', 1, CAST(3 + doc_id % 3 AS INT)),
+                            '.', source, '-shop.com') AS domain,
+                     concat(source, '-shop.com') AS site,
+                     doc_id AS discovered_seq
+              FROM documents),
+            budgets AS (
+              SELECT site, MIN(3 + (length(domain) % 4)) AS b
+              FROM (SELECT DISTINCT domain, site FROM cand) GROUP BY site),
+            ranked AS (
+              SELECT c.*, b.b,
+                     ROW_NUMBER() OVER (PARTITION BY c.site ORDER BY c.discovered_seq) AS rnk
+              FROM cand c JOIN budgets b USING (site)),
+            claimed AS (SELECT url, site, domain, discovered_seq FROM ranked WHERE rnk <= b)
+            SELECT url, site, domain, discovered_seq,
+                   CAST(ROW_NUMBER() OVER (ORDER BY discovered_seq) AS INT) AS within_round_rank
+            FROM claimed
+        """,
         "seed_ingest_dedup": """
             WITH canon AS (
               SELECT CASE WHEN doc_id % 3 = 2

@@ -171,6 +171,35 @@ def apply_robots(candidates: DataFrame, robots: DataFrame) -> tuple[DataFrame, D
     return allowed, skipped
 
 
+def rollup_budgets(
+    robots: DataFrame,
+    round_ms: int = DEFAULT_ROUND_MS,
+    key_col: str = "_pkey",
+    suffixes: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-REGISTRABLE-domain (eTLD+1) politeness budgets:
+    ``(key_col, _budget)`` where ``_budget`` is the MIN effective
+    per-round budget over the site's member hosts (conservative: a
+    thousand ``*.blogspot.com``-style subdomains of one operator share
+    the single tightest budget instead of multiplying it — the
+    subdomain-swarm defense the per-netloc budget lacks at 10^10
+    scale). Robots RULE matching stays host-scoped (RFC 9309 is
+    per-origin); only the budget key rolls up. One narrow aggregate
+    over the robots table; the result is budget-table-sized
+    (#sites <= #hosts) and broadcast by the scheduler."""
+    from ..functions.urls import DEFAULT_PUBLIC_SUFFIXES, registrable_domain
+
+    sfx = suffixes or DEFAULT_PUBLIC_SUFFIXES
+    return (
+        robots.select(
+            registrable_domain(F.col("domain"), sfx).alias(key_col),
+            effective_budget_col(round_ms).alias("_b"),
+        )
+        .groupBy(key_col)
+        .agg(F.min("_b").alias("_budget"))
+    )
+
+
 def max_effective_budget(robots: DataFrame, round_ms: int = DEFAULT_ROUND_MS) -> int:
     """Scalar upper bound on any domain's per-round budget — ONE tiny
     one-row agg, never a per-domain collect. Phase 1 of the scheduler
@@ -193,6 +222,8 @@ def schedule_round(
     pending_hint: int | None = None,
     force_salted: bool = False,
     salt_threshold: int = 1_000_000,
+    key_col: str = "domain",
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Claim this round's batch. Input: PENDING, robots-allowed rows of
     the frontier (narrow columns only — never the image payload; see
@@ -225,6 +256,16 @@ def schedule_round(
     Phase 1 keeps each (domain, salt) group's local top-cap rows; the
     exact per-domain budget is enforced by phase 2's broadcast join, so
     no per-domain state ever reaches the driver.
+
+    ``key_col``/``budgets``: the politeness GROUPING key, default the
+    raw netloc ``domain`` (reference parity: per-domain queues,
+    settings.py:79-81). For the registrable-domain (eTLD+1) key, pass
+    candidates carrying a rolled-up key column and ``budgets`` =
+    :func:`rollup_budgets` output ``(key_col, _budget)`` — phase 1
+    groups, phase 2 ranks and caps, on that key, so all subdomains of
+    one operator share one budget. The scalar ``max_budget`` derived
+    from per-host robots stays a valid phase-1 upper bound (a min
+    rollup can only shrink budgets).
     """
     default_budget = 8  # unmapped-domain bucket (reference unmapped queue, settings.py:81)
     if pending_hint is None and not force_salted:
@@ -245,14 +286,21 @@ def schedule_round(
         salted = candidates.withColumn(
             "_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
         )
-        survivors = salted.groupBy("domain", "_salt").applyInPandas(
+        survivors = salted.groupBy(key_col, "_salt").applyInPandas(
             kernel, T.StructType([f for f in out_schema.fields])
         )
 
-    w = Window.partitionBy("domain").orderBy(*[F.col(c) for c in CLAIM_ORDER])
-    budget_df = robots.select("domain", effective_budget_col(round_ms).alias("_budget"))
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in CLAIM_ORDER])
+    if budgets is None:
+        budget_df = robots.select(
+            "domain", effective_budget_col(round_ms).alias("_budget")
+        )
+        join_key = "domain"
+    else:
+        budget_df = budgets.select(key_col, "_budget")
+        join_key = key_col
     per_domain = (
-        survivors.join(F.broadcast(budget_df), "domain", "left")
+        survivors.join(F.broadcast(budget_df), join_key, "left")
         .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= F.coalesce(F.col("_budget"), F.lit(default_budget)))
         .drop("_budget", "_rank")

@@ -57,6 +57,104 @@ def test_salted_equals_unsalted_window(spark):
             assert got == baseline
 
 
+def test_registrable_key_subdomain_swarm_shares_one_budget(spark):
+    """1,000 subdomains of one eTLD+1: under the netloc key each host
+    gets its own budget (the swarm multiplies its crawl rate x1000);
+    under the registrable key they share ONE rolled-up budget — the
+    min effective budget over member hosts."""
+    from scrapy_products_tracker_spark.functions.urls import registrable_domain
+    from scrapy_products_tracker_spark.politeness.scheduler import rollup_budgets
+
+    n_subs = 1000
+    rows = [
+        (f"https://s{i:04d}.swarm.com/p/{j}", i * 31 + j, f"s{i:04d}.swarm.com",
+         1, 0, 1, i * 10 + j, 0)
+        for i in range(n_subs)
+        for j in range(3)
+    ] + [
+        (f"https://other{k}.com/p/{j}", 900_000 + k * 7 + j, f"other{k}.com",
+         1, 0, 1, 500_000 + k * 10 + j, 0)
+        for k in range(5)
+        for j in range(3)
+    ]
+    cands = spark.createDataFrame(
+        rows,
+        ["url", "url_hash", "domain", "tier", "priority", "depth",
+         "discovered_seq", "attempt"],
+    )
+    robots = cands.select("domain").distinct().select(
+        "domain",
+        F.array().cast("array<string>").alias("disallow_prefixes"),
+        F.lit(0).cast("long").alias("crawl_delay_ms"),
+        # one member host carries a tight budget of 2 — the min rollup
+        # must adopt it for the whole site
+        F.when(F.col("domain") == "s0000.swarm.com", 2)
+        .otherwise(8)
+        .cast("int")
+        .alias("max_per_round"),
+    )
+
+    # netloc key (reference parity): the swarm claims ~n_subs * budget
+    netloc = schedule_round(cands, robots, chunk_size=100_000, n_salts=4)
+    n_swarm_netloc = netloc.filter(F.col("domain").endswith("swarm.com")).count()
+    assert n_swarm_netloc > 2000  # 1000 hosts x up to 3 rows each
+
+    # registrable key: ONE budget (min over members = 2) for the site
+    pk = cands.withColumn("_pkey", registrable_domain(F.col("domain")))
+    for force in (False, True):  # fast path and salted path agree
+        reg = schedule_round(
+            pk,
+            robots,
+            chunk_size=100_000,
+            n_salts=4,
+            key_col="_pkey",
+            budgets=rollup_budgets(robots),
+            force_salted=force,
+        )
+        by_site = {
+            r["_pkey"]: r["count"]
+            for r in reg.groupBy("_pkey").count().collect()
+        }
+        assert by_site["swarm.com"] == 2  # the whole swarm: one budget
+        for k in range(5):
+            assert by_site[f"other{k}.com"] == 3  # budget 8 > 3 pending
+
+
+def test_registrable_key_crawl_smoke(spark, t1_paths):
+    """Driver integration: a T1 crawl under politeness_key='registrable'
+    (every d*.example.com host collapses into ONE example.com budget)
+    still drains the frontier to the same terminal counters — tighter
+    budgets stretch rounds, never drop URLs."""
+    import tempfile
+
+    import pytest
+
+    from scrapy_products_tracker_spark.crawl import CrawlConfig, CrawlDriver
+    from scrapy_products_tracker_spark.frontier import SnapshotParquetStore
+    from scrapy_products_tracker_spark.politeness import load_robots
+
+    with pytest.raises(ValueError):
+        CrawlConfig(politeness_key="bogus")
+
+    def crawl(key):
+        tmp = tempfile.mkdtemp(prefix="pkey_")
+        drv = CrawlDriver(
+            spark,
+            SnapshotParquetStore(tmp + "/store"),
+            spark.read.parquet(t1_paths["pages"]),
+            spark.read.parquet(t1_paths["image_caption"]),
+            load_robots(spark, t1_paths["robots"]),
+            CrawlConfig(chunk_size=50, politeness_key=key),
+        )
+        drv.seed(spark.read.parquet(t1_paths["seeds"]))
+        return drv.run()
+
+    m_net = crawl("netloc")
+    m_reg = crawl("registrable")
+    assert m_reg["counters"] == m_net["counters"]
+    assert m_reg["round"] >= m_net["round"]  # shared budget can only slow rounds
+
+
 def test_claim_is_global_topk_by_order(spark):
     cands, robots = _candidates(spark), _robots(spark)
     claimed = schedule_round(cands, robots, chunk_size=5, n_salts=4).collect()
