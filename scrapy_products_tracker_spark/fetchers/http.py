@@ -26,6 +26,19 @@ connections — throughput scales with cores exactly like a fetch-bound
 crawl scales with connections (the N -> 4N scaling bench's model).
 Per-request proxy columns (``proxy`` / ``proxy_authorization``,
 fetchers/proxy.py T1/T2) are honored when present.
+
+Connection reuse: non-proxied requests run over a per-worker-process
+keep-alive pool (one ``http.client`` connection per (scheme, host),
+module-global so it survives across Arrow batches AND across rounds
+in reused Python workers) — at real scale TCP+TLS setup dominates
+small fetches, so connects must be ≪ requests. A connection-level
+failure on a connection that already served a request retries ONCE on
+a fresh connection (stale keep-alive is a client-side artifact, not a
+server signal) — invisibly to the attempt bookkeeping; fresh-
+connection failures and timeouts surface as the genuine hardware
+class. Python workers are single-threaded (one task at a time), so
+the pool needs no locking. Proxied requests keep the one-shot urllib
+path (CONNECT tunneling / absolute-form targets).
 """
 
 from __future__ import annotations
@@ -54,6 +67,56 @@ _PAGE_FIELDS = [
     T.StructField("eff_status", T.IntegerType()),
     T.StructField("outcome", T.StringType()),
 ]
+
+
+# per-worker-process keep-alive pool: (scheme, netloc) -> {conn, served}.
+# One Spark Python worker runs one task at a time, so no lock is needed;
+# with spark.python.worker.reuse (default) connections persist across
+# tasks and crawl rounds.
+_POOL: dict = {}
+
+
+def _pooled_fetch(url: str, headers: dict, timeout_s: float):
+    """One GET over the keep-alive pool; returns ``(status,
+    headers_dict, body)``. Stale-keep-alive retry policy: a
+    connection-level error on a connection that has already served a
+    request retries once on a fresh connection; timeouts and
+    fresh-connection failures propagate (the real X3 hardware class)."""
+    import http.client
+
+    p = urlsplit(url)
+    key = (p.scheme, p.netloc)
+    path = p.path or "/"
+    if p.query:
+        path += "?" + p.query
+    stale_retry = False
+    while True:
+        entry = _POOL.get(key)
+        if entry is None:
+            cls = (
+                http.client.HTTPSConnection
+                if p.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            entry = {"conn": cls(p.netloc, timeout=timeout_s), "served": 0}
+            _POOL[key] = entry
+        conn = entry["conn"]
+        try:
+            conn.request("GET", path, headers=headers)
+            resp = conn.getresponse()
+            body = resp.read()
+        except Exception as e:
+            conn.close()
+            _POOL.pop(key, None)
+            if isinstance(e, TimeoutError) or entry["served"] == 0 or stale_retry:
+                raise
+            stale_retry = True  # stale keep-alive: one silent fresh retry
+            continue
+        entry["served"] += 1
+        if resp.will_close:
+            conn.close()
+            _POOL.pop(key, None)
+        return resp.status, dict(resp.headers), body
 
 
 def _rewrite(url: str, base_url: str | None) -> str:
@@ -117,7 +180,9 @@ def fetch_http(
                 return None
 
         def _one(url: str, attempt0: int, proxy: str | None, proxy_auth: str | None):
-            handlers = [_NoRedirect()]
+            # one HTTP exchange: (status, location_or_None, body). Non-
+            # proxied requests ride the keep-alive pool; proxied ones
+            # keep the one-shot urllib path (absolute-form/CONNECT).
             if proxy:
                 # strip embedded credentials (they ride the explicit
                 # Proxy-Authorization header, like the reference's
@@ -125,18 +190,14 @@ def fetch_http(
                 bare = proxy.split("://", 1)
                 host = bare[1].split("@", 1)[-1] if len(bare) == 2 else proxy
                 scheme = bare[0] if len(bare) == 2 else "http"
-                handlers.append(
+                opener = urllib.request.build_opener(
+                    _NoRedirect(),
                     urllib.request.ProxyHandler(
                         {"http": f"{scheme}://{host}", "https": f"{scheme}://{host}"}
-                    )
+                    ),
                 )
-            opener = urllib.request.build_opener(*handlers)
-            eff, env = -1, {}
-            tries = 0
-            while tries < max_attempts:
-                tries += 1
-                cur, hops = url, 0  # each attempt re-walks from the claim url
-                while True:
+
+                def exchange(cur: str):
                     req = urllib.request.Request(
                         _rewrite(cur, base_url), headers={"User-Agent": user_agent}
                     )
@@ -144,25 +205,44 @@ def fetch_http(
                         req.add_header("Proxy-Authorization", proxy_auth)
                     try:
                         with opener.open(req, timeout=timeout_s) as resp:
-                            eff = int(resp.status)
-                            raw = resp.read()
+                            return int(resp.status), None, resp.read()
+                    except urllib.error.HTTPError as e:
+                        loc = e.headers.get("Location") if e.headers else None
+                        return int(e.code), loc, b""
+
+            else:
+
+                def exchange(cur: str):
+                    hdrs = {"User-Agent": user_agent}
+                    if proxy_auth:
+                        hdrs["Proxy-Authorization"] = proxy_auth
+                    st, rh, raw = _pooled_fetch(
+                        _rewrite(cur, base_url), hdrs, timeout_s
+                    )
+                    return int(st), rh.get("Location"), raw
+
+            eff, env = -1, {}
+            tries = 0
+            while tries < max_attempts:
+                tries += 1
+                cur, hops = url, 0  # each attempt re-walks from the claim url
+                while True:
+                    try:
+                        eff, loc, raw = exchange(cur)
                         if eff == 200:
                             try:
                                 env = json.loads(raw.decode("utf-8"))
                             except Exception:
                                 env = {}  # malformed body: fetched but empty (X6)
-                    except urllib.error.HTTPError as e:
-                        eff = int(e.code)
-                        if (
+                        elif (
                             max_redirects is not None
                             and 300 <= eff < 400
                             and hops < max_redirects
-                        ):
-                            loc = e.headers.get("Location") if e.headers else None
-                            if loc:  # follow in canonical space; budget is ours
-                                hops += 1
-                                cur = urljoin(cur, loc)
-                                continue
+                            and loc
+                        ):  # follow in canonical space; budget is ours
+                            hops += 1
+                            cur = urljoin(cur, loc)
+                            continue
                     except Exception:
                         eff = -1  # timeout / refused / reset: hardware class
                     break

@@ -64,6 +64,11 @@ class WorldHTTPServer:
             self._rows[str(r["url"])] = d
         self.latency_scale = latency_scale
         self.hits: dict[str, int] = {}
+        # keep-alive observability: TCP connections accepted vs HTTP
+        # requests served — the client's connection pool is working iff
+        # n_connections << n_requests (BENCH_HTTP reports both)
+        self.n_connections = 0
+        self.n_requests = 0
         # absolute-form request targets (RFC 9112 §3.2.2 — how a client
         # speaks to an HTTP proxy): (canonical_url, Proxy-Authorization)
         # per proxied request, so tests can pin T1/T2 over real sockets
@@ -81,7 +86,14 @@ class WorldHTTPServer:
             def log_message(self, *a):  # tests must stay quiet
                 pass
 
+            def setup(self):
+                super().setup()
+                with outer._lock:
+                    outer.n_connections += 1
+
             def do_GET(self):
+                with outer._lock:
+                    outer.n_requests += 1
                 outer._handle(self)
 
         class _Server(ThreadingHTTPServer):

@@ -186,6 +186,35 @@ def test_socket_outcome_classes_and_retry_budget(spark):
     assert (slow["outcome"], slow["attempt"]) == ("fail_hw", MAX_ATTEMPTS - 1)
 
 
+def test_keepalive_connects_far_below_requests(spark):
+    """Connection reuse: 400 fetches of one host through the pooled
+    kernel must ride a handful of kept-alive TCP connections (one per
+    worker slot), not one connect per request — at real scale TCP+TLS
+    setup dominates small fetches. The server counts both sides."""
+    n = 400
+    pages = pd.DataFrame(
+        [
+            {"url": f"https://k.test/p/{i}", "status_code": 200, "flaky_until": 0,
+             "next_url": None, "total_items": None, "outlinks": [], "image_id": None,
+             "latency_ms": 0, "category": None, "body": f"<html>{i}</html>"}
+            for i in range(n)
+        ]
+    )
+    srv = WorldHTTPServer(pages)
+    base = srv.start()
+    claimed = spark.createDataFrame(
+        [(f"https://k.test/p/{i}", 0) for i in range(n)], "url string, attempt int"
+    ).repartition(8)
+    rows = fetch_http(claimed, base_url=base, timeout_s=5.0).collect()
+    srv.stop()
+    assert len(rows) == n and all(r["outcome"] == "ok" for r in rows)
+    assert srv.n_requests >= n
+    # one connection per python worker slot (8 partitions), not per
+    # request; allow slack for worker churn / stale-retry re-dials
+    assert srv.n_connections <= 32 < srv.n_requests
+    assert srv.n_connections * 4 <= srv.n_requests
+
+
 def test_proxy_over_real_sockets(spark):
     """T1 over sockets: the fetch routes through the per-row `proxy`
     column (the server doubles as the proxy: absolute-form request
