@@ -79,23 +79,30 @@ def min_label_components(
         .localCheckpoint()
     )
     for _ in range(max_iters):
+        # convergence rides the SAME aggregation as the label fold: the
+        # node's own row carries its previous label as ``_old`` (message
+        # rows carry NULL), so min(label) is the new label and max(_old)
+        # recovers the old one — no per-round old⋈new join+count. The
+        # probe after the checkpoint is a scan of already-materialized
+        # 16-byte rows, not a job over the join.
         msgs = edges.join(
             labels, edges["src"] == labels["node"], "inner"
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(
+            F.col("dst").alias("node"), "label", F.lit(None).cast("long").alias("_old")
+        )
         new_labels = (
-            labels.unionByName(msgs)
+            labels.select("node", "label", F.col("label").cast("long").alias("_old"))
+            .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
+            .withColumn(
+                "_changed", (F.col("label") != F.col("_old")).cast("int")
+            )
             .localCheckpoint()
         )
-        n_changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
-        if n_changed == 0:
+        any_changed = new_labels.agg(F.max("_changed")).first()[0]
+        labels = new_labels.select("node", "label")
+        if not any_changed:
             return labels
     raise RuntimeError(f"min_label_components did not converge in {max_iters} rounds")
 
