@@ -184,8 +184,11 @@ def bench_crawl(spark, world_spec=None, fetch_fn=None, **cfg_overrides) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = dict(chunk_size=25_000, n_salts=8, reencode_payload=False, inline_retries=True)
     cfg.update(cfg_overrides)
+    # store construction knobs for A/B isolation runs (tools/bench_ab.py):
+    # e.g. {"cluster_frontier_files": false} or {"frontier_commit": "log"}
+    store_kw = json.loads(os.environ.get("SPARK_GRAFT_STORE_KW", "{}"))
     try:
-        store = SnapshotParquetStore(tmp + "/store")
+        store = SnapshotParquetStore(tmp + "/store", **store_kw)
         drv = CrawlDriver(
             spark,
             store,

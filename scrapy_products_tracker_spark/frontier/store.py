@@ -78,6 +78,7 @@ class SnapshotParquetStore:
         n_frontier_buckets: int | None = None,
         frontier_commit: str = "cow",
         frontier_log_max_runs: int = 16,
+        cluster_frontier_files: bool = True,
     ):
         """``frontier_commit`` selects the round-delta strategy:
 
@@ -107,6 +108,11 @@ class SnapshotParquetStore:
             raise ValueError("frontier_commit must be 'cow' or 'log'")
         self.frontier_commit = frontier_commit
         self.frontier_log_max_runs = int(frontier_log_max_runs)
+        # the (status, claim-key) clustered file layout (§3.4). On by
+        # default; the off switch exists so its write-side cost can be
+        # isolated like-for-like in A/B benches — row order is
+        # semantics-free either way.
+        self.cluster_frontier_files = bool(cluster_frontier_files)
         self.root = Path(root)
         (self.root / "snapshots").mkdir(parents=True, exist_ok=True)
         (self.root / "data").mkdir(exist_ok=True)
@@ -362,6 +368,9 @@ class SnapshotParquetStore:
     # tests/test_store.py::test_frontier_files_clustered_by_status.
     FRONTIER_SORT = ("status", "priority", "depth", "discovered_seq")
 
+    def _frontier_sort(self):
+        return self.FRONTIER_SORT if self.cluster_frontier_files else ()
+
     def _write_partitioned(
         self, df: DataFrame, rel_dir: str, part_col, sort_cols=()
     ) -> dict[str, str]:
@@ -396,7 +405,7 @@ class SnapshotParquetStore:
         B = self.n_frontier_buckets
         written = self._write_partitioned(
             frontier, rel, frontier_bucket_col(F.col("url_hash"), B),
-            sort_cols=self.FRONTIER_SORT,
+            sort_cols=self._frontier_sort(),
         )
         return {"n_buckets": B, "buckets": written}
 
@@ -447,7 +456,7 @@ class SnapshotParquetStore:
         rel = f"data/frontier/v{version}"
         written = self._write_partitioned(
             merged, rel, frontier_bucket_col(F.col("url_hash"), B),
-            sort_cols=self.FRONTIER_SORT,
+            sort_cols=self._frontier_sort(),
         )
         for b in dirty:
             sb = str(b)
@@ -493,7 +502,7 @@ class SnapshotParquetStore:
                 inserts,
                 f"data/frontier_log/v{version}/ins",
                 frontier_bucket_col(F.col("url_hash"), B),
-                sort_cols=self.FRONTIER_SORT,
+                sort_cols=self._frontier_sort(),
             )
         if dirty is None:
             dirty = sorted({int(b) for b in (*upd_written, *ins_written)})
@@ -543,7 +552,7 @@ class SnapshotParquetStore:
             merged,
             f"data/frontier/v{version}",
             frontier_bucket_col(F.col("url_hash"), B),
-            sort_cols=self.FRONTIER_SORT,
+            sort_cols=self._frontier_sort(),
         )
         for b in dirty:
             sb = str(b)

@@ -42,10 +42,34 @@ def main():
         "the biggest world the sandbox fits, ~50x ≈ 2.9M pages); skips "
         "the 1x/10x points and appends bench_{N}x to an existing --out",
     )
+    ap.add_argument(
+        "--breadth-scale",
+        type=int,
+        default=None,
+        help="BREADTH curve point: N x BENCH *domain count* at constant "
+        "per-domain categories (VERDICT r04 #3 — the politeness-"
+        "uncapped growth axis a real 10^10 crawl follows; the depth "
+        "curve's 50x point saturated on politeness because it scaled "
+        "URLs-per-domain on a fixed 24-domain set). Appends "
+        "bench_breadth_{N}x to --out.",
+    )
+    ap.add_argument(
+        "--frontier-commit",
+        choices=["cow", "log"],
+        default="cow",
+        help="frontier delta-commit strategy for the measured store "
+        "(log = LSM append runs + periodic compaction); result keys "
+        "get a _log suffix so both strategies can live in one curve",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(args.cpus))
-    if args.big_scale and args.big_scale >= 20:
+    if args.frontier_commit == "log":
+        os.environ["SPARK_GRAFT_STORE_KW"] = '{"frontier_commit": "log"}'
+    suffix = "_log" if args.frontier_commit == "log" else ""
+    if (args.big_scale and args.big_scale >= 20) or (
+        args.breadth_scale and args.breadth_scale >= 10
+    ):
         # a >=20x world's image table is multi-GB; 32 concurrent
         # vectored-parquet readers OOM the 8g default heap (measured at
         # 50x: ~72 MB row groups x 32 tasks x decode buffers > 8g).
@@ -66,6 +90,37 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    def _append_point(key: str, res: dict) -> None:
+        cur = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                cur = json.load(f)
+        cur[key] = res
+        s = cur.setdefault("summary", {})
+        s[f"urls_per_s_{key.removeprefix('bench_')}"] = res["urls_per_s"]
+        s[f"commit_s_per_1k_urls_{key.removeprefix('bench_')}"] = round(
+            1000 * res["stage_s"]["commit_s"] / max(res["counters"]["urls_fetched"], 1), 3
+        )
+        s[f"commit_s_per_round_{key.removeprefix('bench_')}"] = round(
+            res["stage_s"]["commit_s"] / max(res["rounds"], 1), 2
+        )
+        with open(args.out, "w") as f:
+            json.dump(cur, f, indent=1)
+        print("WROTE " + args.out)
+        print(json.dumps({k: v for k, v in s.items() if key.removeprefix("bench_") in k}))
+
+    if args.breadth_scale:
+        n = args.breadth_scale
+        # breadth axis: N x the domain COUNT at constant per-domain
+        # categories (one hot domain regardless — the skew stays one
+        # domain's share, like the real web). Politeness budgets are
+        # per-domain, so round capacity grows with breadth; the engine
+        # claim is that per-round commit cost does NOT.
+        spec = dataclasses.replace(BENCH, n_domains=24 * n)
+        res = bench.bench_crawl(spark, world_spec=spec, chunk_size=25_000 * n)
+        _append_point(f"bench_breadth_{n}x{suffix}", res)
+        return
+
     if args.big_scale:
         n = args.big_scale
         spec = dataclasses.replace(
@@ -74,23 +129,15 @@ def main():
         # chunk scales with the world so rounds stay claim-bound (same
         # ratio as the 1x/10x points: 25k per BENCH-unit of categories)
         big_n = bench.bench_crawl(spark, world_spec=spec, chunk_size=25_000 * n)
-        cur = {}
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                cur = json.load(f)
-        cur[f"bench_{n}x"] = big_n
-        s = cur.setdefault("summary", {})
-        s[f"urls_per_s_{n}x"] = big_n["urls_per_s"]
-        s[f"commit_s_per_1k_urls_{n}x"] = round(
-            1000 * big_n["stage_s"]["commit_s"] / max(big_n["counters"]["urls_fetched"], 1), 3
-        )
-        with open(args.out, "w") as f:
-            json.dump(cur, f, indent=1)
-        print("WROTE " + args.out)
-        print(json.dumps({k: v for k, v in s.items() if f"_{n}x" in k}))
+        _append_point(f"bench_{n}x{suffix}", big_n)
         return
 
     base = bench.bench_crawl(spark, world_spec=BENCH)
+    if suffix:  # log-mode curve points append next to the cow ones
+        _append_point(f"bench_1x{suffix}", base)
+        big = bench.bench_crawl(spark, world_spec=bench10, chunk_size=250_000)
+        _append_point(f"bench_10x{suffix}", big)
+        return
     # chunk_size scales with the world (25k -> 250k) so the round
     # structure stays claim-bound, not cap-bound — same ratio as the
     # 1x bench; otherwise the 10x world would just run 10x the rounds
