@@ -78,6 +78,7 @@ class SnapshotParquetStore:
         n_frontier_buckets: int | None = None,
         frontier_commit: str = "cow",
         frontier_log_max_runs: int = 16,
+        frontier_log_max_rows: int = 4_000_000,
         cluster_frontier_files: bool = True,
     ):
         """``frontier_commit`` selects the round-delta strategy:
@@ -108,6 +109,11 @@ class SnapshotParquetStore:
             raise ValueError("frontier_commit must be 'cow' or 'log'")
         self.frontier_commit = frontier_commit
         self.frontier_log_max_runs = int(frontier_log_max_runs)
+        # second auto-compaction trigger: total outstanding log ROWS.
+        # The merge-on-read view broadcasts the latest-update aggregate,
+        # so the log must stay broadcast-sized whatever the chunk size —
+        # million-row rounds hit this cap long before the run cap.
+        self.frontier_log_max_rows = int(frontier_log_max_rows)
         # the (status, claim-key) clustered file layout (§3.4). On by
         # default; the off switch exists so its write-side cost can be
         # isolated like-for-like in A/B benches — row order is
@@ -508,7 +514,18 @@ class SnapshotParquetStore:
             dirty = sorted({int(b) for b in (*upd_written, *ins_written)})
         else:
             dirty = sorted(int(b) for b in dirty)
-        log.append({"seq": version, "upd": upd_written, "ins": ins_written})
+        # row tally for the broadcast-size compaction trigger: a
+        # parquet footer count over the just-written run (metadata-only
+        # scan, no data read)
+        spark = (updates or inserts).sparkSession
+        paths = [
+            str(self.root / p)
+            for p in (*upd_written.values(), *ins_written.values())
+        ]
+        n_rows = int(spark.read.parquet(*paths).count()) if paths else 0
+        log.append(
+            {"seq": version, "upd": upd_written, "ins": ins_written, "rows": n_rows}
+        )
         return {
             "n_buckets": B,
             "buckets": dict(fr["buckets"]),
@@ -851,16 +868,22 @@ class SnapshotParquetStore:
         # log mode: fold runs down once they pass the cap — a separate
         # OCC commit AFTER the snapshot lands, so a compaction crash
         # never touches the round's durability
-        if (
-            delta_mode
-            and self.frontier_commit == "log"
-            and self.frontier_log_max_runs
-            and len(frontier_entry.get("log", [])) >= self.frontier_log_max_runs
-        ):
-            self.compact_frontier_log(
-                (frontier_updates or frontier_inserts).sparkSession,
-                expected_version=version,
+        if delta_mode and self.frontier_commit == "log":
+            log_entries = frontier_entry.get("log", [])
+            over_runs = (
+                self.frontier_log_max_runs
+                and len(log_entries) >= self.frontier_log_max_runs
             )
+            over_rows = (
+                self.frontier_log_max_rows
+                and sum(int(e.get("rows") or 0) for e in log_entries)
+                >= self.frontier_log_max_rows
+            )
+            if over_runs or over_rows:
+                self.compact_frontier_log(
+                    (frontier_updates or frontier_inserts).sparkSession,
+                    expected_version=version,
+                )
         return version
 
     # --- observability ---------------------------------------------------

@@ -148,6 +148,36 @@ def test_log_mode_claim_scan_keeps_pushed_pending_filter(spark, t1_paths):
     assert "EqualTo(status,0)" in plan
 
 
+def test_log_rows_cap_triggers_compaction(spark, tmpdir_path):
+    # the merge-on-read view broadcasts the latest-update aggregate, so
+    # outstanding log ROWS must stay broadcast-sized whatever the chunk
+    # size: a tiny rows cap must fold the log even with the run cap
+    # disabled (million-row rounds hit this long before 16 runs)
+    store = SnapshotParquetStore(
+        tmpdir_path + "/s",
+        frontier_commit="log",
+        frontier_log_max_runs=0,
+        frontier_log_max_rows=5,
+    )
+    fr = spark.range(40).selectExpr(
+        "concat('https://d/p/', id) AS url",
+        "xxhash64(concat('https://d/p/', id)) AS url_hash",
+        "cast(0 as int) AS status",
+        "cast(0 as int) AS attempt",
+    )
+    store.commit(fr, meta={})
+    upd = fr.limit(10).selectExpr(
+        "url_hash", "url", "cast(2 as int) AS new_status", "cast(1 as int) AS new_attempt"
+    )
+    store.commit(frontier_updates=upd, meta={})
+    # 10 staged rows >= cap 5 -> auto-compacted to a log-free snapshot
+    assert store._frontier_log(store.read_manifest()) == []
+    got = {
+        (r["url"], r["status"]) for r in store.read_frontier(spark).collect()
+    }
+    assert sum(1 for _, s in got if s == 2) == 10 and len(got) == 40
+
+
 def test_log_mode_expire_snapshots_keeps_live_log(spark, t1_paths):
     s_log, _, m = _crawl(
         spark, t1_paths, store_kw={"frontier_commit": "log", "frontier_log_max_runs": 0}
