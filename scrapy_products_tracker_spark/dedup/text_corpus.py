@@ -85,13 +85,14 @@ def min_label_components(
         # recovers the old one — no per-round old⋈new join+count. The
         # probe after the checkpoint is a scan of already-materialized
         # 16-byte rows, not a job over the join.
+        lbl_t = labels.schema["label"].dataType  # ids may be long OR string
         msgs = edges.join(
             labels, edges["src"] == labels["node"], "inner"
         ).select(
-            F.col("dst").alias("node"), "label", F.lit(None).cast("long").alias("_old")
+            F.col("dst").alias("node"), "label", F.lit(None).cast(lbl_t).alias("_old")
         )
         new_labels = (
-            labels.select("node", "label", F.col("label").cast("long").alias("_old"))
+            labels.select("node", "label", F.col("label").alias("_old"))
             .unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
