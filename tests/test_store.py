@@ -200,3 +200,43 @@ def test_frontier_clustered_row_groups_skippable(spark, tmpdir_path):
             hconf.unset("parquet.block.size")
         else:
             hconf.set("parquet.block.size", old)
+
+
+def test_iceberg_sql_builders():
+    # the production binding's SQL is pure string generation — testable
+    # without the runtime jar the sandbox lacks. Semantics mirrored:
+    # column-wise coalesce == frontier.merge.merge_status_updates;
+    # bucket(url_hash) spec + status-leading sort == the parquet
+    # store's layout (§3.4).
+    from scrapy_products_tracker_spark.frontier import IcebergFrontierStore as I
+
+    c = I.create_frontier_sql("cat.ns.frontier", n_buckets=64)
+    assert "PARTITIONED BY (bucket(64, url_hash))" in c
+    assert "'sort-order'='status ASC" in c
+    assert "url_hash bigint" in c and "discovered_seq bigint" in c
+
+    m = I.merge_updates_sql("cat.ns.frontier", "v_upd")
+    assert "MERGE INTO cat.ns.frontier t USING v_upd s" in m
+    assert "t.url_hash = s.url_hash AND t.url = s.url" in m
+    assert "t.status = coalesce(s.new_status, t.status)" in m
+    assert "t.attempt = coalesce(s.new_attempt, t.attempt)" in m
+    assert "session" not in m
+    ms = I.merge_updates_sql("cat.ns.frontier", "v_upd", with_session=True)
+    assert "t.session = coalesce(s.new_session, t.session)" in ms
+
+    i = I.merge_inserts_sql("cat.ns.frontier", "v_ins")
+    assert "WHEN NOT MATCHED THEN INSERT *" in i and "MATCHED THEN UPDATE" not in i
+
+    r = I.rollback_sql("cat", "cat.ns.frontier", 12345)
+    assert r == "CALL cat.system.rollback_to_snapshot('cat.ns.frontier', 12345)"
+    e = I.expire_snapshots_sql("cat", "cat.ns.frontier", "2026-01-01 00:00:00")
+    assert "expire_snapshots" in e and "TIMESTAMP '2026-01-01 00:00:00'" in e
+
+
+def test_iceberg_store_refuses_without_catalog(spark):
+    import pytest
+
+    from scrapy_products_tracker_spark.frontier import IcebergFrontierStore
+
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergFrontierStore(spark, "nosuchcat", "crawl")
